@@ -1,0 +1,99 @@
+"""Typed simulation configuration.
+
+The reference uses an untyped dict splatted onto the model instance
+(reference ionic.py:35-37) with the canonical key schema documented in its
+README (width, height, dt, dt_per_plot, diff, duration, skip, cheby,
+timeline, timeline_name, save_graph, plus court_ultra's `ultra_slow` and
+fenton_simple's `samples`/`s2_time`).  Here the same keys become a validated
+dataclass; `SimConfig.from_dict` accepts the reference's plain-dict form so
+reference-style scripts port over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (trace-time) simulation parameters.
+
+    Frozen + hashable so it can close over jitted step functions as a
+    compile-time constant; changing any field recompiles, mirroring the
+    reference where these were baked into the TF graph at define() time.
+    """
+
+    # -- grid ----------------------------------------------------------------
+    width: int = 512            # grid width in cells
+    height: int = 512           # grid height in cells
+
+    # -- time stepping -------------------------------------------------------
+    dt: float = 0.1             # integration time step (ms)
+    dt_per_plot: float = 10     # plot/probe interval in dt units
+    duration: float = 1000.0    # total simulated time (ms)
+
+    # -- physics ---------------------------------------------------------
+    diff: float = 1.5           # diffusion coefficient
+
+    # -- compile-time optimization variants (reference br.py:98-107, 132-135)
+    skip: bool = False          # multi-rate slow-gate skipping
+    cheby: bool = True          # Chebyshev polynomial rate approximation
+    table: bool = False         # voltage-indexed lookup table (courtemanche.h:352-357)
+    ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
+    chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
+
+    # -- observability (reference ionic.py:190-191, 231-241) ------------------
+    timeline: bool = False      # capture a profiler trace of one chunk
+    timeline_name: str = "timeline.json"
+    save_graph: bool = False    # dump compiled HLO instead of a TF graph
+
+    # -- engine tuning (new; no reference equivalent) --------------------------
+    chunk_ms: Optional[float] = None  # host-loop granularity; default = dt_per_plot*dt
+    precision: str = "float32"        # reference is float32 throughout
+
+    # -- parallelism (new; reference is single-device, SURVEY.md §2) ----------
+    mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (4, 2) rows×cols
+    mesh_axes: Tuple[str, ...] = ("x", "y")
+
+    def __post_init__(self):
+        if self.width <= 2 or self.height <= 2:
+            raise ValueError("grid must be larger than 3x3")
+        if self.dt <= 0:
+            raise ValueError("dt must be positive")
+        if self.duration < 0:
+            raise ValueError("duration must be non-negative")
+        if self.precision not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported precision: {self.precision}")
+
+    # -- reference-dict interop ------------------------------------------------
+
+    _ALIASES = {
+        "samples": None,     # fenton_simple.py:224-232; derived from duration
+        "s2_time": None,     # handled by the pacing protocol, not config
+    }
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "SimConfig":
+        """Build from a reference-style config dict, ignoring unknown keys
+        that the reference treated as free-form attributes."""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in fields}
+        return cls(**kwargs)
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    # -- derived quantities (reference ionic.py:198, 247-252) ------------------
+
+    def samples(self, dt_per_step: int) -> int:
+        """Number of outer steps for `duration` (reference ionic.py:198)."""
+        return int(self.duration / (dt_per_step * self.dt))
+
+    def millisecond_to_step(self, t_ms: float, dt_per_step: int) -> int:
+        """Convert milliseconds to an outer-step index (ionic.py:247-252)."""
+        return int(t_ms / (dt_per_step * self.dt))
+
+    def plot_interval(self, dt_per_step: int) -> int:
+        """Outer steps between plot frames (reference ionic.py:206)."""
+        return max(1, int(self.dt_per_plot / dt_per_step))

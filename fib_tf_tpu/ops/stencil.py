@@ -1,0 +1,188 @@
+"""Finite-difference grid operators.
+
+Pure `jnp` functions over `[H, W]` arrays; everything here traces into a
+single fused XLA computation under `jax.jit` (the TPU-native equivalent of
+the reference's `experimental_jit_scope` fusion clusters).
+
+Behavioral parity targets (see SURVEY.md appendix):
+  * `laplace`      — 9-point stencil, diagonals x0.5, center -6, REFLECT
+                     padding (reference ionic.py:44-60).
+  * `enforce_boundary` — SYMMETRIC pad of the interior; border cells are
+                     overwritten by their inner neighbors every step
+                     (reference ionic.py:107-113).
+  * `phase_field_correction` — (∇X·∇ϕ)/(4ϕ) central-difference term on
+                     REFLECT-padded arrays (reference ionic.py:70-81).
+  * `add_hole_to_phase_field` — tanh-profile holes, floor 1e-5
+                     (reference ionic.py:83-105).
+  * `pace_mask` / `apply_pace` — stimulation masks for the 8 named locations
+                     and `max(pot, mask)` firing (reference ionic.py:125-163).
+  * `gaussian_mask` — virtual-electrode sensor mask (reference egm.py:5-12).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _reflect_pad(x: jnp.ndarray) -> jnp.ndarray:
+    """1-cell REFLECT pad (mirror excluding the edge), as tf.pad 'REFLECT'."""
+    return jnp.pad(x, 1, mode="reflect")
+
+
+def laplace(
+    x: jnp.ndarray,
+    phase: Optional[jnp.ndarray] = None,
+    phase_padded: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """2D 9-point Laplacian with REFLECT boundary handling.
+
+    Equivalent to reference ionic.py:44-60: pad REFLECT, then
+      l = N + S + W + E + 0.5*(NW + NE + SW + SE) - 6*C
+    with an optional phase-field correction added when `phase` is given.
+
+    Args:
+      x: `[H, W]` field.
+      phase: optional `[H, W]` phase field ϕ (static across the run).
+      phase_padded: optional precomputed REFLECT-padded ϕ of shape
+        `[H+2, W+2]`; pass this from the engine to avoid re-padding a
+        constant every substep (the values are identical).
+    """
+    xp = _reflect_pad(x)
+    l = (
+        xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+        + 0.5 * (xp[:-2, :-2] + xp[2:, :-2] + xp[:-2, 2:] + xp[2:, 2:])
+        - 6.0 * xp[1:-1, 1:-1]
+    )
+    if phase is not None or phase_padded is not None:
+        if phase_padded is None:
+            phase_padded = _reflect_pad(phase)
+        l = l + phase_field_correction(xp, phase_padded)
+    return l
+
+
+def phase_field_correction(
+    x_padded: jnp.ndarray, phase_padded: jnp.ndarray
+) -> jnp.ndarray:
+    """Phase-field no-flux correction ((∂xX·∂xϕ + ∂yX·∂yϕ) / 4ϕ).
+
+    Both inputs are REFLECT-padded `[H+2, W+2]` arrays; the reference
+    (ionic.py:70-81) pads ϕ inside `phase_field` and receives X already
+    padded by `laplace`.
+    """
+    X, p = x_padded, phase_padded
+    return (
+        (X[2:, 1:-1] - X[:-2, 1:-1]) * (p[2:, 1:-1] - p[:-2, 1:-1])
+        + (X[1:-1, 2:] - X[1:-1, :-2]) * (p[1:-1, 2:] - p[1:-1, :-2])
+    ) / (4.0 * p[1:-1, 1:-1])
+
+
+def enforce_boundary(x: jnp.ndarray) -> jnp.ndarray:
+    """No-flux (Neumann) boundary: SYMMETRIC pad of the interior.
+
+    Border rows/columns are replaced by their immediate interior neighbors
+    (reference ionic.py:107-113).
+    """
+    return jnp.pad(x[1:-1, 1:-1], 1, mode="symmetric")
+
+
+# -----------------------------------------------------------------------------
+# Phase field construction (host-side numpy; definition time)
+# -----------------------------------------------------------------------------
+
+def add_hole_to_phase_field(
+    phase: Optional[np.ndarray],
+    height: int,
+    width: int,
+    x: float,
+    y: float,
+    radius: float,
+    neg: bool = False,
+) -> np.ndarray:
+    """Multiply a circular hole into a phase field, creating it if needed.
+
+    `neg=False`: a disk obstacle at (x, y) — ϕ = 0.5*(tanh(dist - r) + 1).
+    `neg=True`:  everything OUTSIDE radius is excluded —
+                 ϕ = 0.5*(tanh(0.1*(r - dist)) + 1).
+    Floor at 1e-5 to avoid division by zero in the correction term.
+    (reference ionic.py:83-105)
+    """
+    if phase is None:
+        phase = np.ones([height, width], dtype=np.float32)
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    dist = np.hypot(xx - x, yy - y)
+    if neg:
+        phase = phase * np.asarray(
+            0.5 * (np.tanh(0.1 * (radius - dist)) + 1.0), dtype=np.float32
+        )
+    else:
+        phase = phase * np.asarray(
+            0.5 * (np.tanh(dist - radius) + 1.0), dtype=np.float32
+        )
+    return np.maximum(phase, 1e-5).astype(np.float32)
+
+
+# -----------------------------------------------------------------------------
+# Pacing / stimulation
+# -----------------------------------------------------------------------------
+
+PACE_LOCATIONS = (
+    "left", "right", "top", "bottom", "luq", "llq", "ruq", "rlq",
+)
+
+
+def pace_mask(
+    height: int, width: int, loc: str, v: float, min_v: float
+) -> np.ndarray:
+    """Stimulus mask for one of the 8 named locations.
+
+    Background is `min_v` so that `max(pot, mask)` leaves unstimulated cells
+    untouched (reference ionic.py:125-163).
+    """
+    s = np.full([height, width], min_v, dtype=np.float32)
+    if loc == "left":
+        s[:, :5] = v
+    elif loc == "right":
+        s[:, -5:] = v
+    elif loc == "top":
+        s[:5, :] = v
+    elif loc == "bottom":
+        s[-5:, :] = v
+    elif loc == "luq":
+        s[1 : height // 2, 1 : width // 2] = v
+    elif loc == "llq":
+        s[height // 2 : -1, 1 : width // 2] = v
+    elif loc == "ruq":
+        s[1 : height // 2, width // 2 : -1] = v
+    elif loc == "rlq":
+        s[height // 2 : -1, width // 2 : -1] = v
+    else:
+        raise ValueError(f"undefined pace location: {loc!r}")
+    return s
+
+
+def apply_pace(pot: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Fire a pacing op: pot <- max(pot, mask) (reference ionic.py:163)."""
+    return jnp.maximum(pot, mask)
+
+
+# -----------------------------------------------------------------------------
+# Virtual electrodes (pseudo-electrogram)
+# -----------------------------------------------------------------------------
+
+def gaussian_mask(
+    height: int, width: int, x: float, y: float, radius: float
+) -> np.ndarray:
+    """Circular Gaussian sensor mask exp(-(dist/radius)^2) centered at (x, y)
+    (reference egm.py:5-12)."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    dist = np.hypot(xx - x, yy - y)
+    return np.asarray(np.exp(-((dist / radius) ** 2)), dtype=np.float32)
+
+
+def electrogram_sample(image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """One electrode sample: mean(image * mask), computed on-device
+    (the reference did this on the host, egm.py:45-47)."""
+    return jnp.mean(image * mask)

@@ -1,0 +1,144 @@
+"""Unit tests of the grid operators against hand-computed references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fib_tf_tpu.ops import stencil
+
+
+def np_laplace_reference(x):
+    """Straightforward numpy transcription of reference ionic.py:44-60."""
+    xp = np.pad(x, 1, mode="reflect")
+    return (
+        xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+        + 0.5 * (xp[:-2, :-2] + xp[2:, :-2] + xp[:-2, 2:] + xp[2:, 2:])
+        - 6.0 * xp[1:-1, 1:-1]
+    )
+
+
+class TestLaplace:
+    def test_constant_field_is_zero(self):
+        x = jnp.full((16, 16), 3.7, dtype=jnp.float32)
+        np.testing.assert_allclose(stencil.laplace(x), 0.0, atol=1e-5)
+
+    def test_matches_numpy_reference(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(12, 20).astype(np.float32)
+        got = np.asarray(stencil.laplace(jnp.asarray(x)))
+        want = np_laplace_reference(x)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_single_hot_interior_cell(self):
+        # center -6, edges 1, diagonals 0.5 (reference ionic.py:51-53)
+        x = np.zeros((7, 7), dtype=np.float32)
+        x[3, 3] = 1.0
+        l = np.asarray(stencil.laplace(jnp.asarray(x)))
+        assert l[3, 3] == -6.0
+        assert l[2, 3] == l[4, 3] == l[3, 2] == l[3, 4] == 1.0
+        assert l[2, 2] == l[2, 4] == l[4, 2] == l[4, 4] == 0.5
+
+    def test_quadratic_has_constant_laplacian(self):
+        # For f = x^2 this stencil gives 4 in the interior: the axial pair
+        # contributes 2 and the half-weighted diagonal pairs another 2
+        # (i.e. the stencil equals 2x the usual 5-point weighting).
+        h, w = 16, 16
+        xx = np.arange(w, dtype=np.float32)
+        x = np.tile(xx**2, (h, 1))
+        l = np.asarray(stencil.laplace(jnp.asarray(x)))
+        np.testing.assert_allclose(l[1:-1, 2:-2], 4.0, atol=1e-3)
+
+    def test_phase_field_correction_zero_for_flat_phase(self):
+        rng = np.random.RandomState(1)
+        x = rng.rand(10, 10).astype(np.float32)
+        phase = np.ones((10, 10), dtype=np.float32)
+        with_phase = np.asarray(
+            stencil.laplace(jnp.asarray(x), phase=jnp.asarray(phase))
+        )
+        without = np.asarray(stencil.laplace(jnp.asarray(x)))
+        np.testing.assert_allclose(with_phase, without, atol=1e-6)
+
+    def test_phase_padded_matches_phase(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(10, 10).astype(np.float32))
+        phase = stencil.add_hole_to_phase_field(None, 10, 10, 5, 5, 2)
+        a = stencil.laplace(x, phase=jnp.asarray(phase))
+        padded = jnp.pad(jnp.asarray(phase), 1, mode="reflect")
+        b = stencil.laplace(x, phase_padded=padded)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestEnforceBoundary:
+    def test_borders_copied_from_interior(self):
+        rng = np.random.RandomState(3)
+        x = rng.rand(8, 9).astype(np.float32)
+        b = np.asarray(stencil.enforce_boundary(jnp.asarray(x)))
+        # interior unchanged
+        np.testing.assert_array_equal(b[1:-1, 1:-1], x[1:-1, 1:-1])
+        # borders mirror the interior ring (SYMMETRIC pad of interior)
+        np.testing.assert_array_equal(b[0, 1:-1], x[1, 1:-1])
+        np.testing.assert_array_equal(b[-1, 1:-1], x[-2, 1:-1])
+        np.testing.assert_array_equal(b[1:-1, 0], x[1:-1, 1])
+        np.testing.assert_array_equal(b[1:-1, -1], x[1:-1, -2])
+        # corners come from the diagonal interior neighbor
+        assert b[0, 0] == x[1, 1]
+        assert b[-1, -1] == x[-2, -2]
+
+
+class TestPhaseField:
+    def test_hole_profile(self):
+        phase = stencil.add_hole_to_phase_field(None, 64, 64, 32, 32, 10)
+        # far away ~1, center ~1e-5 floor
+        assert phase[0, 0] == pytest.approx(1.0, abs=1e-5)
+        assert phase[32, 32] == pytest.approx(1e-5, abs=1e-6)
+        # at the radius the tanh profile crosses 0.5
+        assert phase[32, 42] == pytest.approx(0.5, abs=0.02)
+
+    def test_neg_hole_keeps_inside(self):
+        phase = stencil.add_hole_to_phase_field(
+            None, 64, 64, 32, 32, 20, neg=True
+        )
+        assert phase[32, 32] == pytest.approx(1.0, abs=1e-3)
+        assert phase[0, 0] == pytest.approx(1e-5, abs=1e-6)
+
+    def test_floor(self):
+        phase = stencil.add_hole_to_phase_field(None, 32, 32, 16, 16, 8)
+        assert phase.min() >= 1e-5
+
+
+class TestPacing:
+    def test_all_locations_have_expected_extent(self):
+        h, w = 16, 20
+        for loc in stencil.PACE_LOCATIONS:
+            m = stencil.pace_mask(h, w, loc, 1.0, -90.0)
+            assert (m == 1.0).any(), loc
+            assert (m == -90.0).any(), loc
+
+    def test_luq_geometry(self):
+        m = stencil.pace_mask(16, 16, "luq", 5.0, 0.0)
+        assert m[1, 1] == 5.0 and m[7, 7] == 5.0
+        assert m[0, 0] == 0.0 and m[8, 8] == 0.0  # reference ionic.py:154
+
+    def test_unknown_location_raises(self):
+        with pytest.raises(ValueError):
+            stencil.pace_mask(8, 8, "center", 1.0, 0.0)
+
+    def test_apply_pace_is_max(self):
+        pot = jnp.asarray(np.full((8, 8), -80.0, dtype=np.float32))
+        mask = jnp.asarray(stencil.pace_mask(8, 8, "left", 10.0, -90.0))
+        out = np.asarray(stencil.apply_pace(pot, mask))
+        assert (out[:, :5] == 10.0).all()
+        assert (out[:, 5:] == -80.0).all()
+
+
+class TestElectrode:
+    def test_gaussian_mask(self):
+        m = stencil.gaussian_mask(32, 32, 16, 16, 5)
+        assert m[16, 16] == pytest.approx(1.0)
+        assert m[16, 21] == pytest.approx(np.exp(-1.0), rel=1e-5)
+
+    def test_sample_is_masked_mean(self):
+        img = jnp.ones((16, 16), dtype=jnp.float32)
+        mask = jnp.asarray(stencil.gaussian_mask(16, 16, 8, 8, 3))
+        got = float(stencil.electrogram_sample(img, mask))
+        assert got == pytest.approx(float(np.mean(np.asarray(mask))), rel=1e-6)
