@@ -98,7 +98,9 @@ class TestPhaseField:
         phase = stencil.add_hole_to_phase_field(
             None, 64, 64, 32, 32, 20, neg=True
         )
-        assert phase[32, 32] == pytest.approx(1.0, abs=1e-3)
+        # neg profile uses the gentler 0.1 tanh scale (reference ionic.py:101):
+        # at the center tanh(0.1*20) = 0.964, so phi = 0.982, not ~1.
+        assert phase[32, 32] == pytest.approx(0.982, abs=1e-3)
         assert phase[0, 0] == pytest.approx(1e-5, abs=1e-6)
 
     def test_floor(self):
