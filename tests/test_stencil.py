@@ -101,7 +101,9 @@ class TestPhaseField:
         # neg profile uses the gentler 0.1 tanh scale (reference ionic.py:101):
         # at the center tanh(0.1*20) = 0.964, so phi = 0.982, not ~1.
         assert phase[32, 32] == pytest.approx(0.982, abs=1e-3)
-        assert phase[0, 0] == pytest.approx(1e-5, abs=1e-6)
+        # the 0.1 tanh scale decays slowly: at the far corner (dist 45.25)
+        # phi = 0.5*(tanh(-2.5)+1) = 0.0067 — small but above the 1e-5 floor
+        assert phase[0, 0] < 0.01
 
     def test_floor(self):
         phase = stencil.add_hole_to_phase_field(None, 32, 32, 16, 16, 8)
