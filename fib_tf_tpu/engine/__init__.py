@@ -1,0 +1,18 @@
+"""Execution engine: the reference's `IonicModel.run()` session loop
+(ionic.py:171-245) rebuilt as compiled `lax.scan` chunks with host-side
+event scheduling."""
+
+from fib_tf_tpu.engine.simulation import Simulation, SimResult
+from fib_tf_tpu.engine.observers import (
+    CycleLengthDetector,
+    ElectrogramRecorder,
+    fibrillation_density,
+)
+
+__all__ = [
+    "Simulation",
+    "SimResult",
+    "CycleLengthDetector",
+    "ElectrogramRecorder",
+    "fibrillation_density",
+]

@@ -1,0 +1,368 @@
+"""The simulation driver.
+
+Replaces the reference's `tf.Session` run loop (ionic.py:171-245).  Key
+re-design: instead of one `sess.run` per outer step with host round trips,
+the step loop is a `jax.lax.scan` inside a single donated `jax.jit`, cut
+into chunks only where the host must intervene: scheduled pacing events
+(the `fire_op` analog, ionic.py:165-169), plot frames, and chunked probe
+readback.  Per-step scalars (wavefront pixel, trend pixel, electrode means)
+are computed on-device inside the scan and shipped once per chunk.
+
+Two APIs:
+  * `Simulation.run(...)` — a generator yielding the outer-step index, drop-in
+    compatible with reference-style scripts (`for i in sim.run(): ...
+    sim.fire_op('s2')`).  One dispatch per outer step; fine for interactive
+    use, not for benchmarks.
+  * `Simulation.simulate(...)` — the fast scheduled path: pacing events are
+    declared up front (`at_ms`), the engine scans whole segments between
+    events, and returns the probe streams + final state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models.base import Geometry, IonicModel, grid_geometry
+from fib_tf_tpu.ops import stencil
+from fib_tf_tpu.engine.observers import CycleLengthDetector
+
+
+@dataclasses.dataclass
+class SimResult:
+    """Output of `Simulation.simulate`."""
+
+    state: Dict[str, np.ndarray]         # final state (host numpy)
+    probes: Dict[str, np.ndarray]        # per-outer-step probe streams
+    frames: Optional[np.ndarray]         # [n_frames, H, W] if recorded
+    elapsed: float                       # wall seconds (excl. compile)
+    steps: int                           # outer steps executed
+    cell_updates_per_sec: float
+    sim_seconds_per_wall_second: float
+    cycle_lengths: List[tuple]
+
+
+class Simulation:
+    """Owns a model + geometry + pacing protocol and drives the run."""
+
+    def __init__(self, model: IonicModel, sharding=None):
+        self.model = model
+        self.cfg: SimConfig = model.cfg
+        self.phase: Optional[np.ndarray] = None
+        self._pace_masks: Dict[str, np.ndarray] = {}
+        self._egm_masks: List[np.ndarray] = []
+        self._defined = False
+        self._geom: Optional[Geometry] = None
+        self._chunk_cache: Dict[Tuple, Callable] = {}
+        self._sharding = sharding  # optional jax.sharding.Sharding for state
+        self.cl_observer: Optional[Callable[[int, float], None]] = None
+        self.state: Optional[Dict[str, np.ndarray]] = None  # keep_state output
+        self._timeline_done = False
+
+    # -- geometry construction (before define) ----------------------------------
+
+    def add_hole_to_phase_field(self, x, y, radius, neg: bool = False):
+        """Add a circular hole/boundary to the phase field
+        (reference ionic.py:83-105; must precede `define`)."""
+        if self._defined:
+            raise AssertionError(
+                "add_hole_to_phase_field must be called before define()"
+            )
+        self.phase = stencil.add_hole_to_phase_field(
+            self.phase, self.cfg.height, self.cfg.width, x, y, radius, neg
+        )
+
+    def add_electrode(self, x, y, radius: float = 5.0):
+        """Register a Gaussian virtual electrode whose masked mean rides the
+        on-device probe stream (reference egm.py:5-12 computed this on the
+        host)."""
+        self._egm_masks.append(
+            stencil.gaussian_mask(self.cfg.height, self.cfg.width, x, y, radius)
+        )
+
+    # -- definition --------------------------------------------------------------
+
+    def define(self, s1: bool = True, state: Optional[Dict[str, np.ndarray]] = None):
+        """Materialize geometry + initial state.  `state` seeds the run from
+        a previous model's final state (checkpoint/resume; reference
+        court.py:49-57, 623-626)."""
+        self._geom = grid_geometry(self.phase)
+        init = state if state is not None else self.model.initial_state(s1=s1)
+        init = {k: np.asarray(v, dtype=np.float32) for k, v in init.items()}
+        self._initial = init
+        self._defined = True
+        return self
+
+    def add_pace_op(self, name: str, loc: str, v: float):
+        """Register a stimulation op (reference ionic.py:125-163; call after
+        define)."""
+        if not self._defined:
+            raise AssertionError("add_pace_op must be called after define()")
+        self._pace_masks[name] = stencil.pace_mask(
+            self.cfg.height, self.cfg.width, loc, v, self.model.min_v
+        )
+
+    def millisecond_to_step(self, t_ms: float) -> int:
+        return self.cfg.millisecond_to_step(t_ms, self.model.dt_per_step)
+
+    # -- compiled pieces -----------------------------------------------------------
+
+    def _device_state(self, init=None):
+        init = init if init is not None else self._initial
+        put = partial(jax.device_put, device=self._sharding) if (
+            self._sharding is not None
+        ) else jax.device_put
+        return {k: put(jnp.asarray(v)) for k, v in init.items()}
+
+    def _probes(self, state) -> Dict[str, jnp.ndarray]:
+        p = {"v": self.model.probe(state)}
+        if hasattr(self.model, "trend_probe"):
+            p["trend"] = self.model.trend_probe(state)
+        if self._egm_masks:
+            img = self.model.image(state)
+            p["egm"] = jnp.stack(
+                [stencil.electrogram_sample(img, jnp.asarray(m))
+                 for m in self._egm_masks]
+            )
+        return p
+
+    def _chunk_fn(self, length: int, with_frames: bool = False):
+        """Jitted scan of `length` outer steps; emits probe streams and a
+        finiteness flag, optionally per-plot-step frames."""
+        key = (length, with_frames, id(self._geom))
+        if key in self._chunk_cache:
+            return self._chunk_cache[key]
+
+        model, geom = self.model, self._geom
+        plot_interval = self.cfg.plot_interval(model.dt_per_step)
+
+        def body(state, _):
+            state = model.step(state, geom)
+            out = self._probes(state)
+            if with_frames:
+                out["frame"] = model.image(state)
+            return state, out
+
+        @partial(jax.jit, donate_argnums=0)
+        def chunk(state):
+            state, out = jax.lax.scan(body, state, None, length=length)
+            # cheap per-chunk failure detection (the reference's NaN check
+            # existed but was commented out, ionic.py:208-212)
+            finite = jnp.isfinite(state[model.pot_key]).all()
+            return state, out, finite
+
+        self._chunk_cache[key] = chunk
+        return chunk
+
+    def _pace_fn(self):
+        if hasattr(self, "_pace_jit"):
+            return self._pace_jit
+        model = self.model
+
+        @jax.jit
+        def pace(state, mask):
+            return {
+                **state,
+                model.pot_key: stencil.apply_pace(state[model.pot_key], mask),
+            }
+
+        self._pace_jit = pace
+        return pace
+
+    def fire_on(self, state, name: str):
+        """Apply a registered pacing op to a device state (fire_op analog)."""
+        mask = jnp.asarray(self._pace_masks[name])
+        return self._pace_fn()(state, mask)
+
+    # -- fast scheduled path --------------------------------------------------------
+
+    def simulate(
+        self,
+        schedule: Sequence[Tuple[float, str]] = (),
+        state: Optional[Dict[str, np.ndarray]] = None,
+        record_frames_every_ms: Optional[float] = None,
+        check_finite: bool = True,
+        max_chunk_steps: Optional[int] = None,
+    ) -> SimResult:
+        """Run `cfg.duration` ms with pacing events at scheduled times.
+
+        `schedule` is a list of (ms, op_name); ops fire between outer steps,
+        exactly like the reference's `fire_op` between `sess.run`s.
+        """
+        if not self._defined:
+            self.define()
+        model, cfg = self.model, self.cfg
+        samples = cfg.samples(model.dt_per_step)
+        plot_interval = cfg.plot_interval(model.dt_per_step)
+
+        # --- segment boundaries: event times (snapped to outer steps) -----
+        events = sorted(
+            (min(self.millisecond_to_step(ms), samples), name)
+            for ms, name in schedule
+        )
+        bounds = [0] + [e[0] for e in events] + [samples]
+
+        frame_stride = None
+        if record_frames_every_ms is not None:
+            frame_stride = max(
+                1, int(record_frames_every_ms / (model.dt_per_step * cfg.dt))
+            )
+
+        # split segments into chunks (frames force chunking at frame stride)
+        if max_chunk_steps is None:
+            max_chunk_steps = frame_stride if frame_stride else max(
+                1,
+                int((cfg.chunk_ms or cfg.duration)
+                    / (model.dt_per_step * cfg.dt)),
+            )
+
+        dev_state = self._device_state(state)
+        detector = CycleLengthDetector(
+            cfg.dt, model.dt_per_step, plot_interval, self.cl_observer
+        )
+
+        probes_acc: Dict[str, List[np.ndarray]] = {}
+        frames: List[np.ndarray] = []
+        ev_idx = 0
+        step = 0
+
+        # compile everything first so elapsed measures steady-state compute
+        lengths = set()
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = b - a
+            while seg > 0:
+                l = min(seg, max_chunk_steps)
+                lengths.add(l)
+                seg -= l
+        for l in lengths:
+            self._chunk_fn(l, with_frames=False)  # warm cache (trace+compile)
+
+        then = time.time()
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = b - a
+            while seg > 0:
+                l = min(seg, max_chunk_steps)
+                chunk = self._chunk_fn(l, with_frames=False)
+                dev_state, out, finite = chunk(dev_state)
+                if check_finite and not bool(finite):
+                    raise FloatingPointError(
+                        f"non-finite {model.pot_key} detected at outer step "
+                        f"{step + l}"
+                    )
+                host_out = jax.device_get(out)
+                for k, v in host_out.items():
+                    probes_acc.setdefault(k, []).append(np.asarray(v))
+                detector.feed(step, np.asarray(host_out["v"]))
+                step += l
+                seg -= l
+                if frame_stride and step % frame_stride == 0:
+                    img = np.asarray(self.model.image(dev_state))
+                    if self.phase is not None:
+                        img = img * self.phase
+                    frames.append(img)
+            # fire the event that ends at this boundary
+            if ev_idx < len(events) and events[ev_idx][0] == b:
+                dev_state = self.fire_on(dev_state, events[ev_idx][1])
+                ev_idx += 1
+
+        jax.block_until_ready(dev_state[model.pot_key])
+        elapsed = time.time() - then
+
+        total_substeps = step * model.dt_per_step
+        cups = cfg.height * cfg.width * total_substeps / max(elapsed, 1e-9)
+        sim_s = total_substeps * cfg.dt / 1000.0
+
+        # extract the final state BEFORE profiling: the profiled chunk
+        # donates (invalidates) its input buffers
+        final_state = {k: np.asarray(v) for k, v in dev_state.items()}
+        self.state = final_state
+
+        if cfg.timeline and not self._timeline_done:
+            self._capture_timeline(dev_state)
+        if cfg.save_graph:
+            self._dump_hlo()
+        probes = {k: np.concatenate(v) for k, v in probes_acc.items()}
+        return SimResult(
+            state=final_state,
+            probes=probes,
+            frames=np.asarray(frames) if frames else None,
+            elapsed=elapsed,
+            steps=step,
+            cell_updates_per_sec=cups,
+            sim_seconds_per_wall_second=sim_s / max(elapsed, 1e-9),
+            cycle_lengths=detector.cycle_lengths,
+        )
+
+    # -- reference-style generator ---------------------------------------------------
+
+    def run(self, im=None, keep_state: bool = False, block: bool = True):
+        """Generator yielding the outer-step index, for reference-style
+        scripting (ionic.py:171-245).  `fire_op` may be called between
+        yields.  Plot frames go to `im` (any object with `imshow`)."""
+        if not self._defined:
+            self.define()
+        model, cfg = self.model, self.cfg
+        samples = cfg.samples(model.dt_per_step)
+        plot_interval = cfg.plot_interval(model.dt_per_step)
+        step_fn = self._chunk_fn(1)
+        self._dev_state = self._device_state()
+        detector = CycleLengthDetector(
+            cfg.dt, model.dt_per_step, plot_interval, self.cl_observer
+        )
+
+        then = time.time()
+        for i in range(samples):
+            self._dev_state, out, _finite = step_fn(self._dev_state)
+            yield i
+            if im is not None and i % plot_interval == 0:
+                image = np.asarray(self.model.image(self._dev_state))
+                if self.phase is not None:
+                    image = image * self.phase
+                im.imshow(image)
+                detector.feed(i, np.asarray(out["v"]).reshape(-1))
+
+        if keep_state:
+            self.state = {
+                k: np.asarray(v) for k, v in self._dev_state.items()
+            }
+        print("elapsed: %f sec" % (time.time() - then))
+        if block and im is not None and hasattr(im, "wait"):
+            im.wait()
+
+    def fire_op(self, name: str):
+        """Fire a pacing op inside a `run()` loop (ionic.py:165-169)."""
+        self._dev_state = self.fire_on(self._dev_state, name)
+
+    # -- observability -----------------------------------------------------------------
+
+    def _capture_timeline(self, dev_state):
+        """Profile one chunk with jax.profiler (the reference wrote a Chrome
+        trace of one extra sess.run, ionic.py:231-241)."""
+        import os
+
+        self._timeline_done = True
+        logdir = self.cfg.timeline_name.replace(".json", "_trace")
+        os.makedirs(logdir, exist_ok=True)
+        chunk = self._chunk_fn(1)
+        with jax.profiler.trace(logdir):
+            s, _, _ = chunk(dev_state)
+            jax.block_until_ready(s[self.model.pot_key])
+
+    def _dump_hlo(self):
+        """Dump compiled HLO (the `save_graph` analog of the TF graph dump,
+        ionic.py:190-191)."""
+        import os
+
+        os.makedirs("logs", exist_ok=True)
+        lowered = jax.jit(
+            lambda s: self.model.step(s, self._geom)
+        ).lower(self._device_state())
+        with open(f"logs/{self.model.name}_step_hlo.txt", "w") as f:
+            f.write(lowered.as_text())

@@ -1,0 +1,27 @@
+"""The ionic model zoo (reference SURVEY.md §2 components 2-7)."""
+
+from fib_tf_tpu.models.base import IonicModel, Geometry, grid_geometry, cell_geometry
+from fib_tf_tpu.models.fenton import Fenton4v
+from fib_tf_tpu.models.beeler_reuter import BeelerReuter
+from fib_tf_tpu.models.courtemanche import Courtemanche, CourtemancheUltra
+
+MODEL_REGISTRY = {
+    "fenton": Fenton4v,
+    "br": BeelerReuter,
+    "beeler_reuter": BeelerReuter,
+    "court": Courtemanche,
+    "courtemanche": Courtemanche,
+    "court_ultra": CourtemancheUltra,
+}
+
+__all__ = [
+    "IonicModel",
+    "Geometry",
+    "grid_geometry",
+    "cell_geometry",
+    "Fenton4v",
+    "BeelerReuter",
+    "Courtemanche",
+    "CourtemancheUltra",
+    "MODEL_REGISTRY",
+]

@@ -1,0 +1,132 @@
+"""Model base class and geometry abstraction.
+
+The reference's `IonicModel` (ionic.py:30-307) mixes graph construction,
+session management, numerics helpers, and the run loop into one stateful
+class.  Here the responsibilities split the JAX way:
+
+  * models are *pure function factories*: `initial_state()` makes a state
+    pytree (a dict of `[H, W]` float32 arrays), and `step(state, geom)` is a
+    pure function advancing one outer step (`dt_per_step` fused substeps,
+    the reference's graph-unrolling trick, fenton.py:133-138) — jittable,
+    vmappable, shardable;
+  * the run loop, events, and observers live in `engine/`;
+  * spatial operators are injected via a tiny `Geometry` record so the same
+    model runs in 2D tissue (with phase field), in 0D single-cell mode for
+    action-potential tests, or inside a halo-exchanged `shard_map` block.
+
+Subclass contract (mirroring reference ionic.py:254-286): set `name`,
+`min_v`, `max_v`, `depol`, `dt_per_step`, `pot_key`, implement
+`initial_state` and `solve`; `step` defaults to `dt_per_step` x `solve`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.ops import stencil
+
+State = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Injected spatial operators.
+
+    `laplace` must implement the 9-point REFLECT stencil (+ phase-field
+    correction when a phase field is attached); `enforce_boundary` the
+    SYMMETRIC no-flux border rewrite.  0D (single-cell) geometry nulls both.
+    """
+
+    laplace: Callable[[jnp.ndarray], jnp.ndarray]
+    enforce_boundary: Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def grid_geometry(phase: Optional[np.ndarray] = None) -> Geometry:
+    """Standard 2D tissue geometry, optionally with a phase field.
+
+    The padded phase field is precomputed once (it is constant across the
+    run; values match the reference's per-step REFLECT pad, ionic.py:76).
+    """
+    if phase is None:
+        return Geometry(
+            laplace=stencil.laplace,
+            enforce_boundary=stencil.enforce_boundary,
+        )
+    phase_padded = np.pad(np.asarray(phase, np.float32), 1, mode="reflect")
+    pp = jnp.asarray(phase_padded)
+    return Geometry(
+        laplace=lambda x: stencil.laplace(x, phase_padded=pp),
+        enforce_boundary=stencil.enforce_boundary,
+    )
+
+
+def cell_geometry() -> Geometry:
+    """0D single-cell geometry: no diffusion, no boundary."""
+    return Geometry(
+        laplace=lambda x: jnp.zeros_like(x),
+        enforce_boundary=lambda x: x,
+    )
+
+
+class IonicModel:
+    """Base class for the ionic model zoo."""
+
+    name: str = "base"
+    min_v: float = 0.0
+    max_v: float = 1.0
+    depol: float = 0.0
+    dt_per_step: int = 1
+    pot_key: str = "V"
+
+    def __init__(self, cfg: SimConfig):
+        self.cfg = cfg
+
+    # -- state -----------------------------------------------------------------
+
+    def state_shape(self):
+        return (self.cfg.height, self.cfg.width)
+
+    def _full(self, value: float) -> np.ndarray:
+        return np.full(self.state_shape(), value, dtype=np.float32)
+
+    def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    # -- dynamics ---------------------------------------------------------------
+
+    def solve(self, state: State, geom: Geometry) -> State:
+        """One explicit-Euler substep (dt)."""
+        raise NotImplementedError
+
+    def step(self, state: State, geom: Geometry) -> State:
+        """One outer step = `dt_per_step` fused substeps.
+
+        The fusion corresponds to the reference's graph unrolling
+        (fenton.py:133-138, br.py:96-107): under `jit`+`scan` the host is
+        only touched once per outer step.
+        """
+        for _ in range(self.dt_per_step):
+            state = self.solve(state, geom)
+        return state
+
+    # -- views ------------------------------------------------------------------
+
+    def pot(self, state: State) -> jnp.ndarray:
+        """Transmembrane potential plane (reference ionic.py:270-275)."""
+        return state[self.pot_key]
+
+    def image(self, state: State) -> jnp.ndarray:
+        """Potential normalized to [0, 1] grayscale (ionic.py:262-268)."""
+        return (state[self.pot_key] - self.min_v) / (self.max_v - self.min_v)
+
+    def probe(self, state: State) -> jnp.ndarray:
+        """Scalar emitted per outer step from inside the compiled scan: the
+        normalized potential at the reference's wavefront-observer pixel
+        [20, width//2] (ionic.py:216-224)."""
+        img = self.image(state)
+        return img[20, self.cfg.width // 2]

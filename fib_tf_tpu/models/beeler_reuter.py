@@ -1,0 +1,231 @@
+"""The modified 8-variable Beeler-Reuter ventricular model.
+
+Beeler GW, Reuter H. "Reconstruction of the action potential of ventricular
+myocardial fibres." J Physiol. 1977;268:177-210.
+
+Parity target: reference br.py:31-343.  Eight planes: V (diffusing), Ca
+concentration C, and six Hodgkin-Huxley gates (m, h, j, d, f, x1) integrated
+with Rush-Larsen.  Five substeps fuse into one outer step (br.py:96-107).
+
+Compile-time variants (the reference's Table-1 2x2 benchmark matrix):
+  * `cheby`: gate inf/tau curves replaced by degree-8 Chebyshev fits baked
+    in at model-construction time (br.py:207-252) — no transcendentals in
+    the gate path;
+  * `skip` (multi-rate): slow gates (x1, j, d, f) advance once per outer
+    step with dt*5 while fast m/h advance every substep (br.py:98-103).
+
+Quirks preserved: the d- and f-gate rate prefactors are doubled to halve
+the Ca activation/deactivation time constants so spirals are inducible
+(br.py:46-61); V is clipped to [-85, 25] every substep (br.py:167-168);
+S1 sets column 1 to +10 mV absolute (br.py:81-82).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models.base import Geometry, IonicModel, State
+from fib_tf_tpu.ops.chebyshev import (
+    chebyshev_eval,
+    chebyshev_fit,
+    chebyshev_terms,
+    normalize_voltage,
+)
+from fib_tf_tpu.ops.integrators import rush_larsen
+
+GATES = ("x1", "m", "h", "j", "d", "f")
+FAST_GATES = ("m", "h")
+SLOW_GATES = ("x1", "j", "d", "f")
+
+# Rational-exponential rate parameterization (Beeler & Reuter 1977, Table 1):
+#   rate(V) = (c0*exp(c1*(V+c2)) + c3*(V+c4)) / (exp(c5*(V+c2)) + c6)
+# keyed by (gate, alpha|beta).  The d/f prefactors carry the x2 spiral
+# modification noted in the module docstring.
+RATE_PARAMS: Dict[Tuple[str, str], Tuple[float, ...]] = {
+    ("x1", "a"): (0.0005, 0.083, 50.0, 0.0, 0.0, 0.057, 1.0),
+    ("x1", "b"): (0.0013, -0.06, 20.0, 0.0, 0.0, -0.04, 1.0),
+    ("m", "a"): (0.0, 0.0, 47.0, -1.0, 47.0, -0.1, -1.0),
+    ("m", "b"): (40.0, -0.056, 72.0, 0.0, 0.0, 0.0, 0.0),
+    ("h", "a"): (0.126, -0.25, 77.0, 0.0, 0.0, 0.0, 0.0),
+    ("h", "b"): (1.7, 0.0, 22.5, 0.0, 0.0, -0.082, 1.0),
+    ("j", "a"): (0.055, -0.25, 78.0, 0.0, 0.0, -0.2, 1.0),
+    ("j", "b"): (0.3, 0.0, 32.0, 0.0, 0.0, -0.1, 1.0),
+    ("d", "a"): (2 * 0.095, -0.01, -5.0, 0.0, 0.0, -0.072, 1.0),
+    ("d", "b"): (2 * 0.07, -0.017, 44.0, 0.0, 0.0, 0.05, 1.0),
+    ("f", "a"): (2 * 0.012, -0.008, 28.0, 0.0, 0.0, 0.15, 1.0),
+    ("f", "b"): (2 * 0.0065, -0.02, 30.0, 0.0, 0.0, -0.2, 1.0),
+}
+
+CHEBY_DEG = 8
+CHEBY_SAMPLES = 1001  # reference br.py:280
+
+# Membrane constants (br.py:137-148)
+G_S = 0.09
+G_NA = 4.0
+G_NAC = 0.005
+E_NA = 50.0
+C_M = 1.0
+V_CLIP_LO = -85.0
+V_CLIP_HI = 25.0
+
+
+def rate_np(v: np.ndarray, c: Tuple[float, ...]) -> np.ndarray:
+    """Numpy evaluation of the rate parameterization (definition time;
+    reference br.py:275-287)."""
+    v = np.asarray(v, dtype=np.float64)
+    return (c[0] * np.exp(c[1] * (v + c[2])) + c[3] * (v + c[4])) / (
+        np.exp(c[5] * (v + c[2])) + c[6]
+    )
+
+
+def rate_jnp(v: jnp.ndarray, c: Tuple[float, ...]) -> jnp.ndarray:
+    """Traced evaluation for the direct (non-Chebyshev) path; skips the
+    linear term when c3 == 0, like reference br.py:255-264."""
+    if c[3] == 0:
+        return (c[0] * jnp.exp(c[1] * (v + c[2]))) / (
+            jnp.exp(c[5] * (v + c[2])) + c[6]
+        )
+    return (c[0] * jnp.exp(c[1] * (v + c[2])) + c[3] * (v + c[4])) / (
+        jnp.exp(c[5] * (v + c[2])) + c[6]
+    )
+
+
+class BeelerReuter(IonicModel):
+    name = "br"
+    min_v = -90.0
+    max_v = 30.0
+    depol = -84.6
+    dt_per_step = 5
+    pot_key = "V"
+
+    def __init__(self, cfg: SimConfig):
+        super().__init__(cfg)
+        if cfg.cheby:
+            self._cheby_coef = self._fit_chebyshev()
+
+    # -- definition-time Chebyshev fits ----------------------------------------
+
+    def _fit_chebyshev(self) -> Dict[str, np.ndarray]:
+        """Fit inf(V) and tau(V) of each gate on [min_v, max_v]
+        (reference br.py:221-240, 275-287)."""
+        v = np.linspace(self.min_v, self.max_v, CHEBY_SAMPLES)
+        coef = {}
+        for g in GATES:
+            a = rate_np(v, RATE_PARAMS[(g, "a")])
+            b = rate_np(v, RATE_PARAMS[(g, "b")])
+            coef[f"{g}_inf"] = chebyshev_fit(v, a / (a + b), CHEBY_DEG)
+            coef[f"{g}_tau"] = chebyshev_fit(v, 1.0 / (a + b), CHEBY_DEG)
+        return coef
+
+    # -- state ------------------------------------------------------------------
+
+    def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
+        """Resting state (br.py:71-78) with the S1 stripe (br.py:81-82)."""
+        v = self._full(-84.624)
+        if s1:
+            v[:, 1] = 10.0
+        return {
+            "V": v,
+            "C": self._full(1e-4),
+            "m": self._full(0.01),
+            "h": self._full(0.988),
+            "j": self._full(0.975),
+            "d": self._full(0.003),
+            "f": self._full(0.994),
+            "x1": self._full(0.0001),
+        }
+
+    # -- gate updates -------------------------------------------------------------
+
+    def _inf_tau_direct(self, v0, gate):
+        a = rate_jnp(v0, RATE_PARAMS[(gate, "a")])
+        b = rate_jnp(v0, RATE_PARAMS[(gate, "b")])
+        return a / (a + b), 1.0 / (a + b)
+
+    def _update_gates(self, v0, state, n: int) -> Dict[str, jnp.ndarray]:
+        """Advance m/h by dt and (when n > 0) the slow gates by dt*n,
+        via direct rates or Chebyshev fits (br.py:175-252)."""
+        dt = self.cfg.dt
+        out = {}
+        if self.cfg.cheby:
+            x = normalize_voltage(v0, self.min_v, self.max_v)
+            terms = chebyshev_terms(x, CHEBY_DEG)
+
+            def inf_tau(gate):
+                return (
+                    chebyshev_eval(self._cheby_coef[f"{gate}_inf"], terms),
+                    chebyshev_eval(self._cheby_coef[f"{gate}_tau"], terms),
+                )
+        else:
+            def inf_tau(gate):
+                return self._inf_tau_direct(v0, gate)
+
+        for g in FAST_GATES:
+            inf, tau = inf_tau(g)
+            out[g] = rush_larsen(state[g], inf, tau, dt)
+        if n > 0:
+            for g in SLOW_GATES:
+                inf, tau = inf_tau(g)
+                out[g] = rush_larsen(state[g], inf, tau, dt * n)
+        else:
+            for g in SLOW_GATES:
+                out[g] = state[g]
+        return out
+
+    # -- dynamics ---------------------------------------------------------------
+
+    def currents(self, v0, c, gates):
+        """The four membrane currents (br.py:150-165)."""
+        i_k1 = 0.35 * (
+            4.0 * (jnp.exp(0.04 * (v0 + 85.0)) - 1.0)
+            / (jnp.exp(0.08 * (v0 + 53.0)) + jnp.exp(0.04 * (v0 + 53.0)))
+            + 0.2 * ((v0 + 23.0) / (1.0 - jnp.exp(-0.04 * (v0 + 23.0))))
+        )
+        i_x1 = (
+            gates["x1"] * 0.8 * (jnp.exp(0.04 * (v0 + 77.0)) - 1.0)
+            / jnp.exp(0.04 * (v0 + 35.0))
+        )
+        i_na = (
+            G_NA * gates["m"] ** 3 * gates["h"] * gates["j"] + G_NAC
+        ) * (v0 - E_NA)
+        e_ca = -82.3 - 13.0278 * jnp.log(c)
+        i_ca = G_S * gates["d"] * gates["f"] * (v0 - e_ca)
+        return i_k1, i_x1, i_na, i_ca
+
+    def solve(self, state: State, geom: Geometry, n: int = 1) -> State:
+        """One substep; `n` is how many dt the slow gates advance
+        (0 = frozen, the multi-rate trick; br.py:125-173)."""
+        dt = self.cfg.dt
+        v0 = geom.enforce_boundary(state["V"])
+        gates = self._update_gates(v0, state, n)
+
+        i_k1, i_x1, i_na, i_ca = self.currents(v0, state["C"], gates)
+        i_sum = i_k1 + i_x1 + i_na + i_ca
+
+        v1 = jnp.clip(
+            v0 + self.cfg.diff * dt * geom.laplace(v0) - dt * i_sum / C_M,
+            V_CLIP_LO,
+            V_CLIP_HI,
+        )
+        c1 = state["C"] + dt * (-1.0e-7 * i_ca + 0.07 * (1.0e-7 - state["C"]))
+
+        out = {"V": v1, "C": c1}
+        out.update(gates)
+        return out
+
+    def step(self, state: State, geom: Geometry) -> State:
+        """One outer step = 5 substeps; with `skip`, the first substep
+        advances the slow gates 5 dt and the rest freeze them
+        (br.py:96-107)."""
+        if self.cfg.skip:
+            state = self.solve(state, geom, n=5)
+            for _ in range(4):
+                state = self.solve(state, geom, n=0)
+        else:
+            for _ in range(5):
+                state = self.solve(state, geom, n=1)
+        return state
