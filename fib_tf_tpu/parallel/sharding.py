@@ -1,0 +1,53 @@
+"""Mesh construction and GSPMD shardings for the [H, W] state grid.
+
+Design (scaling-book recipe): pick a mesh, annotate the state sharding, let
+XLA insert the halo collectives.  For a 9-point stencil on a row-sharded
+grid, GSPMD partitions the REFLECT-pad + shifted-slice pattern into local
+stencil work plus one collective-permute of a 1-row halo per neighbor per
+substep — the ICI traffic is H-halo only, identical to what a hand-written
+NCCL exchange would ship.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, ...]] = None,
+    axes: Tuple[str, ...] = ("x", "y"),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a device mesh.
+
+    Default: all available devices in a 1D row mesh `('x',)`; pass
+    `shape=(4, 2)` for a 2D rows x cols decomposition.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),)
+        axes = axes[: 1]
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"mesh shape {shape} does not match {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes[: len(shape)])
+
+
+def plane_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of one [H, W] state plane over the mesh: H over the first
+    axis, W over the second (if present)."""
+    if len(mesh.axis_names) == 1:
+        return NamedSharding(mesh, P(mesh.axis_names[0]))
+    return NamedSharding(mesh, P(mesh.axis_names[0], mesh.axis_names[1]))
+
+
+def shard_state(state: Dict[str, np.ndarray], mesh: Mesh):
+    """Place every plane of a state pytree with the grid sharding."""
+    sh = plane_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in state.items()}

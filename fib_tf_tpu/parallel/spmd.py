@@ -1,0 +1,120 @@
+"""shard_map chunk builder: the whole scan runs inside one `shard_map`.
+
+Layout: every [H, W] state plane is row-sharded over a 1D mesh axis; each
+substep's stencil triggers two 1-row `ppermute`s (see halo.py); per-step
+scalar probes are computed with masked `psum`s so every shard returns the
+same replicated value.  The phase field is extended (ghost rows + column
+pad) ONCE per chunk, not per substep — static data never re-rides ICI.
+
+This is the explicit alternative to the GSPMD path (sharding.py), kept for
+(a) kernel-level control of the comm schedule and (b) as a cross-check:
+tests assert shard_map == GSPMD == single-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fib_tf_tpu.models.base import IonicModel
+from fib_tf_tpu.parallel.halo import extend_phase, halo_geometry
+
+
+def probe_at(img_local: jnp.ndarray, row: int, col: int,
+             axis_name: str) -> jnp.ndarray:
+    """Replicated scalar img[row, col] from row-sharded local blocks via a
+    masked psum (the owning shard contributes, others add zero)."""
+    h = img_local.shape[0]
+    idx = lax.axis_index(axis_name)
+    local_row = row - idx * h
+    in_range = (local_row >= 0) & (local_row < h)
+    val = jnp.where(
+        in_range,
+        lax.dynamic_index_in_dim(
+            img_local, jnp.clip(local_row, 0, h - 1), axis=0, keepdims=False
+        )[col],
+        0.0,
+    )
+    return lax.psum(val, axis_name)
+
+
+def masked_mean(img_local: jnp.ndarray, mask_local: jnp.ndarray,
+                axis_name: str, denom: float) -> jnp.ndarray:
+    """Global mean(img * mask) as a psum of local partial sums — the
+    electrogram reduction moved on-device (reference egm.py:45-47 did this
+    on the host)."""
+    return lax.psum(jnp.sum(img_local * mask_local), axis_name) / denom
+
+
+def make_spmd_chunk(
+    model: IonicModel,
+    mesh: Mesh,
+    length: int,
+    phase: Optional[np.ndarray] = None,
+    egm_masks: Optional[list] = None,
+):
+    """Build a jitted chunk(state) -> (state, probes) running `length`
+    outer steps entirely inside shard_map over `mesh`'s first axis."""
+    axis = mesh.axis_names[0]
+    cfg = model.cfg
+    n_cells = cfg.height * cfg.width
+    probe_row, probe_col = 20, cfg.width // 2
+
+    plane = P(axis)
+    state_spec = {k: plane for k in model.initial_state(s1=False)}
+
+    has_phase = phase is not None
+    phase_arr = jnp.asarray(phase) if has_phase else None
+    masks = [jnp.asarray(m) for m in (egm_masks or [])]
+
+    def local_fn(state, *extras):
+        i = 0
+        phase_ext = None
+        if has_phase:
+            phase_ext = extend_phase(extras[i], axis)
+            i += 1
+        local_masks = extras[i:]
+        geom = halo_geometry(axis, phase_ext)
+
+        def body(s, _):
+            s = model.step(s, geom)
+            img = model.image(s)
+            probes = {"v": probe_at(img, probe_row, probe_col, axis)}
+            if local_masks:
+                probes["egm"] = jnp.stack([
+                    masked_mean(img, m, axis, float(n_cells))
+                    for m in local_masks
+                ])
+            return s, probes
+
+        return lax.scan(body, state, None, length=length)
+
+    in_specs = [state_spec]
+    if has_phase:
+        in_specs.append(plane)
+    in_specs.extend(plane for _ in masks)
+
+    probes_spec: Dict[str, P] = {"v": P()}
+    if masks:
+        probes_spec["egm"] = P()
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(state_spec, probes_spec),
+        check_rep=False,
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def chunk(state):
+        return fn(state, *( [phase_arr] if has_phase else [] ), *masks)
+
+    return chunk

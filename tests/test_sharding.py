@@ -1,0 +1,153 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: sharded == unsharded
+(SURVEY.md §4d), for both the GSPMD path and the explicit shard_map halo
+path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.engine import Simulation
+from fib_tf_tpu.models import Fenton4v, BeelerReuter, grid_geometry
+from fib_tf_tpu.parallel import make_mesh, plane_sharding, shard_state
+from fib_tf_tpu.parallel.spmd import make_spmd_chunk
+
+
+def cfg(**kw):
+    base = dict(width=64, height=64, dt=0.1, dt_per_plot=10,
+                diff=1.5, duration=5)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def reference_run(model, n_steps, phase=None, state=None):
+    geom = grid_geometry(phase)
+    s = {k: jnp.asarray(v)
+         for k, v in (state or model.initial_state()).items()}
+
+    def body(st, _):
+        return model.step(st, geom), None
+
+    out, _ = jax.jit(
+        lambda st: jax.lax.scan(body, st, None, length=n_steps)
+    )(s)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+class TestGSPMD:
+    def test_row_sharded_matches_single_device(self):
+        c = cfg()
+        model = Fenton4v(c)
+        want = reference_run(model, 5)
+
+        mesh = make_mesh()  # 8 devices, 1D
+        sharded = shard_state(model.initial_state(), mesh)
+        geom = grid_geometry()
+
+        def body(st, _):
+            return model.step(st, geom), None
+
+        got = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=5)[0]
+        )(sharded)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
+
+    def test_2d_mesh(self):
+        c = cfg()
+        model = Fenton4v(c)
+        want = reference_run(model, 3)
+        mesh = make_mesh(shape=(4, 2))
+        sharded = shard_state(model.initial_state(), mesh)
+        geom = grid_geometry()
+        got = jax.jit(
+            lambda st: jax.lax.scan(
+                lambda s, _: (model.step(s, geom), None), st, None, length=3
+            )[0]
+        )(sharded)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
+
+    def test_engine_with_sharding(self):
+        c = cfg(duration=5)
+        mesh = make_mesh()
+        sim = Simulation(Fenton4v(c), sharding=plane_sharding(mesh))
+        sim.define()
+        res = sim.simulate()
+        ref = Simulation(Fenton4v(c)).define().simulate()
+        np.testing.assert_allclose(
+            res.state["u"], ref.state["u"], rtol=1e-5, atol=1e-6
+        )
+
+
+class TestShardMapHalo:
+    def test_matches_single_device(self):
+        c = cfg()
+        model = Fenton4v(c)
+        want = reference_run(model, 5)
+
+        mesh = make_mesh()
+        chunk = make_spmd_chunk(model, mesh, length=5)
+        sharded = shard_state(model.initial_state(), mesh)
+        got, probes = chunk(sharded)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
+        assert probes["v"].shape == (5,)
+
+    def test_with_phase_field(self):
+        from fib_tf_tpu.ops import stencil as st
+
+        c = cfg()
+        model = Fenton4v(c)
+        phase = st.add_hole_to_phase_field(None, 64, 64, 32, 32, 10)
+        want = reference_run(model, 5, phase=phase)
+
+        mesh = make_mesh()
+        chunk = make_spmd_chunk(model, mesh, length=5, phase=phase)
+        sharded = shard_state(model.initial_state(), mesh)
+        got, _ = chunk(sharded)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
+
+    def test_probe_matches_and_egm(self):
+        from fib_tf_tpu.ops import stencil as st
+
+        c = cfg()
+        model = Fenton4v(c)
+        masks = [st.gaussian_mask(64, 64, 40, 32, 5)]
+
+        mesh = make_mesh()
+        chunk = make_spmd_chunk(model, mesh, length=3, egm_masks=masks)
+        sharded = shard_state(model.initial_state(), mesh)
+        got, probes = chunk(sharded)
+        assert probes["egm"].shape == (3, 1)
+
+        # reference: host-side masked mean on the gathered image
+        want = reference_run(model, 1)
+        model_img = (want["u"] - model.min_v) / (model.max_v - model.min_v)
+        np.testing.assert_allclose(
+            float(probes["egm"][0, 0]),
+            float(np.mean(model_img * masks[0])),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_beeler_reuter_sharded(self):
+        c = cfg(cheby=True, skip=True)
+        model = BeelerReuter(c)
+        want = reference_run(model, 3)
+        mesh = make_mesh()
+        chunk = make_spmd_chunk(model, mesh, length=3)
+        got, _ = chunk(shard_state(model.initial_state(), mesh))
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
