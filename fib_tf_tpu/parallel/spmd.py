@@ -110,7 +110,7 @@ def make_spmd_chunk(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(state_spec, probes_spec),
-        check_rep=False,
+        check_vma=False,
     )
 
     @partial(jax.jit, donate_argnums=0)
