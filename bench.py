@@ -1,0 +1,45 @@
+"""Headline benchmark: Beeler-Reuter, 512x512, dt=0.1 ms, cheby+skip —
+the reference's best published configuration (details.md Table 1:
+3.9 wall-s per simulated second on a GTX-1080).
+
+Prints ONE JSON line:  {"metric", "value", "unit", "vs_baseline"}
+  value       = wall-seconds per simulated second (lower is better)
+  vs_baseline = 3.9 / value  (speedup over the reference's best GPU number)
+
+Run on whatever jax.devices() provides (the real TPU chip under axon).
+Compile time is excluded (the engine pre-compiles its chunks).
+"""
+
+import json
+import sys
+
+REFERENCE_BEST_S_PER_SIM_S = 3.9   # BASELINE.md: BR cheby+skip on GTX-1080
+
+
+def main():
+    from fib_tf_tpu.config import SimConfig
+    from fib_tf_tpu.engine import Simulation
+    from fib_tf_tpu.models import BeelerReuter
+
+    sim_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 1000.0
+    cfg = SimConfig(
+        width=512, height=512, dt=0.1, dt_per_plot=10, diff=0.809,
+        duration=sim_ms, cheby=True, skip=True,
+    )
+    sim = Simulation(BeelerReuter(cfg)).define()
+    # warm-up run (compile + first-touch), then the measured run
+    sim.cfg = cfg  # noqa: B010  (explicit for clarity)
+    warm = sim.simulate(check_finite=False)
+    res = sim.simulate(check_finite=False)
+
+    wall_per_sim_s = res.elapsed / (sim_ms / 1000.0)
+    print(json.dumps({
+        "metric": "beeler_reuter_512x512_cheby_skip_wall_s_per_sim_s",
+        "value": round(wall_per_sim_s, 6),
+        "unit": "wall_s_per_sim_s",
+        "vs_baseline": round(REFERENCE_BEST_S_PER_SIM_S / wall_per_sim_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
