@@ -1,0 +1,52 @@
+"""Cross-check the native C++ table toolchain against the Python rate
+functions (the reference validated its table via generate_table.cpp's
+printout; here the check is automated)."""
+
+import numpy as np
+import pytest
+
+from fib_tf_tpu.models.courtemanche import (
+    INTER_KEYS,
+    calc_intermediates_np,
+)
+from fib_tf_tpu.ops import table as table_ops
+from fib_tf_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native toolchain not buildable"
+)
+
+
+class TestNativeTable:
+    def test_geometry(self):
+        tbl = native.native_table()
+        assert tbl.shape == (150, 30)
+        assert np.isfinite(tbl).all()
+
+    def test_matches_python_rates(self):
+        tbl_native = native.native_table()
+        tbl_py = table_ops.build_table(calc_intermediates_np, INTER_KEYS)
+        # the Python path uses the V+10.0001 warning-suppression shift in
+        # tau_d (court.py:302-307), the native path plain V+10 like the
+        # CUDA original — hence 1e-4 rather than 1e-6
+        np.testing.assert_allclose(tbl_native, tbl_py, rtol=1e-4, atol=1e-7)
+
+    def test_golden_values_at_minus_50(self):
+        """Spot values at V = -50 (the voltage the reference's
+        generate_table driver printed, generate_table.cpp:14-23)."""
+        inter_native = native.native_intermediates(-50.0)
+        inter_py = calc_intermediates_np(np.asarray(-50.0))
+        for i, k in enumerate(INTER_KEYS):
+            np.testing.assert_allclose(
+                inter_native[i], float(inter_py[k]), rtol=1e-4,
+                err_msg=k,
+            )
+
+    def test_lookup_consumes_native_table(self):
+        import jax.numpy as jnp
+
+        tbl = jnp.asarray(native.native_table())
+        v = jnp.asarray([[-81.2, 0.0], [20.0, -100.0]])
+        out = table_ops.lookup(tbl, v, INTER_KEYS)
+        assert out["m_inf"].shape == (2, 2)
+        assert np.isfinite(np.asarray(out["tau_h"])).all()
