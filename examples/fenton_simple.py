@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Pedagogical baseline: the Fenton 4v model WITHOUT the framework.
+
+Mirror of the reference's fenton_simple.py teaching progression — a
+standalone solver that makes each optimization visible by its absence:
+the conv-kernel Laplacian (instead of the direct stencil), one device
+dispatch per dt step (instead of fused multi-substep scans), and a
+hardcoded S2 at 210 ms.  Run with --jit to see what a single jit wrapper
+buys (the fenton_jit.py stage of the progression); the full framework
+(examples/fenton_spiral.py) adds scan fusion on top.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.ops import stencil
+from fib_tf_tpu.models.fenton import Fenton4v
+from fib_tf_tpu.config import SimConfig
+
+WIDTH = HEIGHT = 512
+DT = 0.1
+DIFF = 1.5
+SAMPLES = 10000
+S2_TIME_MS = 210
+
+
+def solve(u, v, w, s):
+    """One explicit-Euler step with the conv-kernel Laplacian."""
+    model = solve.model
+    u0 = stencil.enforce_boundary(u)
+    du, dv, dw, ds = model.differentiate(u, v, w, s)
+    u1 = u0 + DT * du + DIFF * DT * stencil.laplace_conv(u0)
+    return u1, v + DT * dv, w + DT * dw, s + DT * ds
+
+
+solve.model = Fenton4v(SimConfig(width=WIDTH, height=HEIGHT, dt=DT))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jit", action="store_true",
+                    help="wrap the step in jax.jit (the fenton_jit stage)")
+    ap.add_argument("--samples", type=int, default=SAMPLES)
+    args = ap.parse_args()
+
+    u = jnp.zeros((HEIGHT, WIDTH), jnp.float32).at[:, 1].set(1.0)
+    v = jnp.ones((HEIGHT, WIDTH), jnp.float32)
+    w = jnp.ones((HEIGHT, WIDTH), jnp.float32)
+    s = jnp.zeros((HEIGHT, WIDTH), jnp.float32)
+
+    s2_mask = np.zeros((HEIGHT, WIDTH), np.float32)
+    s2_mask[: HEIGHT // 2, : WIDTH // 2] = 1.0
+    s2_mask = jnp.asarray(s2_mask)
+    s2_step = int(S2_TIME_MS / DT)
+
+    step = jax.jit(solve) if args.jit else solve
+
+    then = time.time()
+    for i in range(args.samples):
+        u, v, w, s = step(u, v, w, s)
+        if i == s2_step:
+            u = jnp.maximum(u, s2_mask)
+    print("checksum:", float(jnp.sum(u)))
+    print("elapsed: %f sec" % (time.time() - then))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Command-line entry points.
+
+The reference had no CLI (configs were dicts in __main__ blocks); this
+gives every baseline configuration a reproducible invocation:
+
+  python -m fib_tf_tpu run --model br --cheby --skip --duration 1000
+  python -m fib_tf_tpu run --model fenton --hole 256,256,30 --s2 210 \
+      --s2-loc luq --s2-v 1.0 --frames 10 --save-cube cube
+  python -m fib_tf_tpu bench            # the reference Table-1 matrix
+  python -m fib_tf_tpu table            # native lookup-table generation
+  python -m fib_tf_tpu replay cube.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models import MODEL_REGISTRY
+
+
+S2_DEFAULT_V = {"fenton": 1.0, "br": 10.0, "beeler_reuter": 10.0,
+                "court": 10.0, "courtemanche": 10.0, "court_ultra": 10.0}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fib_tf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a simulation")
+    r.add_argument("--model", choices=sorted(MODEL_REGISTRY), default="fenton")
+    r.add_argument("--width", type=int, default=512)
+    r.add_argument("--height", type=int, default=512)
+    r.add_argument("--dt", type=float, default=0.1)
+    r.add_argument("--dt-per-plot", type=float, default=10)
+    r.add_argument("--diff", type=float, default=None,
+                   help="diffusion coefficient (model default if omitted)")
+    r.add_argument("--duration", type=float, default=1000)
+    r.add_argument("--cheby", action="store_true", default=True)
+    r.add_argument("--no-cheby", dest="cheby", action="store_false")
+    r.add_argument("--skip", action="store_true")
+    r.add_argument("--table", action="store_true",
+                   help="use the voltage-indexed lookup table (court)")
+    r.add_argument("--no-chronic", dest="chronic", action="store_false")
+    r.add_argument("--hole", action="append", default=[],
+                   help="x,y,radius[,neg] — may repeat")
+    r.add_argument("--s2", type=float, default=None,
+                   help="S2 cross-stimulation time (ms)")
+    r.add_argument("--s2-loc", default="luq")
+    r.add_argument("--s2-v", type=float, default=None)
+    r.add_argument("--frames", type=float, default=None,
+                   help="record frames every N ms")
+    r.add_argument("--save-cube", default=None)
+    r.add_argument("--save-state", default=None)
+    r.add_argument("--load-state", default=None)
+    r.add_argument("--timeline", action="store_true")
+    r.add_argument("--save-graph", action="store_true")
+    r.add_argument("--electrode", action="append", default=[],
+                   help="x,y,radius — may repeat; enables EGM probes")
+
+    b = sub.add_parser("bench", help="reference Table-1 benchmark matrix")
+    b.add_argument("--duration", type=float, default=1000)
+    b.add_argument("--size", type=int, default=512)
+
+    t = sub.add_parser("table", help="generate the native lookup table")
+    t.add_argument("--out", default=None, help="write .npy (default stdout)")
+    t.add_argument("--golden", type=float, default=None,
+                   help="print the 30 intermediates at this voltage")
+
+    rp = sub.add_parser("replay", help="replay a cube.npy movie")
+    rp.add_argument("path")
+    rp.add_argument("--fps", type=float, default=40)
+    return p
+
+
+DIFF_DEFAULT = {"fenton": 1.5, "br": 0.809, "beeler_reuter": 0.809,
+                "court": 0.809, "courtemanche": 0.809, "court_ultra": 1.5}
+
+
+def cmd_run(args) -> int:
+    from fib_tf_tpu.engine import Simulation
+    from fib_tf_tpu.utils import checkpoint, viz
+
+    cfg = SimConfig(
+        width=args.width, height=args.height, dt=args.dt,
+        dt_per_plot=args.dt_per_plot,
+        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        duration=args.duration, cheby=args.cheby, skip=args.skip,
+        table=args.table, chronic=args.chronic,
+        timeline=args.timeline, save_graph=args.save_graph,
+        ultra_slow=(args.model == "court_ultra"),
+    )
+    model = MODEL_REGISTRY[args.model](cfg)
+    sim = Simulation(model)
+    for spec in args.hole:
+        parts = spec.split(",")
+        x, y, r = float(parts[0]), float(parts[1]), float(parts[2])
+        neg = len(parts) > 3 and parts[3] in ("neg", "1", "true")
+        sim.add_hole_to_phase_field(x, y, r, neg=neg)
+    for spec in args.electrode:
+        x, y, r = (float(v) for v in spec.split(","))
+        sim.add_electrode(x, y, r)
+
+    state = None
+    if args.load_state:
+        state, _ = checkpoint.load_state(args.load_state)
+    sim.define(state=state)
+
+    schedule = []
+    if args.s2 is not None:
+        v = args.s2_v if args.s2_v is not None else S2_DEFAULT_V[args.model]
+        sim.add_pace_op("s2", args.s2_loc, v)
+        schedule.append((args.s2, "s2"))
+
+    res = sim.simulate(schedule=schedule,
+                       record_frames_every_ms=args.frames)
+    print(json.dumps({
+        "model": args.model,
+        "elapsed_s": round(res.elapsed, 4),
+        "outer_steps": res.steps,
+        "cell_updates_per_sec": round(res.cell_updates_per_sec),
+        "realtime_factor": round(res.sim_seconds_per_wall_second, 3),
+        "cycle_lengths": res.cycle_lengths[-5:],
+    }))
+    if args.save_cube and res.frames is not None:
+        viz.save_cube(args.save_cube, res.frames)
+    if args.save_state:
+        checkpoint.save_state(args.save_state, res.state, cfg)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """The reference's Table 1 (details.md:387-392): BR 2x2 cheby/skip
+    matrix, plus the Fenton final configuration."""
+    from fib_tf_tpu.engine import Simulation
+    from fib_tf_tpu.models import BeelerReuter, Fenton4v
+
+    rows = []
+    for cheby in (False, True):
+        for skip in (False, True):
+            cfg = SimConfig(width=args.size, height=args.size, dt=0.1,
+                            diff=0.809, duration=args.duration,
+                            cheby=cheby, skip=skip)
+            sim = Simulation(BeelerReuter(cfg)).define()
+            res = sim.simulate(check_finite=False)
+            w = res.elapsed / (args.duration / 1000.0)
+            rows.append(("br", cheby, skip, w))
+            print(f"BR cheby={cheby!s:5} skip={skip!s:5}: "
+                  f"{w:.4f} wall-s/sim-s "
+                  f"({res.cell_updates_per_sec/1e9:.2f} G cell-updates/s)")
+
+    cfg = SimConfig(width=args.size, height=args.size, dt=0.1, diff=1.5,
+                    duration=args.duration)
+    sim = Simulation(Fenton4v(cfg)).define()
+    res = sim.simulate(check_finite=False)
+    w = res.elapsed / (args.duration / 1000.0)
+    print(f"Fenton 4v              : {w:.4f} wall-s/sim-s "
+          f"({res.cell_updates_per_sec/1e9:.2f} G cell-updates/s)")
+    return 0
+
+
+def cmd_table(args) -> int:
+    from fib_tf_tpu.models.courtemanche import (
+        INTER_KEYS, calc_intermediates_np,
+    )
+    from fib_tf_tpu.ops import table as table_ops
+    from fib_tf_tpu.utils import native
+
+    if args.golden is not None:
+        if native.native_available():
+            vals = native.native_intermediates(args.golden)
+        else:
+            inter = calc_intermediates_np(np.asarray(args.golden))
+            vals = [float(inter[k]) for k in INTER_KEYS]
+        for k, v in zip(INTER_KEYS, vals):
+            print(f"{k}\t{v:.9g}")
+        return 0
+
+    tbl = (native.native_table() if native.native_available()
+           else table_ops.build_table(calc_intermediates_np, INTER_KEYS))
+    if args.out:
+        np.save(args.out, tbl)
+        print(f"wrote {tbl.shape} table to {args.out}")
+    else:
+        for row in tbl:
+            print(" ".join(f"{v:.9g}" for v in row))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from fib_tf_tpu.utils.viz import Screen, play_cube
+
+    cube = np.load(args.path)
+    im = Screen(cube.shape[1], cube.shape[2], "cube replay")
+    play_cube(cube, im=im, fps=args.fps)
+    if im.backend_name != "headless":
+        im.wait()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return {
+        "run": cmd_run,
+        "bench": cmd_bench,
+        "table": cmd_table,
+        "replay": cmd_replay,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,26 @@ def laplace(
             phase_padded = _reflect_pad(phase)
         l = l + phase_field_correction(xp, phase_padded)
     return l
+
+
+def laplace_conv(x: jnp.ndarray) -> jnp.ndarray:
+    """Convolution-kernel variant of the 9-point Laplacian with zero
+    ('SAME') padding — the pedagogical baseline path (reference
+    fenton_simple.py:32-49 used a depthwise conv).  On TPU this lowers to
+    an MXU convolution; the direct form (`laplace`) is usually faster for
+    a single channel but this variant is kept as a compile-time choice and
+    for the fenton_simple example's parity.
+    """
+    kernel = jnp.asarray(
+        [[0.5, 1.0, 0.5], [1.0, -6.0, 1.0], [0.5, 1.0, 0.5]],
+        dtype=x.dtype,
+    )
+    return jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        kernel[None, None, :, :],
+        window_strides=(1, 1),
+        padding="SAME",
+    )[0, 0]
 
 
 def phase_field_correction(
