@@ -133,6 +133,34 @@ class Simulation:
             )
         return p
 
+    def _use_pallas(self) -> bool:
+        """Kernel selection: 'pallas' forces the fused VMEM kernel; 'auto'
+        picks it only where measured profitable — small-state models whose
+        whole grid fits VMEM, on a real TPU (Fenton: 1.8x over the XLA
+        scan; Beeler-Reuter/Courtemanche currently compile poorly in
+        Mosaic at 512x512 and stay on XLA until the row-tiled kernel
+        lands)."""
+        if self.cfg.kernel == "pallas":
+            return True
+        if self.cfg.kernel == "xla":
+            return False
+        import jax as _jax
+
+        return (
+            _jax.default_backend() == "tpu"
+            and self.model.name == "fenton"
+        )
+
+    def _step_fn(self):
+        """The outer-step implementation for this run."""
+        if self._use_pallas():
+            from fib_tf_tpu.ops.pallas_step import make_pallas_step
+
+            pstep = make_pallas_step(self.model, phase=self.phase)
+            return lambda state: pstep(state)
+        model, geom = self.model, self._geom
+        return lambda state: model.step(state, geom)
+
     def _chunk_fn(self, length: int, with_frames: bool = False):
         """Jitted scan of `length` outer steps; emits probe streams and a
         finiteness flag, optionally per-plot-step frames."""
@@ -140,11 +168,12 @@ class Simulation:
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
-        model, geom = self.model, self._geom
+        model = self.model
+        step = self._step_fn()
         plot_interval = self.cfg.plot_interval(model.dt_per_step)
 
         def body(state, _):
-            state = model.step(state, geom)
+            state = step(state)
             out = self._probes(state)
             if with_frames:
                 out["frame"] = model.image(state)

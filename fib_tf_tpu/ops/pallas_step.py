@@ -1,0 +1,158 @@
+"""Fused Pallas stencil+reaction kernel (SURVEY.md §7 item 6).
+
+The TPU-native analog of the reference's hand-written CUDA kernels: one
+`pallas_call` holds the ENTIRE state in VMEM and advances a full outer step
+(all `dt_per_step` substeps) before touching HBM again.  The pure-XLA scan
+path reads+writes every state plane from HBM once per *substep*; this
+kernel cuts that traffic by `dt_per_step`x, which is the dominant cost for
+these bandwidth-bound models.
+
+Design notes:
+  * The models are untouched: `model.step(state, geom)` is traced inside
+    the kernel with a VMEM `Geometry` whose shift operators use
+    roll+edge-fix instead of `jnp.pad` (Mosaic-friendly, value-identical
+    to the REFLECT/SYMMETRIC semantics of ops/stencil.py).
+  * `input_output_aliases` maps every input plane to its output so the
+    grid state lives in one set of buffers.
+  * Whole-grid residency works up to VMEM capacity (e.g. 4 planes x
+    512x512 f32 = 4 MB for Fenton, 8 MB for Beeler-Reuter); larger states
+    (Courtemanche: 21 planes) stay on the XLA path or shard spatially.
+  * On non-TPU backends the kernel runs in interpreter mode (slow but
+    value-correct), which is how the CPU test suite validates it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fib_tf_tpu.models.base import Geometry, IonicModel
+
+
+# -----------------------------------------------------------------------------
+# Roll-based shift operators with REFLECT edge semantics
+# -----------------------------------------------------------------------------
+
+def _shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+    """y[i, j] = x[reflect(i+dr), reflect(j+dc)] for dr, dc in {-1, 0, 1},
+    where reflect maps -1 -> 1 and H -> H-2 (mirror excluding the edge),
+    matching a 1-cell jnp.pad(..., 'reflect') + slice.
+
+    Built from concatenated slices (no scatter/gather — Mosaic lowers
+    concat + static slices natively)."""
+    y = x
+    if dr == -1:    # north neighbor; row 0 reflects to x[1]
+        y = jnp.concatenate([y[1:2], y[:-1]], axis=0)
+    elif dr == 1:   # south neighbor; row H-1 reflects to x[H-2]
+        y = jnp.concatenate([y[1:], y[-2:-1]], axis=0)
+    if dc == -1:    # west neighbor; col 0 reflects to col 1
+        y = jnp.concatenate([y[:, 1:2], y[:, :-1]], axis=1)
+    elif dc == 1:   # east neighbor; col W-1 reflects to col W-2
+        y = jnp.concatenate([y[:, 1:], y[:, -2:-1]], axis=1)
+    return y
+
+
+def vmem_laplace(
+    x: jnp.ndarray, phase: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """9-point REFLECT Laplacian via shifts (value-identical to
+    ops.stencil.laplace), plus phase-field correction when `phase` given."""
+    n = _shift(x, -1, 0)
+    s = _shift(x, 1, 0)
+    w = _shift(x, 0, -1)
+    e = _shift(x, 0, 1)
+    nw = _shift(x, -1, -1)
+    ne = _shift(x, -1, 1)
+    sw = _shift(x, 1, -1)
+    se = _shift(x, 1, 1)
+    l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
+    if phase is not None:
+        pn = _shift(phase, -1, 0)
+        ps = _shift(phase, 1, 0)
+        pw = _shift(phase, 0, -1)
+        pe = _shift(phase, 0, 1)
+        l = l + ((s - n) * (ps - pn) + (e - w) * (pe - pw)) / (4.0 * phase)
+    return l
+
+
+def vmem_enforce_boundary(x: jnp.ndarray) -> jnp.ndarray:
+    """SYMMETRIC interior rewrite via row/col replacement (value-identical
+    to ops.stencil.enforce_boundary), scatter-free."""
+    x = jnp.concatenate([x[1:2], x[1:-1], x[-2:-1]], axis=0)
+    x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
+    return x
+
+
+def vmem_geometry(phase: Optional[jnp.ndarray] = None) -> Geometry:
+    return Geometry(
+        laplace=lambda x: vmem_laplace(x, phase),
+        enforce_boundary=vmem_enforce_boundary,
+    )
+
+
+# -----------------------------------------------------------------------------
+# The fused kernel
+# -----------------------------------------------------------------------------
+
+def make_pallas_step(
+    model: IonicModel,
+    phase: Optional[np.ndarray] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build `step(state) -> state`: one outer step (dt_per_step substeps)
+    as a single VMEM-resident Pallas kernel."""
+    names = tuple(sorted(model.initial_state(s1=False).keys()))
+    n = len(names)
+    has_phase = phase is not None
+    phase_f32 = np.asarray(phase, np.float32) if has_phase else None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(*refs):
+        from fib_tf_tpu.ops import integrators
+
+        ins = refs[:n]
+        phase_arr = refs[n][:] if has_phase else None
+        outs = refs[n + 1 :] if has_phase else refs[n:]
+        state = {k: r[:] for k, r in zip(names, ins)}
+        geom = vmem_geometry(phase_arr)
+        # swap in the Mosaic-safe expm1 for the duration of the trace
+        integrators._IN_PALLAS_KERNEL = True
+        try:
+            state = model.step(state, geom)
+        finally:
+            integrators._IN_PALLAS_KERNEL = False
+        for k, r in zip(names, outs):
+            r[:] = state[k]
+
+    h, w = model.cfg.height, model.cfg.width
+    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+    n_in = n + (1 if has_phase else 0)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[plane] * n,
+        in_specs=[spec] * n_in,
+        out_specs=[spec] * n,
+        input_output_aliases={i: i for i in range(n)},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        args = [state[k] for k in names]
+        if has_phase:
+            args.append(jnp.asarray(phase_f32))
+        outs = call(*args)
+        return dict(zip(names, outs))
+
+    return step

@@ -1,0 +1,118 @@
+"""Validate the fused Pallas step against the reference XLA path (on CPU
+the kernel runs in interpreter mode; the same code compiles with Mosaic on
+TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models import BeelerReuter, Fenton4v, grid_geometry
+from fib_tf_tpu.ops import stencil
+from fib_tf_tpu.ops.pallas_step import (
+    make_pallas_step,
+    vmem_enforce_boundary,
+    vmem_laplace,
+)
+
+
+def cfg(**kw):
+    base = dict(width=32, height=32, dt=0.1, diff=1.5, duration=1)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+class TestVmemOps:
+    def test_laplace_matches_pad_version(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(16, 24).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(vmem_laplace(x)),
+            np.asarray(stencil.laplace(x)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_laplace_with_phase_matches(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+        phase = stencil.add_hole_to_phase_field(None, 16, 16, 8, 8, 3)
+        np.testing.assert_allclose(
+            np.asarray(vmem_laplace(x, jnp.asarray(phase))),
+            np.asarray(stencil.laplace(x, phase=jnp.asarray(phase))),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_boundary_matches_pad_version(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(12, 20).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(vmem_enforce_boundary(x)),
+            np.asarray(stencil.enforce_boundary(x)),
+        )
+
+
+class TestPallasStep:
+    @pytest.mark.parametrize("model_cls,extra", [
+        (Fenton4v, {}),
+        (BeelerReuter, dict(diff=0.809, cheby=True, skip=True)),
+    ])
+    def test_matches_xla_step(self, model_cls, extra):
+        c = cfg(**extra)
+        model = model_cls(c)
+        geom = grid_geometry()
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+
+        want = state
+        for _ in range(2):
+            want = model.step(want, geom)
+
+        pstep = make_pallas_step(model)
+        got = state
+        for _ in range(2):
+            got = pstep(got)
+
+        for k in want:
+            # interpret-mode transcendentals round slightly differently
+            # from the XLA path near the steep S1 stripe; 1e-3 relative is
+            # far below physical significance
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-3, atol=1e-5, err_msg=k,
+            )
+
+    def test_with_phase_field(self):
+        c = cfg()
+        model = Fenton4v(c)
+        phase = stencil.add_hole_to_phase_field(None, 32, 32, 16, 16, 6)
+        geom = grid_geometry(phase)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+
+        want = model.step(state, geom)
+        got = make_pallas_step(model, phase=phase)(state)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+    def test_inside_scan(self):
+        c = cfg()
+        model = Fenton4v(c)
+        pstep = make_pallas_step(model)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+
+        out = jax.jit(
+            lambda s: jax.lax.scan(
+                lambda st, _: (pstep(st), None), s, None, length=3
+            )[0]
+        )(state)
+
+        geom = grid_geometry()
+        want = state
+        for _ in range(3):
+            want = model.step(want, geom)
+        np.testing.assert_allclose(
+            np.asarray(out["u"]), np.asarray(want["u"]),
+            rtol=1e-5, atol=1e-6,
+        )
