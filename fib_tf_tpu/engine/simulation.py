@@ -235,6 +235,7 @@ class Simulation:
         record_frames_every_ms: Optional[float] = None,
         check_finite: bool = True,
         max_chunk_steps: Optional[int] = None,
+        warmup: bool = True,
     ) -> SimResult:
         """Run `cfg.duration` ms with pacing events at scheduled times.
 
@@ -278,7 +279,10 @@ class Simulation:
         ev_idx = 0
         step = 0
 
-        # compile everything first so elapsed measures steady-state compute
+        # compile everything first so elapsed measures steady-state compute.
+        # jax.jit is lazy — building the wrapper is not enough; each unique
+        # chunk length must be EXECUTED once (on a throwaway state copy)
+        # to populate the executable cache.
         lengths = set()
         for a, b in zip(bounds[:-1], bounds[1:]):
             seg = b - a
@@ -286,8 +290,13 @@ class Simulation:
                 l = min(seg, max_chunk_steps)
                 lengths.add(l)
                 seg -= l
-        for l in lengths:
-            self._chunk_fn(l, with_frames=False)  # warm cache (trace+compile)
+        if warmup:
+            for l in lengths:
+                chunk = self._chunk_fn(l, with_frames=False)
+                scratch = self._device_state(state)
+                s_out, out, fin = chunk(scratch)
+                jax.device_get(out["v"][-1:])
+                del s_out
         if events:  # warm the pacing op outside the timed region
             warm = self.fire_on(dict(dev_state), events[0][1])
             del warm
