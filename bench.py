@@ -17,6 +17,9 @@ REFERENCE_BEST_S_PER_SIM_S = 3.9   # BASELINE.md: BR cheby+skip on GTX-1080
 
 
 def main():
+    from fib_tf_tpu.utils import cache
+    cache.enable()  # Pallas kernel compiles are minutes; cache them on disk
+
     from fib_tf_tpu.config import SimConfig
     from fib_tf_tpu.engine import Simulation
     from fib_tf_tpu.models import BeelerReuter

@@ -134,30 +134,50 @@ class Simulation:
         return p
 
     def _use_pallas(self) -> bool:
-        """Kernel selection: 'pallas' forces the fused VMEM kernel; 'auto'
-        picks it only where measured profitable — small-state models whose
-        whole grid fits VMEM, on a real TPU (Fenton: 1.8x over the XLA
-        scan; Beeler-Reuter/Courtemanche currently compile poorly in
-        Mosaic at 512x512 and stay on XLA until the row-tiled kernel
-        lands)."""
+        """Kernel selection: 'pallas' forces the fused kernel; 'auto' picks
+        it where measured profitable on a real TPU.  GSPMD-sharded runs
+        stay on the XLA path (the Pallas kernels are single-chip; the
+        multi-chip story is the shard_map chunk in parallel/spmd.py)."""
+        if self._sharding is not None:
+            return False
         if self.cfg.kernel == "pallas":
             return True
         if self.cfg.kernel == "xla":
             return False
         import jax as _jax
 
+        # measured on v5e at 512x512 (us/substep): fenton whole-grid 9.9
+        # vs xla 18.1; br tiled 25.1 vs xla 33.4
         return (
             _jax.default_backend() == "tpu"
-            and self.model.name == "fenton"
+            and self.model.name in ("fenton", "br")
         )
+
+    @staticmethod
+    def _pick_tile_rows(h: int) -> int:
+        for t in (128, 64, 32, 16, 8):
+            if h % t == 0:
+                return t
+        raise ValueError(f"grid height {h} not divisible by 8")
 
     def _step_fn(self):
         """The outer-step implementation for this run."""
         if self._use_pallas():
-            from fib_tf_tpu.ops.pallas_step import make_pallas_step
+            from fib_tf_tpu.utils import cache
 
-            pstep = make_pallas_step(self.model, phase=self.phase)
-            return lambda state: pstep(state)
+            cache.enable()
+            if self.model.name == "fenton":
+                # whole grid (4 planes) fits VMEM comfortably
+                from fib_tf_tpu.ops.pallas_step import make_pallas_step
+
+                return make_pallas_step(self.model, phase=self.phase)
+            from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
+
+            return make_tiled_pallas_step(
+                self.model,
+                tile_rows=self._pick_tile_rows(self.cfg.height),
+                phase=self.phase,
+            )
         model, geom = self.model, self._geom
         return lambda state: model.step(state, geom)
 

@@ -1,0 +1,194 @@
+"""Row-tiled, temporally-blocked Pallas step kernel.
+
+The whole-grid kernel (pallas_step.py) needs every plane plus all
+temporaries resident in VMEM at once — fine for Fenton's 4 planes, hostile
+for Beeler-Reuter's 8 (the Chebyshev term chain alone adds ~9 plane-sized
+temps) and impossible for Courtemanche's 21.  This variant restores VMEM
+headroom with the classic overlapped temporal-blocking scheme:
+
+  * the grid iterates over row tiles; each kernel instance DMAs
+    `tile_rows + 2K` rows of every plane from HBM into VMEM scratch
+    (K = dt_per_step, one halo ring consumed per substep);
+  * all K substeps run on the extended block — halo rows turn to garbage
+    one ring per substep, by construction;
+  * the still-valid center `tile_rows` rows are written out.
+
+HBM traffic per outer step: (1 + 2K/tile_rows) reads + 1 write of the
+state — versus K reads + K writes for the XLA scan path.  Global boundary
+conditions (REFLECT / SYMMETRIC, reference ionic.py:44-60, 107-113) are
+applied per substep via global-row-index masks, so only the tiles that
+actually touch the domain edge pay them — the same trick the shard_map
+halo path uses with axis_index (parallel/halo.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fib_tf_tpu.models.base import Geometry, IonicModel
+
+
+def _col_reflect_west(x):
+    return jnp.concatenate([x[:, 1:2], x[:, :-1]], axis=1)
+
+
+def _col_reflect_east(x):
+    return jnp.concatenate([x[:, 1:], x[:, -2:-1]], axis=1)
+
+
+def _row_up(x):  # y[i] = x[i-1]; row 0 keeps itself (fixed by masks/halo)
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+
+def _row_down(x):  # y[i] = x[i+1]; last row keeps itself
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+
+def tile_geometry(rg: jnp.ndarray, h_total: int,
+                  phase_ext: Optional[jnp.ndarray] = None) -> Geometry:
+    """Geometry over an extended row block.
+
+    `rg` is the [ext_h, 1] int32 array of global row indices of the block's
+    rows; rows outside [0, h_total) are halo garbage that shrinks away.
+    Column operators see the full width and use plain REFLECT semantics.
+    """
+    top = rg == 0
+    bottom = rg == h_total - 1
+
+    def north(x):
+        # reflect at the global top edge: row 0's north neighbor is row 1
+        return jnp.where(top, _row_down(x), _row_up(x))
+
+    def south(x):
+        return jnp.where(bottom, _row_up(x), _row_down(x))
+
+    def laplace(x):
+        n = north(x)
+        s = south(x)
+        w = _col_reflect_west(x)
+        e = _col_reflect_east(x)
+        nw = _col_reflect_west(n)
+        ne = _col_reflect_east(n)
+        sw = _col_reflect_west(s)
+        se = _col_reflect_east(s)
+        l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
+        if phase_ext is not None:
+            p = phase_ext
+            pn = north(p)
+            ps = south(p)
+            pw = _col_reflect_west(p)
+            pe = _col_reflect_east(p)
+            l = l + ((s - n) * (ps - pn) + (e - w) * (pe - pw)) / (4.0 * p)
+        return l
+
+    def enforce_boundary(x):
+        x = jnp.where(top, _row_down(x), x)       # row 0 <- row 1
+        x = jnp.where(bottom, _row_up(x), x)      # row H-1 <- row H-2
+        x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
+        return x
+
+    return Geometry(laplace=laplace, enforce_boundary=enforce_boundary)
+
+
+def make_tiled_pallas_step(
+    model: IonicModel,
+    tile_rows: int = 128,
+    phase: Optional[np.ndarray] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build `step(state) -> state`: one outer step (all dt_per_step
+    substeps) as a row-tiled temporally-blocked Pallas kernel."""
+    cfg = model.cfg
+    h, w = cfg.height, cfg.width
+    if h % tile_rows != 0:
+        raise ValueError(f"height {h} not divisible by tile_rows {tile_rows}")
+    # halo rings consumed per outer step, padded up to the f32 sublane
+    # multiple (8) so every dynamic row offset stays provably aligned
+    k = ((model.dt_per_step + 7) // 8) * 8
+    ext_h = tile_rows + 2 * k
+    n_tiles = h // tile_rows
+    names = tuple(sorted(model.initial_state(s1=False).keys()))
+    n = len(names)
+    has_phase = phase is not None
+    phase_f32 = np.asarray(phase, np.float32) if has_phase else None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_in = n + (1 if has_phase else 0)
+
+    def kernel(*refs):
+        from fib_tf_tpu.ops import integrators
+
+        in_refs = refs[:n_in]                      # HBM (ANY) full planes
+        out_refs = refs[n_in : n_in + n]           # blocked VMEM outputs
+        scratch = refs[n_in + n : n_in + n + n_in] # VMEM ext blocks
+        sem = refs[-1]
+
+        t = pl.program_id(0)
+        # clamp the loaded window to the array; the tile's rows sit at a
+        # varying offset inside it (k in the interior, 0 / 2k at the edges)
+        start = pl.multiple_of(jnp.clip(t * tile_rows - k, 0, h - ext_h), 8)
+        offset = pl.multiple_of(t * tile_rows - start, 8)
+
+        for i in range(n_in):
+            pltpu.make_async_copy(
+                in_refs[i].at[pl.ds(start, ext_h)], scratch[i], sem.at[i]
+            ).start()
+        for i in range(n_in):
+            pltpu.make_async_copy(
+                in_refs[i].at[pl.ds(start, ext_h)], scratch[i], sem.at[i]
+            ).wait()
+
+        rg = start + jax.lax.broadcasted_iota(jnp.int32, (ext_h, 1), 0)
+        phase_ext = scratch[n][:] if has_phase else None
+        geom = tile_geometry(rg, h, phase_ext)
+
+        state = {kk: scratch[i][:] for i, kk in enumerate(names)}
+        integrators._IN_PALLAS_KERNEL = True
+        try:
+            state = model.step(state, geom)
+        finally:
+            integrators._IN_PALLAS_KERNEL = False
+
+        # Mosaic lowers dynamic slices on REFS (pl.ds) but not on values:
+        # round-trip the result through scratch to slice out the center.
+        for i, kk in enumerate(names):
+            scratch[i][:] = state[kk]
+        for i in range(n):
+            out_refs[i][:] = scratch[i][pl.ds(offset, tile_rows), :]
+
+    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_spec = pl.BlockSpec(
+        (tile_rows, w), lambda t: (t, 0),
+        memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=[plane] * n,
+        in_specs=[any_spec] * n_in,
+        out_specs=[out_spec] * n,
+        scratch_shapes=[pltpu.VMEM((ext_h, w), jnp.float32)] * n_in
+        + [pltpu.SemaphoreType.DMA((n_in,))],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+    def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        args = [state[kk] for kk in names]
+        if has_phase:
+            args.append(jnp.asarray(phase_f32))
+        outs = call(*args)
+        return dict(zip(names, outs))
+
+    return step

@@ -15,6 +15,7 @@ from fib_tf_tpu.ops.pallas_step import (
     vmem_enforce_boundary,
     vmem_laplace,
 )
+from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
 
 
 def cfg(**kw):
@@ -94,6 +95,45 @@ class TestPallasStep:
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(want[k]),
                 rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+    def test_tiled_matches_xla_step(self):
+        """Row-tiled temporal-blocking kernel == XLA path, for every model
+        family, including the edge tiles' global boundary handling."""
+        from fib_tf_tpu.models import Courtemanche
+
+        for model_cls, extra in [
+            (Fenton4v, {}),
+            (BeelerReuter, dict(diff=0.809, cheby=True, skip=True)),
+            (Courtemanche, dict(diff=0.809)),
+        ]:
+            c = cfg(width=64, height=64, **extra)
+            model = model_cls(c)
+            geom = grid_geometry()
+            state = {k: jnp.asarray(v)
+                     for k, v in model.initial_state().items()}
+            want = model.step(model.step(state, geom), geom)
+            tstep = make_tiled_pallas_step(model, tile_rows=16)
+            got = tstep(tstep(state))
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(want[k]),
+                    rtol=2e-3, atol=1e-5,
+                    err_msg=f"{model.name}/{k}",
+                )
+
+    def test_tiled_with_phase_field(self):
+        c = cfg(width=64, height=64)
+        model = Fenton4v(c)
+        phase = stencil.add_hole_to_phase_field(None, 64, 64, 32, 32, 10)
+        geom = grid_geometry(phase)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        want = model.step(state, geom)
+        got = make_tiled_pallas_step(model, tile_rows=16, phase=phase)(state)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-3, atol=1e-5, err_msg=k,
             )
 
     def test_inside_scan(self):
