@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""BASELINE config #5: pseudo-electrogram over a 1024x512 fibrillating
+Beeler-Reuter sheet, grid sharded over 8 chips.
+
+Spatial domain decomposition: the [1024, 512] grid is row-sharded over an
+8-device mesh; per-substep halo rows ride ICI as collective-permutes
+(explicit shard_map path), electrode means are masked psums.  On a single
+TPU chip (or CPU) run with a virtual mesh:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python examples/egm_sharded.py --duration 20
+"""
+
+import argparse
+
+import numpy as np
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.engine import Simulation
+from fib_tf_tpu.engine.observers import ElectrogramRecorder
+from fib_tf_tpu.models import BeelerReuter
+from fib_tf_tpu.parallel import make_mesh
+
+
+def main():
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=3000.0)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--gspmd", action="store_true",
+                    help="GSPMD path instead of explicit shard_map")
+    args = ap.parse_args()
+
+    n_dev = len(jax.devices())
+    cfg = SimConfig(
+        width=args.width, height=args.height, dt=0.1, dt_per_plot=10,
+        diff=1.0, duration=args.duration, cheby=True, skip=False,
+    )
+    model = BeelerReuter(cfg)
+    mesh = make_mesh()
+
+    if args.gspmd:
+        from fib_tf_tpu.parallel import plane_sharding
+
+        sim = Simulation(model, sharding=plane_sharding(mesh))
+    else:
+        sim = Simulation(model, mesh=mesh)
+    sim.add_hole_to_phase_field(150, args.height // 2, 50)
+    sim.add_electrode(300 + 15, args.height // 2, radius=5)
+    sim.add_electrode(300 - 15, args.height // 2, radius=5)
+    sim.define()
+    sim.add_pace_op("s2", "luq", 10.0)
+
+    res = sim.simulate(schedule=[(300, "s2")])
+    print(f"{n_dev} devices, {args.height}x{args.width}: "
+          f"{res.elapsed:.2f} s ({res.cell_updates_per_sec/1e9:.2f} G "
+          f"cell-updates/s, {res.sim_seconds_per_wall_second:.2f}x real "
+          f"time)")
+
+    rec = ElectrogramRecorder(every_ms=1.0, dt=cfg.dt,
+                              dt_per_step=model.dt_per_step)
+    rec.feed(0, res.probes["egm"])
+    rec.save("egm_sharded.dat")
+    print(f"saved {rec.as_array().shape[0]} electrogram samples")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,14 @@ class SimResult:
 class Simulation:
     """Owns a model + geometry + pacing protocol and drives the run."""
 
-    def __init__(self, model: IonicModel, sharding=None):
+    def __init__(self, model: IonicModel, sharding=None, mesh=None):
+        """`sharding`: a NamedSharding for the GSPMD path (XLA infers the
+        halo collectives).  `mesh`: a jax Mesh for the explicit shard_map
+        path (per-substep ppermute halos, masked-psum probes;
+        parallel/spmd.py).  Mutually exclusive."""
+        if sharding is not None and mesh is not None:
+            raise ValueError("pass either sharding (GSPMD) or mesh "
+                             "(shard_map), not both")
         self.model = model
         self.cfg: SimConfig = model.cfg
         self.phase: Optional[np.ndarray] = None
@@ -61,6 +68,11 @@ class Simulation:
         self._defined = False
         self._geom: Optional[Geometry] = None
         self._chunk_cache: Dict[Tuple, Callable] = {}
+        self._mesh = mesh
+        if mesh is not None:
+            from fib_tf_tpu.parallel.sharding import plane_sharding
+
+            sharding = plane_sharding(mesh)
         self._sharding = sharding  # optional jax.sharding.Sharding for state
         self.cl_observer: Optional[Callable[[int, float], None]] = None
         self.state: Optional[Dict[str, np.ndarray]] = None  # keep_state output
@@ -188,6 +200,11 @@ class Simulation:
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
+        if self._mesh is not None:
+            chunk = self._spmd_chunk_fn(length)
+            self._chunk_cache[key] = chunk
+            return chunk
+
         model = self.model
         step = self._step_fn()
         plot_interval = self.cfg.plot_interval(model.dt_per_step)
@@ -208,6 +225,32 @@ class Simulation:
             return state, out, finite
 
         self._chunk_cache[key] = chunk
+        return chunk
+
+    def _spmd_chunk_fn(self, length: int):
+        """Chunk via the explicit shard_map halo-exchange path
+        (parallel/spmd.py), with the engine's (state, probes, finite)
+        interface.  Supports the 'v' wavefront probe and electrode means;
+        the per-pixel trend probe is a GSPMD/single-chip feature."""
+        from fib_tf_tpu.parallel.spmd import make_spmd_chunk
+
+        inner = make_spmd_chunk(
+            self.model,
+            self._mesh,
+            length,
+            phase=self.phase,
+            egm_masks=self._egm_masks or None,
+        )
+        model = self.model
+
+        @jax.jit
+        def finite_of(state):
+            return jnp.isfinite(state[model.pot_key]).all()
+
+        def chunk(state):
+            state, probes = inner(state)
+            return state, probes, finite_of(state)
+
         return chunk
 
     def _pace_fn(self):

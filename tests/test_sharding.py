@@ -140,6 +140,31 @@ class TestShardMapHalo:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_engine_spmd_mode(self):
+        """Simulation(mesh=...) drives the whole run through the shard_map
+        chunk, matching the single-device engine."""
+        c = cfg(duration=5)
+        model_kwargs = dict()
+        mesh = make_mesh()
+        sim = Simulation(Fenton4v(c), mesh=mesh)
+        sim.add_electrode(40, 32, radius=4)
+        sim.define()
+        res = sim.simulate()
+
+        ref = Simulation(Fenton4v(c))
+        ref.add_electrode(40, 32, radius=4)
+        ref.define()
+        want = ref.simulate()
+        np.testing.assert_allclose(
+            res.state["u"], want.state["u"], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            res.probes["egm"], want.probes["egm"], rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            res.probes["v"], want.probes["v"], rtol=1e-4, atol=1e-6
+        )
+
     def test_beeler_reuter_sharded(self):
         c = cfg(cheby=True, skip=True)
         model = BeelerReuter(c)
