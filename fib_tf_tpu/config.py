@@ -40,6 +40,13 @@ class SimConfig:
     skip: bool = False          # multi-rate slow-gate skipping
     cheby: bool = True          # Chebyshev polynomial rate approximation
     table: bool = False         # voltage-indexed lookup table (courtemanche.h:352-357)
+    fast_currents: bool = True  # share exp(0.04V) across iK1/ix1 (br.py:153-158)
+    # Fold the Rush-Larsen multiplier expm1(-dt/tau(V)) into the
+    # definition-time Chebyshev fit (dt is a compile-time constant), so the
+    # per-substep gate update needs no divide or exponential at all — a
+    # TPU-native extension of the reference's tau-fit scheme with the same
+    # order of fit error.  Set False for the reference-faithful tau fit.
+    cheby_fold: bool = True
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
 

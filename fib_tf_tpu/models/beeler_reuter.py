@@ -111,14 +111,26 @@ class BeelerReuter(IonicModel):
 
     def _fit_chebyshev(self) -> Dict[str, np.ndarray]:
         """Fit inf(V) and tau(V) of each gate on [min_v, max_v]
-        (reference br.py:221-240, 275-287)."""
+        (reference br.py:221-240, 275-287).
+
+        With `cheby_fold`, additionally fit the full Rush-Larsen
+        multiplier r(V) = expm1(-dt_g / tau(V)) for each dt actually used
+        (dt for m/h; dt or 5*dt for the slow gates depending on `skip`) —
+        dt is a compile-time constant, so the runtime gate update becomes
+        a pure polynomial + FMA with no divide/exp."""
         v = np.linspace(self.min_v, self.max_v, CHEBY_SAMPLES)
         coef = {}
+        slow_n = 5 if self.cfg.skip else 1
         for g in GATES:
             a = rate_np(v, RATE_PARAMS[(g, "a")])
             b = rate_np(v, RATE_PARAMS[(g, "b")])
+            tau = 1.0 / (a + b)
             coef[f"{g}_inf"] = chebyshev_fit(v, a / (a + b), CHEBY_DEG)
-            coef[f"{g}_tau"] = chebyshev_fit(v, 1.0 / (a + b), CHEBY_DEG)
+            coef[f"{g}_tau"] = chebyshev_fit(v, tau, CHEBY_DEG)
+            if self.cfg.cheby_fold:
+                n = 1 if g in FAST_GATES else slow_n
+                r = np.expm1(-(self.cfg.dt * n) / tau)
+                coef[f"{g}_rl"] = chebyshev_fit(v, r, CHEBY_DEG)
         return coef
 
     # -- state ------------------------------------------------------------------
@@ -155,22 +167,36 @@ class BeelerReuter(IonicModel):
             x = normalize_voltage(v0, self.min_v, self.max_v)
             terms = chebyshev_terms(x, CHEBY_DEG)
 
-            def inf_tau(gate):
-                return (
-                    chebyshev_eval(self._cheby_coef[f"{gate}_inf"], terms),
-                    chebyshev_eval(self._cheby_coef[f"{gate}_tau"], terms),
-                )
+            if self.cfg.cheby_fold:
+                # folded form: g' = clip(g + (g - g_inf) * r(V)) where
+                # r(V) = expm1(-dt_g/tau(V)) was fit at definition time
+                from fib_tf_tpu.ops.integrators import GATE_MAX, GATE_MIN
+
+                def advance(gate, _n):
+                    inf = chebyshev_eval(
+                        self._cheby_coef[f"{gate}_inf"], terms)
+                    r = chebyshev_eval(self._cheby_coef[f"{gate}_rl"], terms)
+                    return jnp.clip(
+                        state[gate] + (state[gate] - inf) * r,
+                        GATE_MIN, GATE_MAX,
+                    )
+            else:
+                def advance(gate, n_):
+                    inf = chebyshev_eval(
+                        self._cheby_coef[f"{gate}_inf"], terms)
+                    tau = chebyshev_eval(
+                        self._cheby_coef[f"{gate}_tau"], terms)
+                    return rush_larsen(state[gate], inf, tau, dt * n_)
         else:
-            def inf_tau(gate):
-                return self._inf_tau_direct(v0, gate)
+            def advance(gate, n_):
+                inf, tau = self._inf_tau_direct(v0, gate)
+                return rush_larsen(state[gate], inf, tau, dt * n_)
 
         for g in FAST_GATES:
-            inf, tau = inf_tau(g)
-            out[g] = rush_larsen(state[g], inf, tau, dt)
+            out[g] = advance(g, 1)
         if n > 0:
             for g in SLOW_GATES:
-                inf, tau = inf_tau(g)
-                out[g] = rush_larsen(state[g], inf, tau, dt * n)
+                out[g] = advance(g, n)
         else:
             for g in SLOW_GATES:
                 out[g] = state[g]
@@ -179,16 +205,37 @@ class BeelerReuter(IonicModel):
     # -- dynamics ---------------------------------------------------------------
 
     def currents(self, v0, c, gates):
-        """The four membrane currents (br.py:150-165)."""
-        i_k1 = 0.35 * (
-            4.0 * (jnp.exp(0.04 * (v0 + 85.0)) - 1.0)
-            / (jnp.exp(0.08 * (v0 + 53.0)) + jnp.exp(0.04 * (v0 + 53.0)))
-            + 0.2 * ((v0 + 23.0) / (1.0 - jnp.exp(-0.04 * (v0 + 23.0))))
-        )
-        i_x1 = (
-            gates["x1"] * 0.8 * (jnp.exp(0.04 * (v0 + 77.0)) - 1.0)
-            / jnp.exp(0.04 * (v0 + 35.0))
-        )
+        """The four membrane currents (br.py:150-165).
+
+        With `fast_currents` (default), the five exponentials of iK1/ix1
+        collapse to ONE shared k = exp(0.04*V) — the optimization the
+        reference sketched at br.py:153-158 — since every exponent is an
+        integer multiple of 0.04*V plus a constant.  Algebraically
+        identical; saves 4 transcendentals per substep.
+        """
+        if self.cfg.fast_currents:
+            k = jnp.exp(0.04 * v0)
+            a85 = float(np.exp(0.04 * 85.0))
+            a53b = float(np.exp(0.08 * 53.0))
+            a53 = float(np.exp(0.04 * 53.0))
+            a23 = float(np.exp(-0.04 * 23.0))
+            a77 = float(np.exp(0.04 * 77.0))
+            a35 = float(np.exp(0.04 * 35.0))
+            i_k1 = 0.35 * (
+                4.0 * (a85 * k - 1.0) / (a53b * k * k + a53 * k)
+                + 0.2 * ((v0 + 23.0) / (1.0 - a23 / k))
+            )
+            i_x1 = gates["x1"] * 0.8 * (a77 * k - 1.0) / (a35 * k)
+        else:
+            i_k1 = 0.35 * (
+                4.0 * (jnp.exp(0.04 * (v0 + 85.0)) - 1.0)
+                / (jnp.exp(0.08 * (v0 + 53.0)) + jnp.exp(0.04 * (v0 + 53.0)))
+                + 0.2 * ((v0 + 23.0) / (1.0 - jnp.exp(-0.04 * (v0 + 23.0))))
+            )
+            i_x1 = (
+                gates["x1"] * 0.8 * (jnp.exp(0.04 * (v0 + 77.0)) - 1.0)
+                / jnp.exp(0.04 * (v0 + 35.0))
+            )
         i_na = (
             G_NA * gates["m"] ** 3 * gates["h"] * gates["j"] + G_NAC
         ) * (v0 - E_NA)

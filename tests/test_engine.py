@@ -160,6 +160,31 @@ class TestObserverHelpers:
         assert phase_weighted_mean(field, phase) == pytest.approx(2.5)
 
 
+class TestObservability:
+    def test_timeline_trace_written(self, tmp_path, monkeypatch):
+        """cfg.timeline -> a jax.profiler trace directory (the Chrome-trace
+        timeline analog, reference ionic.py:231-241)."""
+        monkeypatch.chdir(tmp_path)
+        cfg = small_cfg(duration=3, timeline=True,
+                        timeline_name="tl.json")
+        sim = Simulation(Fenton4v(cfg)).define()
+        sim.simulate()
+        import os
+
+        assert os.path.isdir("tl_trace")
+
+    def test_save_graph_hlo_dump(self, tmp_path, monkeypatch):
+        """cfg.save_graph -> HLO text dump (the TF graph-dump analog,
+        reference ionic.py:190-191)."""
+        monkeypatch.chdir(tmp_path)
+        cfg = small_cfg(duration=3, save_graph=True)
+        sim = Simulation(Fenton4v(cfg)).define()
+        sim.simulate()
+        import os
+
+        assert os.path.getsize("logs/fenton_step_hlo.txt") > 0
+
+
 class TestFailureDetection:
     def test_nan_raises(self):
         cfg = small_cfg(duration=10)
