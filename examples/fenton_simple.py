@@ -28,16 +28,15 @@ SAMPLES = 10000
 S2_TIME_MS = 210
 
 
+MODEL = Fenton4v(SimConfig(width=WIDTH, height=HEIGHT, dt=DT))
+
+
 def solve(u, v, w, s):
     """One explicit-Euler step with the conv-kernel Laplacian."""
-    model = solve.model
     u0 = stencil.enforce_boundary(u)
-    du, dv, dw, ds = model.differentiate(u, v, w, s)
+    du, dv, dw, ds = MODEL.differentiate(u, v, w, s)
     u1 = u0 + DT * du + DIFF * DT * stencil.laplace_conv(u0)
     return u1, v + DT * dv, w + DT * dw, s + DT * ds
-
-
-solve.model = Fenton4v(SimConfig(width=WIDTH, height=HEIGHT, dt=DT))
 
 
 def main():
