@@ -47,6 +47,10 @@ class SimConfig:
     # TPU-native extension of the reference's tau-fit scheme with the same
     # order of fit error.  Set False for the reference-faithful tau fit.
     cheby_fold: bool = True
+    # Also Chebyshev-fit the V-only membrane currents (whole iK1, and the
+    # ix1 voltage prefactor), reusing the gate fits' term chain — the last
+    # transcendentals leave the Beeler-Reuter substep.  Requires cheby.
+    cheby_currents: bool = True
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
 

@@ -131,6 +131,18 @@ class BeelerReuter(IonicModel):
                 n = 1 if g in FAST_GATES else slow_n
                 r = np.expm1(-(self.cfg.dt * n) / tau)
                 coef[f"{g}_rl"] = chebyshev_fit(v, r, CHEBY_DEG)
+        if self.cfg.cheby_currents:
+            i_k1 = 0.35 * (
+                4.0 * (np.exp(0.04 * (v + 85.0)) - 1.0)
+                / (np.exp(0.08 * (v + 53.0)) + np.exp(0.04 * (v + 53.0)))
+                + 0.2 * ((v + 23.0) / (1.0 - np.exp(-0.04 * (v + 23.0))))
+            )
+            i_x1f = (
+                0.8 * (np.exp(0.04 * (v + 77.0)) - 1.0)
+                / np.exp(0.04 * (v + 35.0))
+            )
+            coef["i_k1"] = chebyshev_fit(v, i_k1, CHEBY_DEG)
+            coef["i_x1f"] = chebyshev_fit(v, i_x1f, CHEBY_DEG)
         return coef
 
     # -- state ------------------------------------------------------------------
@@ -158,14 +170,19 @@ class BeelerReuter(IonicModel):
         b = rate_jnp(v0, RATE_PARAMS[(gate, "b")])
         return a / (a + b), 1.0 / (a + b)
 
-    def _update_gates(self, v0, state, n: int) -> Dict[str, jnp.ndarray]:
+    def _terms(self, v0):
+        """The shared Chebyshev leading-term chain for this substep."""
+        x = normalize_voltage(v0, self.min_v, self.max_v)
+        return chebyshev_terms(x, CHEBY_DEG)
+
+    def _update_gates(self, v0, state, n: int, terms=None):
         """Advance m/h by dt and (when n > 0) the slow gates by dt*n,
         via direct rates or Chebyshev fits (br.py:175-252)."""
         dt = self.cfg.dt
         out = {}
         if self.cfg.cheby:
-            x = normalize_voltage(v0, self.min_v, self.max_v)
-            terms = chebyshev_terms(x, CHEBY_DEG)
+            if terms is None:
+                terms = self._terms(v0)
 
             if self.cfg.cheby_fold:
                 # folded form: g' = clip(g + (g - g_inf) * r(V)) where
@@ -204,16 +221,25 @@ class BeelerReuter(IonicModel):
 
     # -- dynamics ---------------------------------------------------------------
 
-    def currents(self, v0, c, gates):
+    def currents(self, v0, c, gates, terms=None):
         """The four membrane currents (br.py:150-165).
 
-        With `fast_currents` (default), the five exponentials of iK1/ix1
-        collapse to ONE shared k = exp(0.04*V) — the optimization the
-        reference sketched at br.py:153-158 — since every exponent is an
-        integer multiple of 0.04*V plus a constant.  Algebraically
-        identical; saves 4 transcendentals per substep.
+        Three compile-time variants for the V-only parts (iK1 and ix1's
+        voltage factor):
+          * `cheby_currents` (default, requires cheby): degree-8 fits
+            sharing the gate fits' term chain — no transcendentals left;
+          * `fast_currents`: one shared k = exp(0.04*V) instead of five
+            exponentials — the optimization the reference sketched at
+            br.py:153-158; algebraically identical;
+          * plain: the literal reference forms.
         """
-        if self.cfg.fast_currents:
+        if self.cfg.cheby and self.cfg.cheby_currents:
+            if terms is None:
+                terms = self._terms(v0)
+            i_k1 = chebyshev_eval(self._cheby_coef["i_k1"], terms)
+            i_x1 = gates["x1"] * chebyshev_eval(
+                self._cheby_coef["i_x1f"], terms)
+        elif self.cfg.fast_currents:
             k = jnp.exp(0.04 * v0)
             a85 = float(np.exp(0.04 * 85.0))
             a53b = float(np.exp(0.08 * 53.0))
@@ -248,9 +274,10 @@ class BeelerReuter(IonicModel):
         (0 = frozen, the multi-rate trick; br.py:125-173)."""
         dt = self.cfg.dt
         v0 = geom.enforce_boundary(state["V"])
-        gates = self._update_gates(v0, state, n)
+        terms = self._terms(v0) if self.cfg.cheby else None
+        gates = self._update_gates(v0, state, n, terms)
 
-        i_k1, i_x1, i_na, i_ca = self.currents(v0, state["C"], gates)
+        i_k1, i_x1, i_na, i_ca = self.currents(v0, state["C"], gates, terms)
         i_sum = i_k1 + i_x1 + i_na + i_ca
 
         v1 = jnp.clip(
