@@ -373,12 +373,14 @@ class Simulation:
                 l = min(seg, max_chunk_steps)
                 chunk = self._chunk_fn(l, with_frames=False)
                 dev_state, out, finite = chunk(dev_state)
+                # single host round trip per chunk (the tunnel's per-sync
+                # latency dominates small transfers)
+                host_out, finite = jax.device_get((out, finite))
                 if check_finite and not bool(finite):
                     raise FloatingPointError(
                         f"non-finite {model.pot_key} detected at outer step "
                         f"{step + l}"
                     )
-                host_out = jax.device_get(out)
                 for k, v in host_out.items():
                     probes_acc.setdefault(k, []).append(np.asarray(v))
                 detector.feed(step, np.asarray(host_out["v"]))
