@@ -6,6 +6,10 @@ Reference br.py:347-382: 512x512, obstacle at (150, 200) r=40, S2 at
 in the reference's Table 1.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import argparse
 
 import numpy as np

@@ -7,6 +7,10 @@ then a SECOND model with different geometry seeded from the first model's
 final state (the checkpoint/resume pattern), trends concatenated and saved.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import numpy as np
 
 from fib_tf_tpu.config import SimConfig

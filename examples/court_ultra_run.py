@@ -8,6 +8,10 @@ fibrillation, log phase-weighted means + fibrillation density rho every
 saved state.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 from functools import partial
 
 import numpy as np

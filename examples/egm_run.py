@@ -7,6 +7,10 @@ masked-mean samples (computed ON-DEVICE here, inside the compiled scan)
 are taken every 1 ms and saved as a bipolar electrogram.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import numpy as np
 
 from fib_tf_tpu.config import SimConfig

@@ -11,6 +11,10 @@ TPU chip (or CPU) run with a virtual mesh:
       python examples/egm_sharded.py --duration 20
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import argparse
 
 import numpy as np

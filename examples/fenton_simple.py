@@ -10,6 +10,10 @@ buys (the fenton_jit.py stage of the progression); the full framework
 (examples/fenton_spiral.py) adds scan fusion on top.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import time
 

@@ -7,6 +7,10 @@ cross-stimulation at 210 ms, spiral anchors to the hole; a [T, H, W]
 voltage movie is saved as cube.npy for replay with examples/playcube.py.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import numpy as np
 
 from fib_tf_tpu.config import SimConfig

@@ -2,6 +2,10 @@
 """Replay a saved voltage movie (cube.npy) at ~40 fps
 (reference playcube.py:5-15)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import sys
 
 from fib_tf_tpu.utils.viz import Screen, play_cube
