@@ -62,6 +62,23 @@ struct Intermediates {
   double xr_infinity, xs_infinity;
   double g_Kur, f_NaK, i_NaCaa, i_NaCab, i_K1a, i_Kra;
 
+  static Intermediates from_array(const std::array<double, 30>& a) {
+    Intermediates o{};
+    o.d_infinity = a[0]; o.f_infinity = a[1]; o.tau_w = a[2];
+    o.tau_d = a[3]; o.tau_f = a[4]; o.w_infinity = a[5];
+    o.m_inf = a[6]; o.h_inf = a[7]; o.j_inf = a[8];
+    o.tau_oa = a[9]; o.tau_oi = a[10]; o.tau_ua = a[11]; o.tau_ui = a[12];
+    o.tau_xr = a[13]; o.tau_xs = a[14];
+    o.tau_m = a[15]; o.tau_h = a[16]; o.tau_j = a[17];
+    o.oa_infinity = a[18]; o.oi_infinity = a[19];
+    o.ua_infinity = a[20]; o.ui_infinity = a[21];
+    o.xr_infinity = a[22]; o.xs_infinity = a[23];
+    o.g_Kur = a[24]; o.f_NaK = a[25];
+    o.i_NaCaa = a[26]; o.i_NaCab = a[27];
+    o.i_K1a = a[28]; o.i_Kra = a[29];
+    return o;
+  }
+
   std::array<double, 30> as_array() const {
     return {d_infinity, f_infinity, tau_w,       tau_d,       tau_f,
             w_infinity, m_inf,      h_inf,       j_inf,       tau_oa,

@@ -2,6 +2,8 @@
 functions (the reference validated its table via generate_table.cpp's
 printout; here the check is automated)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -41,6 +43,53 @@ class TestNativeTable:
                 inter_native[i], float(inter_py[k]), rtol=1e-4,
                 err_msg=k,
             )
+
+    def test_cell_sim_matches_python_0d(self):
+        """The native 0D integrator must reproduce the JAX Courtemanche
+        action potential (same multi-rate schedule) — the cross-language
+        ground-truth check for the full right-hand side."""
+        import subprocess
+
+        import jax
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import Courtemanche, cell_geometry
+
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim")
+        out = subprocess.run(
+            [exe, "300", "0.1", "20"], capture_output=True, text=True,
+            check=True,
+        ).stdout
+        rows = np.asarray([
+            [float(x) for x in line.split()]
+            for line in out.strip().splitlines()
+        ])
+        v_native = rows[:, 1]
+
+        cfg = SimConfig(width=8, height=8, dt=0.1, duration=1)
+        model = Courtemanche(cfg)
+        state = model.initial_state(s1=False)
+        state["V"][:] = 20.0
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in state.items()}
+
+        def body(st, _):
+            # single-rate group of 10 substeps = the cell_sim default
+            for _i in range(10):
+                st = model.solve(st, geom)
+            return st, st["V"][0, 0]
+
+        # match cell_sim's single-rate mode by overriding dt_for
+        model.fast_states = tuple(state.keys())
+        _, v_py = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=300)
+        )(s)
+        v_py = np.asarray(v_py)
+
+        # f64 C++ vs f32 JAX drift over 300 ms: a few tenths of a mV
+        assert np.abs(v_native - v_py).max() < 1.0
+        assert abs(v_native[-1] - v_py[-1]) < 0.5
 
     def test_lookup_consumes_native_table(self):
         import jax.numpy as jnp
