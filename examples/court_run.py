@@ -23,9 +23,14 @@ def cl_observer(i, cl):
 
 
 def main():
+    # note: the reference ran 20000 ms; this demo trims to 1000 ms per
+    # model.  Long fibrillatory runs against the 1e-5 phase-field floor can
+    # eventually hit explicit-Euler stiffness; unlike the reference (whose
+    # NaN guard was commented out, ionic.py:208-212) the engine raises
+    # FloatingPointError instead of silently integrating NaNs.
     cfg = SimConfig(
         width=512, height=512, dt=0.1, dt_per_plot=10, diff=0.809,
-        duration=2000,  # reference used 20000 ms; trim for a demo run
+        duration=1000,
     )
 
     sim1 = Simulation(Courtemanche(cfg))

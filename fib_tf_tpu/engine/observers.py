@@ -9,7 +9,7 @@ single small transfer; only rendering still pulls full frames.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 

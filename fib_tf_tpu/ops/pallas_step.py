@@ -23,7 +23,6 @@ Design notes:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

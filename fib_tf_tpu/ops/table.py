@@ -15,7 +15,7 @@ from either the Python rate functions or the C++ generator tool in
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

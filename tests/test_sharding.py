@@ -5,7 +5,6 @@ path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fib_tf_tpu.config import SimConfig
 from fib_tf_tpu.engine import Simulation
