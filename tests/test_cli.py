@@ -1,0 +1,67 @@
+"""CLI smoke tests (tiny grids, CPU)."""
+
+import json
+import os
+
+import numpy as np
+
+from fib_tf_tpu import cli
+
+
+class TestRun:
+    def test_fenton_run_with_everything(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "run", "--model", "fenton", "--width", "48", "--height", "48",
+            "--duration", "10", "--hole", "24,24,6", "--s2", "5",
+            "--frames", "5", "--save-cube", "cube.npy",
+            "--save-state", "state.npz",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(out)
+        assert rec["model"] == "fenton"
+        assert rec["outer_steps"] == 10
+        assert os.path.exists("cube.npy")
+        assert os.path.exists("state.npz")
+
+    def test_resume_from_state(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        cli.main(["run", "--model", "fenton", "--width", "48", "--height",
+                  "48", "--duration", "5", "--save-state", "s.npz"])
+        rc = cli.main(["run", "--model", "fenton", "--width", "48",
+                       "--height", "48", "--duration", "5",
+                       "--load-state", "s.npz"])
+        assert rc == 0
+
+    def test_br_with_electrode(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "run", "--model", "br", "--width", "48", "--height", "48",
+            "--duration", "5", "--electrode", "30,24,4",
+        ])
+        assert rc == 0
+
+
+class TestTable:
+    def test_golden_values(self, capsys):
+        rc = cli.main(["table", "--golden", "-50"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 30
+        assert lines[0].startswith("d_infinity")
+
+    def test_table_out(self, tmp_path, capsys):
+        out = str(tmp_path / "tbl.npy")
+        rc = cli.main(["table", "--out", out])
+        assert rc == 0
+        tbl = np.load(out)
+        assert tbl.shape == (150, 30)
+
+
+class TestReplay:
+    def test_replay_headless(self, tmp_path, capsys):
+        cube = np.random.rand(3, 16, 16).astype(np.float32)
+        p = str(tmp_path / "cube.npy")
+        np.save(p, cube)
+        assert cli.main(["replay", p]) == 0
