@@ -51,6 +51,13 @@ class SimConfig:
     # ix1 voltage prefactor), reusing the gate fits' term chain — the last
     # transcendentals leave the Beeler-Reuter substep.  Requires cheby.
     cheby_currents: bool = True
+    # Hybrid Chebyshev for Courtemanche: fit the 24 smooth intermediates
+    # (deg 12), keep the branchy h/j rates direct.  Accurate (0.56 mV max
+    # over an AP) but measured ~10% SLOWER than direct evaluation on v5e —
+    # TPU transcendentals are cheap — so opt-in, not default.  Note the
+    # plain `cheby` flag is ignored by Courtemanche, as in the reference
+    # (its court Chebyshev path was dead code, court.py:463-477).
+    court_cheby: bool = False
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
 

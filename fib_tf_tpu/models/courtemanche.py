@@ -261,6 +261,54 @@ def calc_intermediates_np(v: np.ndarray) -> Dict[str, np.ndarray]:
     return calc_intermediates(np.asarray(v, dtype=np.float64), xp=np)
 
 
+# Keys whose V-dependence is smooth enough for a polynomial fit.  The fast
+# Na h/j rates are excluded: their alpha/beta switch branches at V = -40 mV
+# (court.py:331-355) and a global polynomial would ring at the kink — the
+# reason the reference's own Courtemanche-Chebyshev experiment was
+# abandoned as dead code (court.py:463-477).  The hybrid here fits the
+# smooth 24 and keeps h/j (and the ultra-slow gate) direct.
+CHEBY_SMOOTH_KEYS = tuple(
+    k for k in INTER_KEYS
+    if k not in ("h_inf", "tau_h", "j_inf", "tau_j")
+)
+CHEBY_DEG_COURT = 12      # the reference's dead-code experiment used 12
+CHEBY_SAMPLES_COURT = 5001  # (court.py:470-472)
+
+
+def calc_hj_rates(v, xp=jnp) -> Dict:
+    """Just the branchy fast-Na h/j inactivation rates (court.py:331-359),
+    for the hybrid Chebyshev path."""
+    eps = v * 1e-20
+    out = {}
+    alpha_h = xp.where(v < -40.0, 0.135 * xp.exp((v + 80.0) / -6.8), eps)
+    beta_h = xp.where(
+        v < -40.0,
+        3.56 * xp.exp(0.079 * v) + 310000.0 * xp.exp(0.35 * v),
+        1.0 / (0.13 * (1.0 + xp.exp((v + 10.66) / -11.1))),
+    )
+    out["h_inf"] = alpha_h / (alpha_h + beta_h)
+    out["tau_h"] = 1.0 / (alpha_h + beta_h)
+
+    alpha_j = xp.where(
+        v < -40.0,
+        (
+            (-127140.0 * xp.exp(0.2444 * v) - 3.474e-05 * xp.exp(-0.04391 * v))
+            * (v + 37.78)
+        )
+        / (1.0 + xp.exp(0.311 * (v + 79.23))),
+        eps,
+    )
+    beta_j = xp.where(
+        v < -40.0,
+        (0.1212 * xp.exp(-0.01052 * v))
+        / (1.0 + xp.exp(-0.1378 * (v + 40.14))),
+        (0.3 * xp.exp(-2.535e-07 * v)) / (1.0 + xp.exp(-0.1 * (v + 32.0))),
+    )
+    out["j_inf"] = alpha_j / (alpha_j + beta_j)
+    out["tau_j"] = 1.0 / (alpha_j + beta_j)
+    return out
+
+
 class Courtemanche(IonicModel):
     name = "court"
     min_v = -100.0
@@ -298,12 +346,51 @@ class Courtemanche(IonicModel):
         "Ca_up": 1.488,
     }
 
+    # gates updated from fitted (smooth) rate curves: gate -> (inf, tau,
+    # dt-key) — w advances with d's dt, a preserved reference quirk
+    # (court.py:177)
+    FITTED_GATES = {
+        "d": ("d_infinity", "tau_d", "d"),
+        "f": ("f_infinity", "tau_f", "f"),
+        "w_gate": ("w_infinity", "tau_w", "d"),
+        "m": ("m_inf", "tau_m", "m"),
+        "oa": ("oa_infinity", "tau_oa", "oa"),
+        "oi": ("oi_infinity", "tau_oi", "oi"),
+        "ua": ("ua_infinity", "tau_ua", "ua"),
+        "ui": ("ui_infinity", "tau_ui", "ui"),
+        "xr": ("xr_infinity", "tau_xr", "xr"),
+        "xs": ("xs_infinity", "tau_xs", "xs"),
+    }
+
     def __init__(self, cfg: SimConfig):
         super().__init__(cfg)
         self._table: Optional[jnp.ndarray] = None
+        self._cheby: Optional[Dict[str, np.ndarray]] = None
         if cfg.table:
             tbl = table_ops.build_table(calc_intermediates_np, INTER_KEYS)
             self._table = jnp.asarray(tbl)
+        elif cfg.court_cheby:
+            self._cheby = self._fit_chebyshev()
+
+    def _fit_chebyshev(self) -> Dict[str, np.ndarray]:
+        """Hybrid Chebyshev: degree-12 fits of the 24 smooth intermediates
+        (the branchy h/j rates stay direct — see CHEBY_SMOOTH_KEYS), plus
+        folded Rush-Larsen multipliers expm1(-dt_g/tau(V)) for every fitted
+        gate when cheby_fold is on."""
+        from fib_tf_tpu.ops.chebyshev import chebyshev_fit
+
+        v = np.linspace(self.min_v, self.max_v, CHEBY_SAMPLES_COURT)
+        inter = calc_intermediates_np(v)
+        coef = {
+            k: chebyshev_fit(v, np.broadcast_to(inter[k], v.shape),
+                             CHEBY_DEG_COURT)
+            for k in CHEBY_SMOOTH_KEYS
+        }
+        if self.cfg.cheby_fold:
+            for gate, (_inf, tau_key, dt_key) in self.FITTED_GATES.items():
+                r = np.expm1(-self.dt_for(dt_key) / inter[tau_key])
+                coef[f"rl_{gate}"] = chebyshev_fit(v, r, CHEBY_DEG_COURT)
+        return coef
 
     # -- state ------------------------------------------------------------------
 
@@ -336,7 +423,37 @@ class Courtemanche(IonicModel):
                 inter["us_infinity"] = extra["us_infinity"]
                 inter["tau_us"] = extra["tau_us"]
             return inter
+        if self._cheby is not None:
+            from fib_tf_tpu.ops.chebyshev import (
+                chebyshev_eval, chebyshev_terms, normalize_voltage,
+            )
+
+            x = normalize_voltage(v, self.min_v, self.max_v)
+            terms = chebyshev_terms(x, CHEBY_DEG_COURT)
+            inter = {k: chebyshev_eval(c, terms)
+                     for k, c in self._cheby.items()}
+            inter.update(calc_hj_rates(v, xp=jnp))
+            if self.ultra_slow:
+                extra = calc_intermediates(v, xp=jnp, ultra_slow=True)
+                inter["us_infinity"] = extra["us_infinity"]
+                inter["tau_us"] = extra["tau_us"]
+            return inter
         return calc_intermediates(v, xp=jnp, ultra_slow=self.ultra_slow)
+
+    def _gate(self, state: State, inter, gate: str) -> jnp.ndarray:
+        """One gate update: folded multiplier when fitted, else
+        Rush-Larsen."""
+        inf_key, tau_key, dt_key = self.FITTED_GATES[gate]
+        g = state[gate]
+        rl_key = f"rl_{gate}"
+        if rl_key in inter:
+            from fib_tf_tpu.ops.integrators import GATE_MAX, GATE_MIN
+
+            return jnp.clip(
+                g + (g - inter[inf_key]) * inter[rl_key], GATE_MIN, GATE_MAX
+            )
+        return rush_larsen(g, inter[inf_key], inter[tau_key],
+                           self.dt_for(dt_key))
 
     def solve_full(self, state: State, geom: Geometry):
         """One substep; returns (new_state, intermediates).
@@ -353,20 +470,13 @@ class Courtemanche(IonicModel):
         inter = self.intermediates(v)
 
         s1: State = {}
-        s1["d"] = rush_larsen(state["d"], inter["d_infinity"], inter["tau_d"], dt_("d"))
-        s1["f"] = rush_larsen(state["f"], inter["f_infinity"], inter["tau_f"], dt_("f"))
-        # quirk: w advances with d's dt (court.py:177) — same value, but
-        # preserved for the record
-        s1["w_gate"] = rush_larsen(state["w_gate"], inter["w_infinity"], inter["tau_w"], dt_("d"))
-        s1["m"] = rush_larsen(state["m"], inter["m_inf"], inter["tau_m"], dt_("m"))
+        # the ten fitted gates (w advances with d's dt — a preserved
+        # reference quirk, court.py:177; see FITTED_GATES)
+        for gate in self.FITTED_GATES:
+            s1[gate] = self._gate(state, inter, gate)
+        # fast-Na inactivation stays on the direct branchy rates
         s1["h"] = rush_larsen(state["h"], inter["h_inf"], inter["tau_h"], dt_("h"))
         s1["j"] = rush_larsen(state["j"], inter["j_inf"], inter["tau_j"], dt_("j"))
-        s1["oa"] = rush_larsen(state["oa"], inter["oa_infinity"], inter["tau_oa"], dt_("oa"))
-        s1["oi"] = rush_larsen(state["oi"], inter["oi_infinity"], inter["tau_oi"], dt_("oi"))
-        s1["ua"] = rush_larsen(state["ua"], inter["ua_infinity"], inter["tau_ua"], dt_("ua"))
-        s1["ui"] = rush_larsen(state["ui"], inter["ui_infinity"], inter["tau_ui"], dt_("ui"))
-        s1["xr"] = rush_larsen(state["xr"], inter["xr_infinity"], inter["tau_xr"], dt_("xr"))
-        s1["xs"] = rush_larsen(state["xs"], inter["xs_infinity"], inter["tau_xs"], dt_("xs"))
         if self.ultra_slow:
             s1["us"] = rush_larsen(state["us"], inter["us_infinity"], inter["tau_us"], dt_("us"))
 

@@ -146,6 +146,16 @@ class TestCourtemanche0D:
         assert abs(traces[True].max() - traces[False].max()) < 5.0
         assert abs(traces[True][-1] - traces[False][-1]) < 5.0
 
+    def test_hybrid_cheby_matches_direct(self):
+        """The opt-in hybrid Chebyshev path (smooth intermediates fit,
+        branchy h/j direct) must track the direct rates closely."""
+        traces = {}
+        for court_cheby in (False, True):
+            model = self.make(court_cheby=court_cheby)
+            state = self.stimulated_state(model)
+            _, traces[court_cheby] = run_cell(model, state, 300)
+        assert np.abs(traces[True] - traces[False]).max() < 1.5
+
     def test_chronic_shortens_apd(self):
         apd = {}
         for chronic in (False, True):
