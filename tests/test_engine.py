@@ -136,6 +136,32 @@ class TestGeneratorAPI:
         assert np.isfinite(sim.state["u"]).all()
 
 
+class TestReferenceStyleWorkflow:
+    def test_reference_script_shape(self):
+        """The full reference scripting pattern (fenton.py:155-187):
+        dict config -> model -> hole -> define -> pace op -> run generator
+        with fire_op + frame harvesting into a cube."""
+        config = {
+            "width": 48, "height": 48, "dt": 0.1, "dt_per_plot": 10,
+            "diff": 1.5, "duration": 6, "timeline": False,
+            "save_graph": False,
+        }
+        cfg = SimConfig.from_dict(config)
+        sim = Simulation(Fenton4v(cfg))
+        sim.add_hole_to_phase_field(24, 24, 6)
+        sim.define()
+        sim.add_pace_op("s2", "luq", 1.0)
+
+        s2 = sim.millisecond_to_step(3)
+        frames = []
+        for i in sim.run(im=None, keep_state=True):
+            if i == s2:
+                sim.fire_op("s2")
+            frames.append(i)
+        assert frames == list(range(6))
+        assert sim.state is not None
+
+
 class TestObserverHelpers:
     def test_cycle_length_detector(self):
         det = CycleLengthDetector(dt=0.1, dt_per_step=10, plot_interval=1)

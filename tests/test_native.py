@@ -91,6 +91,78 @@ class TestNativeTable:
         assert np.abs(v_native - v_py).max() < 1.0
         assert abs(v_native[-1] - v_py[-1]) < 0.5
 
+    def test_cell_sim_fenton_matches_python(self):
+        import subprocess
+
+        import jax
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import Fenton4v, cell_geometry
+
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        out = subprocess.run(
+            [exe, "fenton", "300", "0.1", "0.3"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        u_native = np.asarray(
+            [float(l.split()[1]) for l in out.strip().splitlines()]
+        )
+
+        model = Fenton4v(SimConfig(width=8, height=8, dt=0.1, duration=1))
+        state = model.initial_state(s1=False)
+        state["u"][:] = 0.3
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in state.items()}
+
+        def body(st, _):
+            st = model.step(st, geom)
+            return st, st["u"][0, 0]
+
+        _, u_py = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=300)
+        )(s)
+        assert np.abs(u_native - np.asarray(u_py)).max() < 5e-3
+
+    def test_cell_sim_br_matches_python(self):
+        import subprocess
+
+        import jax
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import BeelerReuter, cell_geometry
+
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        out = subprocess.run(
+            [exe, "br", "300", "0.1", "-30"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        v_native = np.asarray(
+            [float(l.split()[1]) for l in out.strip().splitlines()]
+        )
+
+        # compare against the DIRECT-rate Python path (the native sim has
+        # no Chebyshev)
+        model = BeelerReuter(SimConfig(
+            width=8, height=8, dt=0.1, duration=1,
+            cheby=False, fast_currents=False,
+        ))
+        state = model.initial_state(s1=False)
+        state["V"][:] = -30.0
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in state.items()}
+
+        def body(st, _):
+            st = model.step(st, geom)   # 5 substeps = 0.5 ms
+            return st, st["V"][0, 0]
+
+        _, v_py = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=600)
+        )(s)
+        v_py_ms = np.asarray(v_py)[1::2]   # sample every 1 ms
+        assert np.abs(v_native - v_py_ms).max() < 1.0
+
     def test_lookup_consumes_native_table(self):
         import jax.numpy as jnp
 
