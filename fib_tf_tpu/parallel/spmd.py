@@ -53,15 +53,37 @@ def masked_mean(img_local: jnp.ndarray, mask_local: jnp.ndarray,
     return lax.psum(jnp.sum(img_local * mask_local), axis_name) / denom
 
 
+def _exchange_rows(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
+    """[h, w] -> [h+2k, w]: prepend the upper neighbor's last k rows and
+    append the lower neighbor's first k rows (ring ppermute; the wrapped
+    rows at the global edges are never read — see wide-halo notes)."""
+    n = lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    top = lax.ppermute(x[-k:], axis_name, fwd)
+    bottom = lax.ppermute(x[:k], axis_name, bwd)
+    return jnp.concatenate([top, x, bottom], axis=0)
+
+
 def make_spmd_chunk(
     model: IonicModel,
     mesh: Mesh,
     length: int,
     phase: Optional[np.ndarray] = None,
     egm_masks: Optional[list] = None,
+    wide_halo: bool = False,
 ):
     """Build a jitted chunk(state) -> (state, probes) running `length`
-    outer steps entirely inside shard_map over `mesh`'s first axis."""
+    outer steps entirely inside shard_map over `mesh`'s first axis.
+
+    `wide_halo=True` switches the comm schedule from one 1-row ppermute
+    pair per SUBSTEP to one K-row ppermute pair per OUTER STEP
+    (K = dt_per_step): each shard extends its block by K ghost rows, runs
+    the whole fused substep group on the extension (ghost rows turn to
+    garbage one ring per substep, exactly like the temporally-blocked
+    Pallas kernel), and keeps the still-valid center.  Fewer, larger ICI
+    messages — the stencil analog of ring-attention's comm/compute
+    overlap."""
     axis = mesh.axis_names[0]
     cfg = model.cfg
     n_cells = cfg.height * cfg.width
@@ -76,15 +98,13 @@ def make_spmd_chunk(
 
     def local_fn(state, *extras):
         i = 0
-        phase_ext = None
+        phase_local = None
         if has_phase:
-            phase_ext = extend_phase(extras[i], axis)
+            phase_local = extras[i]
             i += 1
         local_masks = extras[i:]
-        geom = halo_geometry(axis, phase_ext)
 
-        def body(s, _):
-            s = model.step(s, geom)
+        def probes_of(s):
             img = model.image(s)
             probes = {"v": probe_at(img, probe_row, probe_col, axis)}
             if local_masks:
@@ -92,7 +112,43 @@ def make_spmd_chunk(
                     masked_mean(img, m, axis, float(n_cells))
                     for m in local_masks
                 ])
-            return s, probes
+            return probes
+
+        if wide_halo:
+            from fib_tf_tpu.ops.pallas_tiled import tile_geometry
+
+            k = model.dt_per_step
+            h_local = next(iter(state.values())).shape[0]
+            if h_local < k:
+                raise ValueError(
+                    f"wide_halo needs >= {k} rows per shard "
+                    f"(dt_per_step), got {h_local}; use more rows or "
+                    f"fewer devices"
+                )
+            start = lax.axis_index(axis) * h_local - k
+            rg = start + jax.lax.broadcasted_iota(
+                jnp.int32, (h_local + 2 * k, 1), 0
+            )
+            phase_ext = (
+                _exchange_rows(phase_local, k, axis) if has_phase else None
+            )
+            geom = tile_geometry(rg, cfg.height, phase_ext)
+
+            def body(s, _):
+                ext = {kk: _exchange_rows(v, k, axis) for kk, v in s.items()}
+                ext = model.step(ext, geom)
+                s = {kk: v[k:-k] for kk, v in ext.items()}
+                return s, probes_of(s)
+
+        else:
+            phase_ext = (
+                extend_phase(phase_local, axis) if has_phase else None
+            )
+            geom = halo_geometry(axis, phase_ext)
+
+            def body(s, _):
+                s = model.step(s, geom)
+                return s, probes_of(s)
 
         return lax.scan(body, state, None, length=length)
 

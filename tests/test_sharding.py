@@ -175,3 +175,33 @@ class TestShardMapHalo:
             np.testing.assert_allclose(
                 np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
             )
+
+    def test_wide_halo_matches(self):
+        """One K-row exchange per outer step == per-substep exchanges ==
+        single device, including phase fields and global edges."""
+        from fib_tf_tpu.ops import stencil as st
+
+        # 128 rows over 8 shards = 16 rows/shard >= K ghost rows
+        for model_cls, extra, with_phase in [
+            (Fenton4v, {}, False),
+            (Fenton4v, {}, True),
+            (BeelerReuter, dict(diff=0.809, cheby=True, skip=True), False),
+        ]:
+            c = cfg(height=128, **extra)
+            model = model_cls(c)
+            phase = (
+                st.add_hole_to_phase_field(None, 128, 64, 32, 64, 10)
+                if with_phase else None
+            )
+            want = reference_run(model, 3, phase=phase)
+            mesh = make_mesh()
+            chunk = make_spmd_chunk(
+                model, mesh, length=3, phase=phase, wide_halo=True
+            )
+            got, probes = chunk(shard_state(model.initial_state(), mesh))
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6,
+                    err_msg=f"{model.name} phase={with_phase} {k}",
+                )
+            assert probes["v"].shape == (3,)
