@@ -52,11 +52,13 @@ class SimResult:
 class Simulation:
     """Owns a model + geometry + pacing protocol and drives the run."""
 
-    def __init__(self, model: IonicModel, sharding=None, mesh=None):
+    def __init__(self, model: IonicModel, sharding=None, mesh=None,
+                 wide_halo: bool = False):
         """`sharding`: a NamedSharding for the GSPMD path (XLA infers the
         halo collectives).  `mesh`: a jax Mesh for the explicit shard_map
-        path (per-substep ppermute halos, masked-psum probes;
-        parallel/spmd.py).  Mutually exclusive."""
+        path (ppermute halos, masked-psum probes; parallel/spmd.py), with
+        `wide_halo` selecting one K-row exchange per outer step instead of
+        per substep.  `sharding` and `mesh` are mutually exclusive."""
         if sharding is not None and mesh is not None:
             raise ValueError("pass either sharding (GSPMD) or mesh "
                              "(shard_map), not both")
@@ -69,6 +71,7 @@ class Simulation:
         self._geom: Optional[Geometry] = None
         self._chunk_cache: Dict[Tuple, Callable] = {}
         self._mesh = mesh
+        self._wide_halo = wide_halo
         if mesh is not None:
             from fib_tf_tpu.parallel.sharding import plane_sharding
 
@@ -240,6 +243,7 @@ class Simulation:
             length,
             phase=self.phase,
             egm_masks=self._egm_masks or None,
+            wide_halo=self._wide_halo,
         )
         model = self.model
 
