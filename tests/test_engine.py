@@ -53,6 +53,27 @@ class TestEvents:
         assert res.steps == 10
         assert np.isfinite(res.state["u"]).all()
 
+    def test_events_at_boundaries(self):
+        """Events at t=0 and t=duration must not break segmentation."""
+        cfg = small_cfg(duration=6)
+        sim = Simulation(Fenton4v(cfg)).define()
+        sim.add_pace_op("a", "top", 1.0)
+        sim.add_pace_op("b", "bottom", 1.0)
+        res = sim.simulate(schedule=[(0, "a"), (6, "b"), (3, "a")])
+        assert res.steps == 6
+
+    def test_court_trend_probe_stream(self):
+        """Courtemanche emits the trend probe (V, Na_i at the reference
+        pixel) once per outer step = once per 10 dt, court.py:107-112."""
+        from fib_tf_tpu.models import Courtemanche
+
+        cfg = small_cfg(duration=5, diff=0.809)
+        sim = Simulation(Courtemanche(cfg)).define()
+        res = sim.simulate()
+        assert res.probes["trend"].shape == (5, 2)
+        # Na_i stays near its initial 11.17 mM over 5 ms
+        assert abs(res.probes["trend"][-1, 1] - 11.17) < 0.5
+
     def test_pace_before_define_raises(self):
         sim = Simulation(Fenton4v(small_cfg()))
         with pytest.raises(AssertionError):
