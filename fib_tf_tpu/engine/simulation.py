@@ -181,8 +181,12 @@ class Simulation:
             from fib_tf_tpu.utils import cache
 
             cache.enable()
-            if self.model.name == "fenton":
-                # whole grid (4 planes) fits VMEM comfortably
+            n_planes = len(self.model.initial_state(s1=False))
+            state_mb = (
+                n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
+            )
+            if self.model.name == "fenton" and state_mb <= 8:
+                # whole grid fits VMEM (with temporaries) up to ~512x512
                 from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
                 return make_pallas_step(self.model, phase=self.phase)
