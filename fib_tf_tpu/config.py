@@ -68,14 +68,15 @@ class SimConfig:
 
     # -- engine tuning (new; no reference equivalent) --------------------------
     chunk_ms: Optional[float] = None  # host-loop granularity; default = dt_per_plot*dt
-    precision: str = "float32"        # reference is float32 throughout
     # step implementation: 'auto' picks the fused Pallas kernel where it is
     # profitable (small-state models, whole grid VMEM-resident) and the
     # XLA scan path elsewhere; 'xla' / 'pallas' force one.
     kernel: str = "auto"
 
     # -- parallelism (new; reference is single-device, SURVEY.md §2) ----------
-    mesh_shape: Optional[Tuple[int, ...]] = None   # e.g. (4, 2) rows×cols
+    # When set, Simulation builds a device mesh of this shape and shards
+    # the grid over it (GSPMD path); e.g. (8,) rows or (4, 2) rows x cols.
+    mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Tuple[str, ...] = ("x", "y")
 
     def __post_init__(self):
@@ -85,8 +86,6 @@ class SimConfig:
             raise ValueError("dt must be positive")
         if self.duration < 0:
             raise ValueError("duration must be non-negative")
-        if self.precision not in ("float32", "bfloat16"):
-            raise ValueError(f"unsupported precision: {self.precision}")
         if self.kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unsupported kernel: {self.kernel}")
 

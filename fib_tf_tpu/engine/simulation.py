@@ -70,6 +70,13 @@ class Simulation:
         self._defined = False
         self._geom: Optional[Geometry] = None
         self._chunk_cache: Dict[Tuple, Callable] = {}
+        if mesh is None and sharding is None and self.cfg.mesh_shape:
+            # config-driven GSPMD sharding (SimConfig.mesh_shape)
+            from fib_tf_tpu.parallel.sharding import make_mesh, plane_sharding
+
+            sharding = plane_sharding(
+                make_mesh(self.cfg.mesh_shape, self.cfg.mesh_axes)
+            )
         self._mesh = mesh
         self._wide_halo = wide_halo
         if mesh is not None:

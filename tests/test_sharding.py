@@ -72,6 +72,17 @@ class TestGSPMD:
                 np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
             )
 
+    def test_config_driven_mesh(self):
+        """SimConfig.mesh_shape wires GSPMD sharding without explicit
+        Simulation arguments."""
+        c = cfg(duration=3).replace(mesh_shape=(8,), mesh_axes=("x",))
+        sim = Simulation(Fenton4v(c)).define()
+        res = sim.simulate()
+        ref = Simulation(Fenton4v(cfg(duration=3))).define().simulate()
+        np.testing.assert_allclose(
+            res.state["u"], ref.state["u"], rtol=1e-5, atol=1e-6
+        )
+
     def test_engine_with_sharding(self):
         c = cfg(duration=5)
         mesh = make_mesh()
