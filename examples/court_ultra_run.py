@@ -27,7 +27,9 @@ from fib_tf_tpu.utils import checkpoint
 
 
 def cl_observer(sim, cyclelengths, i0, i, cl):
-    """Log cycle length + phase-weighted Na/Ca means (court_ultra.py:465-486)."""
+    """Log cycle length + phase-weighted means of Na/Ca and the ultra-slow
+    machinery (court_ultra.py:465-486), computed on-device when the run's
+    final state is available, host-side otherwise."""
     state = sim.state if sim.state is not None else sim._initial
     mean_na = phase_weighted_mean(state["Na_i"], sim.phase)
     mean_ca = phase_weighted_mean(state["f_Ca"], sim.phase)

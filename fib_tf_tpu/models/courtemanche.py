@@ -633,3 +633,24 @@ class CourtemancheUltra(Courtemanche):
             state["V"][self.cfg.width // 2, self.cfg.height // 8],
             state["us"][self.cfg.width // 2, self.cfg.height // 8],
         ])
+
+    def ultra_observables(self, state: State, phase=None) -> Dict[str, jnp.ndarray]:
+        """Phase-weighted spatial means of the ultra-slow machinery — the
+        quantities court_ultra's cl_observer logged from host-side
+        variable/intermediate reads (court_ultra.py:465-486), computed
+        on-device here.  Jit for repeated use."""
+        v = state["V"]
+        inter = calc_intermediates(v, xp=jnp, ultra_slow=True)
+        w = jnp.asarray(phase) if phase is not None else jnp.ones_like(v)
+        wsum = jnp.sum(w)
+
+        def mean(x):
+            return jnp.sum(x * w) / wsum
+
+        return {
+            "mean_na": mean(state["Na_i"]),
+            "mean_ca": mean(state["f_Ca"]),
+            "mean_us": mean(state["us"]),
+            "mean_us_infinity": mean(inter["us_infinity"]),
+            "mean_tau_us": mean(inter["tau_us"]),
+        }

@@ -167,6 +167,19 @@ class TestCourtemanche0D:
             apd[chronic] = above[-1] if len(above) else 0
         assert apd[True] < apd[False]
 
+    def test_ultra_observables(self):
+        import jax
+
+        model = CourtemancheUltra(CELL_CFG)
+        state = {k: jnp.asarray(v)
+                 for k, v in model.initial_state(s1=False).items()}
+        obs = jax.jit(model.ultra_observables)(state)
+        assert float(obs["mean_na"]) == pytest.approx(11.17, abs=0.01)
+        assert float(obs["mean_us"]) == pytest.approx(0.72, abs=0.01)
+        # at rest (-81.18 mV) the us gate's steady state sits high
+        assert 0.5 < float(obs["mean_us_infinity"]) <= 1.0
+        assert float(obs["mean_tau_us"]) > 0.0
+
     def test_ultra_slow_gate(self):
         model = CourtemancheUltra(CELL_CFG)
         state = model.initial_state(s1=False)
