@@ -143,6 +143,20 @@ class TestPhaseFieldRun:
 
 
 class TestGeneratorAPI:
+    def test_run_with_headless_screen(self):
+        """run(im=Screen) paints phase-masked frames every plot interval
+        (reference ionic.py:206-215)."""
+        from fib_tf_tpu.utils.viz import Screen
+
+        cfg = small_cfg(duration=4)
+        sim = Simulation(Fenton4v(cfg))
+        sim.add_hole_to_phase_field(24, 24, 6)
+        sim.define()
+        im = Screen(48, 48, backend="headless", keep_all_frames=True)
+        for _ in sim.run(im=im):
+            pass
+        assert len(im._backend.frames) == 4
+
     def test_run_generator_with_fire_op(self):
         cfg = small_cfg(duration=5)
         sim = Simulation(Fenton4v(cfg)).define()
