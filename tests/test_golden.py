@@ -48,6 +48,23 @@ def check(name, model, stim, n, v_scale):
     np.testing.assert_allclose(got, want, atol=1e-3 * v_scale, rtol=0)
 
 
+def test_golden_tissue():
+    """End-to-end tissue golden: 32x32 Fenton with a phase-field hole,
+    S1 stripe, S2 quadrant fire at 4 ms, 8 ms total — pins the stencil +
+    boundary + phase-field + event pipeline, not just the 0D reaction."""
+    from fib_tf_tpu.engine import Simulation
+
+    cfg = SimConfig(width=32, height=32, dt=0.1, dt_per_plot=10,
+                    diff=1.5, duration=8)
+    sim = Simulation(Fenton4v(cfg))
+    sim.add_hole_to_phase_field(16, 16, 5)
+    sim.define()
+    sim.add_pace_op("s2", "luq", 1.0)
+    res = sim.simulate(schedule=[(4, "s2")])
+    want = np.load(os.path.join(GOLDEN, "fenton_tissue_u.npy"))
+    np.testing.assert_allclose(res.state["u"], want, atol=1e-3, rtol=0)
+
+
 @pytest.mark.parametrize("name,factory,stim,n", [
     ("fenton_ap", lambda: Fenton4v(CFG), 0.3, 400),
     ("br_direct_ap", lambda: BeelerReuter(CFG.replace(cheby=False)), -30.0, 700),
