@@ -71,6 +71,19 @@ def main():
         print(f"{name}: {n} samples, peak={tr.max():.4f}, "
               f"final={tr[-1]:.4f}")
 
+    # tissue-level golden (see tests/test_golden.py::test_golden_tissue)
+    from fib_tf_tpu.engine import Simulation
+
+    tcfg = SimConfig(width=32, height=32, dt=0.1, dt_per_plot=10,
+                     diff=1.5, duration=8)
+    sim = Simulation(Fenton4v(tcfg))
+    sim.add_hole_to_phase_field(16, 16, 5)
+    sim.define()
+    sim.add_pace_op("s2", "luq", 1.0)
+    res = sim.simulate(schedule=[(4, "s2")])
+    np.save(os.path.join(OUT, "fenton_tissue_u.npy"), res.state["u"])
+    print(f"fenton_tissue_u: sum={res.state['u'].sum():.4f}")
+
 
 if __name__ == "__main__":
     main()
