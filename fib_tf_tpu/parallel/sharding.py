@@ -21,13 +21,25 @@ def make_mesh(
     shape: Optional[Tuple[int, ...]] = None,
     axes: Tuple[str, ...] = ("x", "y"),
     devices: Optional[Sequence] = None,
+    n_devices: Optional[int] = None,
 ) -> Mesh:
     """Build a device mesh.
 
     Default: all available devices in a 1D row mesh `('x',)`; pass
-    `shape=(4, 2)` for a 2D rows x cols decomposition.
+    `shape=(4, 2)` for a 2D rows x cols decomposition.  `n_devices`
+    requests exactly that many devices and raises if fewer exist —
+    a `devices[:n]` slice would otherwise silently build a smaller mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"(platform={devices[0].platform if devices else 'none'}); "
+                "refusing to silently shrink"
+            )
+        devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),)
         axes = axes[: 1]
