@@ -33,7 +33,6 @@ def main():
     )
     sim = Simulation(BeelerReuter(cfg)).define()
     # warm-up run (compile + first-touch), then the measured run
-    sim.cfg = cfg  # noqa: B010  (explicit for clarity)
     warm = sim.simulate(check_finite=False)
     res = sim.simulate(check_finite=False)
 

@@ -18,23 +18,24 @@ import numpy as np
 
 from fib_tf_tpu.config import SimConfig
 from fib_tf_tpu.engine import Simulation
-from fib_tf_tpu.engine.observers import (
-    fibrillation_density,
-    phase_weighted_mean,
-)
+from fib_tf_tpu.engine.observers import fibrillation_density
 from fib_tf_tpu.models import CourtemancheUltra
 from fib_tf_tpu.utils import checkpoint
 
 
 def cl_observer(sim, cyclelengths, i0, i, cl):
     """Log cycle length + phase-weighted means of Na/Ca and the ultra-slow
-    machinery (court_ultra.py:465-486), computed on-device when the run's
-    final state is available, host-side otherwise."""
-    state = sim.state if sim.state is not None else sim._initial
-    mean_na = phase_weighted_mean(state["Na_i"], sim.phase)
-    mean_ca = phase_weighted_mean(state["f_Ca"], sim.phase)
+    machinery (court_ultra.py:465-486).  The means are computed ON-DEVICE
+    inside the compiled scan and ride the per-step probe stream, so every
+    mid-run log line reports the LIVE state at step i — exactly like the
+    reference's .eval() reads at each cycle-length event."""
+    mean_na, mean_ca, mean_us, mean_us_inf, mean_tau_us = (
+        sim.probe_at_step(i, "ultra")
+    )
     cyclelengths.append([i0 + i, cl, mean_na, mean_ca])
-    print("%d:\t%d\t%.3f\t%.3f" % (i + i0, cl, mean_na, mean_ca))
+    print("%d:\t%d\t%.3f\t%.3f\tus=%.3f us_inf=%.3f tau_us=%.0f"
+          % (i + i0, cl, mean_na, mean_ca, mean_us, mean_us_inf,
+             mean_tau_us))
 
 
 def run_small(cfg, cyclelengths, radius=50, i0=0):

@@ -29,6 +29,9 @@ S2_DEFAULT_V = {"fenton": 1.0, "br": 10.0, "beeler_reuter": 10.0,
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fib_tf_tpu")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (jax is pre-imported in some "
+                        "environments, so JAX_PLATFORMS=cpu may be too late)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run a simulation")
@@ -204,6 +207,10 @@ def cmd_replay(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return {
         "run": cmd_run,
         "bench": cmd_bench,

@@ -144,9 +144,22 @@ class Simulation:
         return {k: put(jnp.asarray(v)) for k, v in init.items()}
 
     def _probes(self, state) -> Dict[str, jnp.ndarray]:
-        p = {"v": self.model.probe(state)}
+        # the reference samples the phase-MASKED image at the observer pixel
+        # (ionic.py:213-216); phase is static, so scaling the sampled value
+        # by phase[pixel] is identical and free
+        scale = 1.0
+        if self.phase is not None:
+            scale = float(
+                self.phase[20, self.cfg.width // 2]
+            )
+        p = {"v": self.model.probe(state) * scale}
         if hasattr(self.model, "trend_probe"):
             p["trend"] = self.model.trend_probe(state)
+        if hasattr(self.model, "ultra_observables"):
+            # court_ultra's phase-weighted means ride the stream so
+            # mid-run cl_observer logging sees LIVE values
+            # (reference court_ultra.py:465-486 read .eval() every event)
+            p["ultra"] = self.model.ultra_observables(state, self.phase)
         if self._egm_masks:
             img = self.model.image(state)
             p["egm"] = jnp.stack(
@@ -169,18 +182,38 @@ class Simulation:
         import jax as _jax
 
         # measured on v5e at 512x512 (us/substep): fenton whole-grid 9.9
-        # vs xla 18.1; br tiled 25.1 vs xla 33.4
-        return (
-            _jax.default_backend() == "tpu"
-            and self.model.name in ("fenton", "br")
-        )
+        # vs xla 18.1; br tiled 25.1 vs xla 33.4.  Mosaic requires the lane
+        # dimension aligned to 128 and rows to the f32 sublane multiple 8;
+        # misaligned (small) grids stay on the XLA path.
+        if (
+            _jax.default_backend() != "tpu"
+            or self.model.name not in ("fenton", "br")
+            or self.cfg.width % 128 != 0
+            or self.cfg.height % 8 != 0
+        ):
+            return False
+        if self.model.name == "br":
+            # the tiled kernel needs a tile size that divides H with room
+            # for the temporal halo; tiny grids have none
+            return self._pick_tile_rows(
+                self.cfg.height, self._halo_rows()
+            ) is not None
+        return True
+
+    def _halo_rows(self) -> int:
+        """Temporal-halo rows of the tiled kernel: dt_per_step rounded up
+        to the f32 sublane multiple (must match ops/pallas_tiled.py)."""
+        return ((self.model.dt_per_step + 7) // 8) * 8
 
     @staticmethod
-    def _pick_tile_rows(h: int) -> int:
+    def _pick_tile_rows(h: int, k: int) -> Optional[int]:
+        """Largest tile height dividing `h` that still fits its 2k-row
+        temporal halo inside the grid (ADVICE r1: a tile taller than
+        h - 2k would clamp its DMA window to a negative start)."""
         for t in (128, 64, 32, 16, 8):
-            if h % t == 0:
+            if h % t == 0 and h >= t + 2 * k:
                 return t
-        raise ValueError(f"grid height {h} not divisible by 8")
+        return None
 
     def _step_fn(self):
         """The outer-step implementation for this run."""
@@ -199,18 +232,27 @@ class Simulation:
                 return make_pallas_step(self.model, phase=self.phase)
             from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
 
+            tile_rows = self._pick_tile_rows(
+                self.cfg.height, self._halo_rows()
+            )
+            if tile_rows is None:
+                raise ValueError(
+                    f"no valid tile size for height {self.cfg.height} with "
+                    f"{self._halo_rows()}-row temporal halo; use "
+                    f"kernel='xla' or a taller grid"
+                )
             return make_tiled_pallas_step(
                 self.model,
-                tile_rows=self._pick_tile_rows(self.cfg.height),
+                tile_rows=tile_rows,
                 phase=self.phase,
             )
         model, geom = self.model, self._geom
         return lambda state: model.step(state, geom)
 
-    def _chunk_fn(self, length: int, with_frames: bool = False):
+    def _chunk_fn(self, length: int):
         """Jitted scan of `length` outer steps; emits probe streams and a
-        finiteness flag, optionally per-plot-step frames."""
-        key = (length, with_frames, id(self._geom))
+        finiteness flag."""
+        key = (length, id(self._geom))
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
@@ -221,14 +263,10 @@ class Simulation:
 
         model = self.model
         step = self._step_fn()
-        plot_interval = self.cfg.plot_interval(model.dt_per_step)
 
         def body(state, _):
             state = step(state)
-            out = self._probes(state)
-            if with_frames:
-                out["frame"] = model.image(state)
-            return state, out
+            return state, self._probes(state)
 
         @partial(jax.jit, donate_argnums=0)
         def chunk(state):
@@ -283,6 +321,13 @@ class Simulation:
         self._pace_jit = pace
         return pace
 
+    def probe_at_step(self, i: int, key: str) -> np.ndarray:
+        """Probe value at outer step `i` from the chunk currently being
+        consumed — valid inside cl_observer callbacks, whose step indices
+        always fall in the live window."""
+        start, out = self._probe_window
+        return np.asarray(out[key][i - start])
+
     def fire_on(self, state, name: str):
         """Apply a registered pacing op to a device state (fire_op analog)."""
         mask = jnp.asarray(self._pace_masks[name])
@@ -327,8 +372,12 @@ class Simulation:
         plot_interval = cfg.plot_interval(model.dt_per_step)
 
         # --- segment boundaries: event times (snapped to outer steps) -----
+        # +1 matches the reference run()-loop semantics: the generator
+        # steps, yields i, and the caller fires at i == s2_step — i.e.
+        # AFTER s2_step + 1 outer steps (ionic.py:171-245 usage); the
+        # run()/fire_op path here does the same (ADVICE r1 #3).
         events = sorted(
-            (min(self.millisecond_to_step(ms), samples), name)
+            (min(self.millisecond_to_step(ms) + 1, samples), name)
             for ms, name in schedule
         )
         bounds = [0] + [e[0] for e in events] + [samples]
@@ -357,20 +406,31 @@ class Simulation:
         ev_idx = 0
         step = 0
 
+        def cut(seg: int, at_step: int) -> int:
+            """Chunk length: capped at max_chunk_steps and cut so chunk
+            boundaries land exactly on frame-stride multiples even after
+            an oddly-placed event shifts them (ADVICE r1 #2)."""
+            l = min(seg, max_chunk_steps)
+            if frame_stride:
+                l = min(l, frame_stride - at_step % frame_stride)
+            return l
+
         # compile everything first so elapsed measures steady-state compute.
         # jax.jit is lazy — building the wrapper is not enough; each unique
         # chunk length must be EXECUTED once (on a throwaway state copy)
         # to populate the executable cache.
         lengths = set()
+        sim_step = 0
         for a, b in zip(bounds[:-1], bounds[1:]):
             seg = b - a
             while seg > 0:
-                l = min(seg, max_chunk_steps)
+                l = cut(seg, sim_step)
                 lengths.add(l)
                 seg -= l
+                sim_step += l
         if warmup:
             for l in lengths:
-                chunk = self._chunk_fn(l, with_frames=False)
+                chunk = self._chunk_fn(l)
                 scratch = self._device_state(state)
                 s_out, out, fin = chunk(scratch)
                 jax.device_get(out["v"][-1:])
@@ -385,8 +445,8 @@ class Simulation:
         for a, b in zip(bounds[:-1], bounds[1:]):
             seg = b - a
             while seg > 0:
-                l = min(seg, max_chunk_steps)
-                chunk = self._chunk_fn(l, with_frames=False)
+                l = cut(seg, step)
+                chunk = self._chunk_fn(l)
                 dev_state, out, finite = chunk(dev_state)
                 # single host round trip per chunk (the tunnel's per-sync
                 # latency dominates small transfers)
@@ -398,6 +458,9 @@ class Simulation:
                     )
                 for k, v in host_out.items():
                     probes_acc.setdefault(k, []).append(np.asarray(v))
+                # expose this chunk's probe window so cl_observer callbacks
+                # can read live per-step values (probe_at_step)
+                self._probe_window = (step, host_out)
                 detector.feed(step, np.asarray(host_out["v"]))
                 step += l
                 seg -= l

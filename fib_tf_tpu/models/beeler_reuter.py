@@ -277,7 +277,10 @@ class BeelerReuter(IonicModel):
         terms = self._terms(v0) if self.cfg.cheby else None
         gates = self._update_gates(v0, state, n, terms)
 
-        i_k1, i_x1, i_na, i_ca = self.currents(v0, state["C"], gates, terms)
+        # Currents use the PRE-update gates: reference br.py:160-168 feeds
+        # M/H/J/D/F/XI (not M1...) into iNa/iCa/ix1.  Ordering is
+        # load-bearing (~0.4 mV/AP if violated).
+        i_k1, i_x1, i_na, i_ca = self.currents(v0, state["C"], state, terms)
         i_sum = i_k1 + i_x1 + i_na + i_ca
 
         v1 = jnp.clip(

@@ -248,12 +248,17 @@ def calc_intermediates(v, xp=jnp, ultra_slow: bool = False) -> Dict:
     inter["i_Kra"] = (CM * G_KR) / (1.0 + xp.exp((v + 15.0) / 22.4))
 
     if ultra_slow:
-        alpha_us = 3e-5 * (0.5 * (1.0 - xp.tanh((v - V_US) / K_US)))
-        beta_us = 1e-5 * (0.5 * (1.0 + xp.tanh((v - (V_US + 30.0)) / K_US)))
-        inter["us_infinity"] = alpha_us / (alpha_us + beta_us)
-        inter["tau_us"] = 1.0 / (alpha_us + beta_us)
+        inter["us_infinity"], inter["tau_us"] = us_rates(v, xp)
 
     return inter
+
+
+def us_rates(v, xp=jnp):
+    """Ultra-slow gate inf/tau from the tanh-shaped alpha/beta rates
+    (reference court_ultra.py:445-450)."""
+    alpha_us = 3e-5 * (0.5 * (1.0 - xp.tanh((v - V_US) / K_US)))
+    beta_us = 1e-5 * (0.5 * (1.0 + xp.tanh((v - (V_US + 30.0)) / K_US)))
+    return alpha_us / (alpha_us + beta_us), 1.0 / (alpha_us + beta_us)
 
 
 def calc_intermediates_np(v: np.ndarray) -> Dict[str, np.ndarray]:
@@ -634,23 +639,30 @@ class CourtemancheUltra(Courtemanche):
             state["us"][self.cfg.width // 2, self.cfg.height // 8],
         ])
 
-    def ultra_observables(self, state: State, phase=None) -> Dict[str, jnp.ndarray]:
+    # key order of the stacked `ultra` probe stream (engine _probes)
+    ULTRA_KEYS = ("mean_na", "mean_ca", "mean_us",
+                  "mean_us_infinity", "mean_tau_us")
+
+    def ultra_observables(self, state: State, phase=None) -> jnp.ndarray:
         """Phase-weighted spatial means of the ultra-slow machinery — the
         quantities court_ultra's cl_observer logged from host-side
         variable/intermediate reads (court_ultra.py:465-486), computed
-        on-device here.  Jit for repeated use."""
+        on-device here as a [5] vector ordered by ULTRA_KEYS.
+
+        Only the two us-gate rate fields are recomputed (us_rates), not the
+        full 30-intermediate set — this rides the per-step probe stream."""
         v = state["V"]
-        inter = calc_intermediates(v, xp=jnp, ultra_slow=True)
+        us_inf, tau_us = us_rates(v, jnp)
         w = jnp.asarray(phase) if phase is not None else jnp.ones_like(v)
         wsum = jnp.sum(w)
 
         def mean(x):
             return jnp.sum(x * w) / wsum
 
-        return {
-            "mean_na": mean(state["Na_i"]),
-            "mean_ca": mean(state["f_Ca"]),
-            "mean_us": mean(state["us"]),
-            "mean_us_infinity": mean(inter["us_infinity"]),
-            "mean_tau_us": mean(inter["tau_us"]),
-        }
+        return jnp.stack([
+            mean(state["Na_i"]),
+            mean(state["f_Ca"]),
+            mean(state["us"]),
+            mean(us_inf),
+            mean(tau_us),
+        ])

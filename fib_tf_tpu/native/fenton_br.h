@@ -137,17 +137,19 @@ inline BRState brStep(const BRState& s, double dt, int n) {
     o.f = brRushLarsen(s.f, s.v, G_F, dt * n);
   }
 
+  // Currents use the PRE-update gates (s.*, not o.*): reference
+  // br.py:160-168 feeds M/H/J/D/F/XI — not M1... — into ix1/iNa/iCa.
   const double v = s.v;
   const double i_k1 = 0.35 * (
       4.0 * (std::exp(0.04 * (v + 85.0)) - 1.0) /
           (std::exp(0.08 * (v + 53.0)) + std::exp(0.04 * (v + 53.0))) +
       0.2 * ((v + 23.0) / (1.0 - std::exp(-0.04 * (v + 23.0)))));
-  const double i_x1 = o.x1 * 0.8 * (std::exp(0.04 * (v + 77.0)) - 1.0) /
+  const double i_x1 = s.x1 * 0.8 * (std::exp(0.04 * (v + 77.0)) - 1.0) /
                       std::exp(0.04 * (v + 35.0));
   const double i_na =
-      (g_na * o.m * o.m * o.m * o.h * o.j + g_nac) * (v - e_na);
+      (g_na * s.m * s.m * s.m * s.h * s.j + g_nac) * (v - e_na);
   const double e_ca = -82.3 - 13.0278 * std::log(s.c);
-  const double i_ca = g_s * o.d * o.f * (v - e_ca);
+  const double i_ca = g_s * s.d * s.f * (v - e_ca);
 
   double v1 = v - dt * (i_k1 + i_x1 + i_na + i_ca);
   v1 = v1 < -85.0 ? -85.0 : (v1 > 25.0 ? 25.0 : v1);

@@ -119,6 +119,13 @@ def make_tiled_pallas_step(
     # multiple (8) so every dynamic row offset stays provably aligned
     k = ((model.dt_per_step + 7) // 8) * 8
     ext_h = tile_rows + 2 * k
+    if h < ext_h:
+        # tile_start clamps the DMA window to [0, h - ext_h]; a negative
+        # upper bound would produce an out-of-bounds read (ADVICE r1 #1)
+        raise ValueError(
+            f"height {h} < tile_rows + 2*halo = {ext_h}; pick a smaller "
+            f"tile_rows or use the whole-grid/XLA path"
+        )
     n_tiles = h // tile_rows
     names = tuple(sorted(model.initial_state(s1=False).keys()))
     n = len(names)

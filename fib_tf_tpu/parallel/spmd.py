@@ -94,6 +94,11 @@ def make_spmd_chunk(
 
     has_phase = phase is not None
     phase_arr = jnp.asarray(phase) if has_phase else None
+    # the reference probes the phase-masked image (ionic.py:213-216);
+    # phase is static so a scalar factor at the probe pixel is identical
+    probe_scale = (
+        float(np.asarray(phase)[probe_row, probe_col]) if has_phase else 1.0
+    )
     masks = [jnp.asarray(m) for m in (egm_masks or [])]
 
     def local_fn(state, *extras):
@@ -106,7 +111,9 @@ def make_spmd_chunk(
 
         def probes_of(s):
             img = model.image(s)
-            probes = {"v": probe_at(img, probe_row, probe_col, axis)}
+            probes = {
+                "v": probe_at(img, probe_row, probe_col, axis) * probe_scale
+            }
             if local_masks:
                 probes["egm"] = jnp.stack([
                     masked_mean(img, m, axis, float(n_cells))

@@ -200,6 +200,7 @@ class Screen:
         self.height, self.width = height, width
         self.cmap = cmap
         self._annotations: List = []
+        self._last_rgb: Optional[np.ndarray] = None
         if backend == "auto":
             backend = self._pick_backend()
         if backend == "sdl":
@@ -229,6 +230,9 @@ class Screen:
         rgb = to_rgb(image, self.cmap)
         if self._annotations:
             rgb = self._compose_annotations(rgb)
+        # cache backend-independently so save() works on SDL/matplotlib too
+        # (the reference reads pixels back from the renderer, screen.py:364-374)
+        self._last_rgb = rgb
         self._backend.present(rgb)
 
     def plot(self, series: np.ndarray, color=(255, 64, 64)):
@@ -279,7 +283,9 @@ class Screen:
 
     def save(self, path: str):
         """Write the current frame as PNG (reference screen.py:364-374)."""
-        frame = getattr(self._backend, "last_frame", None)
+        frame = self._last_rgb
+        if frame is None:
+            frame = getattr(self._backend, "last_frame", None)
         if frame is None:
             raise RuntimeError("no frame to save (imshow never called?)")
         from PIL import Image

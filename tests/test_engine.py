@@ -109,6 +109,66 @@ class TestProbes:
         assert res.frames is not None
         assert res.frames.shape == (5, 48, 48)
 
+    def test_frames_survive_odd_event(self):
+        """An event landing between frame strides must not desync frame
+        recording (chunks realign to the stride; ADVICE r1 #2)."""
+        cfg = small_cfg(duration=10)
+        sim = Simulation(Fenton4v(cfg)).define()
+        sim.add_pace_op("s2", "luq", 1.0)
+        res = sim.simulate(schedule=[(2.5, "s2")],
+                           record_frames_every_ms=2)
+        assert res.frames is not None
+        assert res.frames.shape == (5, 48, 48)
+
+    def test_ultra_probe_stream_is_live(self):
+        """court_ultra's phase-weighted means ride the probe stream; the
+        final streamed row must match a host recompute on the final state
+        and the stream must actually evolve (VERDICT r1 weak #4)."""
+        from fib_tf_tpu.models import CourtemancheUltra
+        from fib_tf_tpu.models.courtemanche import us_rates
+
+        cfg = small_cfg(duration=5, diff=0.809, ultra_slow=True)
+        sim = Simulation(CourtemancheUltra(cfg))
+        sim.add_hole_to_phase_field(24, 24, 6)
+        sim.define()
+        res = sim.simulate()
+        assert res.probes["ultra"].shape == (5, 5)
+        # stream evolves mid-run (the S1 stripe depolarizes tissue)
+        assert not np.allclose(res.probes["ultra"][0],
+                               res.probes["ultra"][-1])
+        # final row == host recompute on the final state
+        last = res.probes["ultra"][-1]
+        us_inf, tau_us = us_rates(res.state["V"], np)
+        expect = [
+            phase_weighted_mean(res.state["Na_i"], sim.phase),
+            phase_weighted_mean(res.state["f_Ca"], sim.phase),
+            phase_weighted_mean(res.state["us"], sim.phase),
+            phase_weighted_mean(us_inf, sim.phase),
+            phase_weighted_mean(tau_us, sim.phase),
+        ]
+        np.testing.assert_allclose(last, expect, rtol=2e-3)
+
+
+class TestAPIEquivalence:
+    def test_simulate_matches_run_generator(self):
+        """simulate(schedule=[(t, op)]) and the run()/fire_op generator
+        must produce bit-identical states for the same S2 time — the
+        reference has one protocol, not two (ADVICE r1 #3)."""
+        cfg = small_cfg(duration=5)
+
+        sim_a = Simulation(Fenton4v(cfg)).define()
+        sim_a.add_pace_op("s2", "luq", 1.0)
+        res = sim_a.simulate(schedule=[(2, "s2")])
+
+        sim_b = Simulation(Fenton4v(cfg)).define()
+        sim_b.add_pace_op("s2", "luq", 1.0)
+        s2 = sim_b.millisecond_to_step(2)
+        for i in sim_b.run(im=None, keep_state=True):
+            if i == s2:
+                sim_b.fire_op("s2")
+
+        np.testing.assert_array_equal(res.state["u"], sim_b.state["u"])
+
 
 class TestCheckpointResume:
     def test_state_handoff(self):

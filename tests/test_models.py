@@ -173,7 +173,8 @@ class TestCourtemanche0D:
         model = CourtemancheUltra(CELL_CFG)
         state = {k: jnp.asarray(v)
                  for k, v in model.initial_state(s1=False).items()}
-        obs = jax.jit(model.ultra_observables)(state)
+        vec = jax.jit(model.ultra_observables)(state)
+        obs = dict(zip(model.ULTRA_KEYS, np.asarray(vec)))
         assert float(obs["mean_na"]) == pytest.approx(11.17, abs=0.01)
         assert float(obs["mean_us"]) == pytest.approx(0.72, abs=0.01)
         # at rest (-81.18 mV) the us gate's steady state sits high

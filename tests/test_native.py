@@ -161,7 +161,50 @@ class TestNativeTable:
             lambda st: jax.lax.scan(body, st, None, length=600)
         )(s)
         v_py_ms = np.asarray(v_py)[1::2]   # sample every 1 ms
-        assert np.abs(v_native - v_py_ms).max() < 1.0
+        # tight pin: the only remaining difference is f32 (JAX) vs f64
+        # (C++); measured max delta 1.4e-4 mV.  A gate-ordering violation
+        # (currents from post-update gates, the round-1 bug) shows up as
+        # ~0.4 mV and MUST fail here.
+        assert np.abs(v_native - v_py_ms).max() < 5e-3
+
+    def test_cell_sim_br_skip_matches_python(self):
+        """Same cross-check in multi-rate (--skip) mode, pinning the
+        slow-gate freeze/advance schedule across Python and C++."""
+        import subprocess
+
+        import jax
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import BeelerReuter, cell_geometry
+
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        out = subprocess.run(
+            [exe, "br", "300", "0.1", "-30", "--skip"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        v_native = np.asarray(
+            [float(l.split()[1]) for l in out.strip().splitlines()]
+        )
+
+        model = BeelerReuter(SimConfig(
+            width=8, height=8, dt=0.1, duration=1,
+            cheby=False, skip=True, fast_currents=False,
+        ))
+        state = model.initial_state(s1=False)
+        state["V"][:] = -30.0
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in state.items()}
+
+        def body(st, _):
+            st = model.step(st, geom)   # 5 substeps = 0.5 ms
+            return st, st["V"][0, 0]
+
+        _, v_py = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=600)
+        )(s)
+        v_py_ms = np.asarray(v_py)[1::2]
+        assert np.abs(v_native - v_py_ms).max() < 5e-3
 
     def test_lookup_consumes_native_table(self):
         import jax.numpy as jnp
