@@ -181,8 +181,10 @@ class Simulation:
             return False
         import jax as _jax
 
-        # measured on v5e at 512x512 (us/substep): fenton whole-grid 9.9
-        # vs xla 18.1; br tiled 25.1 vs xla 33.4.  Mosaic requires the lane
+        # measured on v5e at 512x512 (us/substep, sync-corrected): fenton
+        # whole-grid 6.2 vs xla 14.3; br tiled 18.1 vs xla 23.6; court
+        # stays xla (43.7 vs tiled 44.5 — compute-bound, see
+        # docs/OPTIMIZATIONS.md §8c).  Mosaic requires the lane
         # dimension aligned to 128 and rows to the f32 sublane multiple 8;
         # misaligned (small) grids stay on the XLA path.
         if (

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Kernel-level microbenchmark: µs per substep of one outer step, measured
+as a jitted scan on whatever backend jax provides (the real TPU under
+axon).  The numbers in docs/OPTIMIZATIONS.md §8 come from this tool.
+
+  python tools/kernel_bench.py br --kernel tiled --tile-rows 128
+  python tools/kernel_bench.py court --kernel xla
+  python tools/kernel_bench.py fenton --kernel whole
+"""
+
+import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_step(model, kernel: str, tile_rows: int, phase=None):
+    if kernel == "xla":
+        from fib_tf_tpu.models.base import grid_geometry
+
+        geom = grid_geometry(phase)
+        return lambda s: model.step(s, geom)
+    if kernel == "whole":
+        from fib_tf_tpu.ops.pallas_step import make_pallas_step
+
+        return make_pallas_step(model, phase=phase)
+    if kernel == "tiled":
+        from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
+
+        return make_tiled_pallas_step(model, tile_rows=tile_rows, phase=phase)
+    raise ValueError(kernel)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("model", choices=["fenton", "br", "court", "court_ultra"])
+    p.add_argument("--kernel", default="xla",
+                   choices=["xla", "whole", "tiled"])
+    p.add_argument("--tile-rows", type=int, default=128)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--outer", type=int, default=200,
+                   help="outer steps per timed scan")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--cheby", action="store_true", default=True)
+    p.add_argument("--no-cheby", dest="cheby", action="store_false")
+    p.add_argument("--skip", action="store_true", default=True)
+    p.add_argument("--no-skip", dest="skip", action="store_false")
+    args = p.parse_args()
+
+    from fib_tf_tpu.config import SimConfig
+    from fib_tf_tpu.models import MODEL_REGISTRY
+    from fib_tf_tpu.utils import cache
+    from fib_tf_tpu.utils.profiling import sync, time_fn
+
+    cache.enable()
+    cfg = SimConfig(width=args.size, height=args.size, dt=0.1, duration=1,
+                    diff=0.809, cheby=args.cheby, skip=args.skip,
+                    ultra_slow=(args.model == "court_ultra"))
+    model = MODEL_REGISTRY[args.model](cfg)
+    step = build_step(model, args.kernel, args.tile_rows)
+
+    state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+
+    def make_scan(n):
+        @jax.jit
+        def scan(s):
+            return jax.lax.scan(lambda st, _: (step(st), None), s, None,
+                                length=n)[0]
+        return scan
+
+    # the axon tunnel adds a ~30 ms constant per host sync; difference two
+    # scan lengths so the reported number is pure device time
+    scan1, scan2 = make_scan(args.outer), make_scan(2 * args.outer)
+    print("compiling...", flush=True)
+    sync(scan1(state))
+    sync(scan2(state))
+    t1 = time_fn(scan1, state, iters=args.iters, warmup=1)
+    t2 = time_fn(scan2, state, iters=args.iters, warmup=1)
+    substeps = args.outer * model.dt_per_step
+    us = (t2 - t1) / substeps * 1e6
+    print(f"{args.model} {args.kernel}"
+          f"{' tile=' + str(args.tile_rows) if args.kernel == 'tiled' else ''}"
+          f" @ {args.size}x{args.size}: {us:.1f} us/substep"
+          f" (t1={t1*1e3:.1f} ms, t2={t2*1e3:.1f} ms, {substeps} substeps)")
+
+
+if __name__ == "__main__":
+    main()
