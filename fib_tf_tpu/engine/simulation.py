@@ -79,6 +79,16 @@ class Simulation:
             )
         self._mesh = mesh
         self._wide_halo = wide_halo
+        if wide_halo and mesh is not None:
+            n_row_shards = int(mesh.devices.shape[0])
+            rows = self.cfg.height // n_row_shards
+            if rows < model.dt_per_step:
+                raise ValueError(
+                    f"wide_halo needs >= dt_per_step={model.dt_per_step} "
+                    f"rows per shard, got {rows} "
+                    f"({self.cfg.height} rows / {n_row_shards} shards); "
+                    "use fewer row shards or a taller grid"
+                )
         if mesh is not None:
             from fib_tf_tpu.parallel.sharding import plane_sharding
 

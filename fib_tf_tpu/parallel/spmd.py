@@ -45,12 +45,28 @@ def probe_at(img_local: jnp.ndarray, row: int, col: int,
     return lax.psum(val, axis_name)
 
 
+def probe_at_2d(img_local: jnp.ndarray, row: int, col: int,
+                row_axis: str, col_axis: str) -> jnp.ndarray:
+    """Replicated scalar img[row, col] from a [rows, cols]-sharded block:
+    only the shard owning both coordinates contributes to the psum."""
+    h, w = img_local.shape
+    lr = row - lax.axis_index(row_axis) * h
+    lc = col - lax.axis_index(col_axis) * w
+    owned = (lr >= 0) & (lr < h) & (lc >= 0) & (lc < w)
+    val = jnp.where(
+        owned,
+        img_local[jnp.clip(lr, 0, h - 1), jnp.clip(lc, 0, w - 1)],
+        0.0,
+    )
+    return lax.psum(val, (row_axis, col_axis))
+
+
 def masked_mean(img_local: jnp.ndarray, mask_local: jnp.ndarray,
-                axis_name: str, denom: float) -> jnp.ndarray:
+                axis_names, denom: float) -> jnp.ndarray:
     """Global mean(img * mask) as a psum of local partial sums — the
     electrogram reduction moved on-device (reference egm.py:45-47 did this
-    on the host)."""
-    return lax.psum(jnp.sum(img_local * mask_local), axis_name) / denom
+    on the host).  `axis_names` may be one axis or a tuple (2D mesh)."""
+    return lax.psum(jnp.sum(img_local * mask_local), axis_names) / denom
 
 
 def _exchange_rows(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
@@ -83,13 +99,27 @@ def make_spmd_chunk(
     garbage one ring per substep, exactly like the temporally-blocked
     Pallas kernel), and keeps the still-valid center.  Fewer, larger ICI
     messages — the stencil analog of ring-attention's comm/compute
-    overlap."""
+    overlap.
+
+    2D meshes (rows x cols) are supported on the per-substep path: halo
+    exchange runs in two phases (rows, then columns of the row-extended
+    block, which carries the diagonal corners for free — halo.extend_2d);
+    probes psum over both axes.  wide_halo is 1D-only.
+    """
+    is_2d = len(mesh.axis_names) >= 2 and mesh.devices.shape[1] > 1
     axis = mesh.axis_names[0]
+    col_axis = mesh.axis_names[1] if is_2d else None
+    if wide_halo and is_2d:
+        raise ValueError(
+            "wide_halo is implemented for 1D (row) meshes only; use a "
+            "mesh shaped (n, 1) or the per-substep 2D path"
+        )
     cfg = model.cfg
     n_cells = cfg.height * cfg.width
     probe_row, probe_col = 20, cfg.width // 2
 
-    plane = P(axis)
+    all_axes = (axis, col_axis) if is_2d else axis
+    plane = P(axis, col_axis) if is_2d else P(axis)
     state_spec = {k: plane for k in model.initial_state(s1=False)}
 
     has_phase = phase is not None
@@ -111,12 +141,14 @@ def make_spmd_chunk(
 
         def probes_of(s):
             img = model.image(s)
-            probes = {
-                "v": probe_at(img, probe_row, probe_col, axis) * probe_scale
-            }
+            if is_2d:
+                v = probe_at_2d(img, probe_row, probe_col, axis, col_axis)
+            else:
+                v = probe_at(img, probe_row, probe_col, axis)
+            probes = {"v": v * probe_scale}
             if local_masks:
                 probes["egm"] = jnp.stack([
-                    masked_mean(img, m, axis, float(n_cells))
+                    masked_mean(img, m, all_axes, float(n_cells))
                     for m in local_masks
                 ])
             return probes
@@ -145,6 +177,21 @@ def make_spmd_chunk(
                 ext = {kk: _exchange_rows(v, k, axis) for kk, v in s.items()}
                 ext = model.step(ext, geom)
                 s = {kk: v[k:-k] for kk, v in ext.items()}
+                return s, probes_of(s)
+
+        elif is_2d:
+            from fib_tf_tpu.parallel.halo import (
+                extend_phase_2d, halo_geometry_2d,
+            )
+
+            phase_ext = (
+                extend_phase_2d(phase_local, axis, col_axis)
+                if has_phase else None
+            )
+            geom = halo_geometry_2d(axis, col_axis, phase_ext)
+
+            def body(s, _):
+                s = model.step(s, geom)
                 return s, probes_of(s)
 
         else:
