@@ -261,20 +261,21 @@ class Simulation:
         model, geom = self.model, self._geom
         return lambda state: model.step(state, geom)
 
-    def _chunk_fn(self, length: int):
+    def _chunk_fn(self, length: int, step=None, variant: str = ""):
         """Jitted scan of `length` outer steps; emits probe streams and a
-        finiteness flag."""
-        key = (length, id(self._geom))
+        finiteness flag.  `step` overrides the outer-step function (used
+        by the fast/slow tick dispatch); `variant` keys the cache."""
+        key = (length, id(self._geom), variant)
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
-        if self._mesh is not None:
+        if self._mesh is not None and step is None:
             chunk = self._spmd_chunk_fn(length)
             self._chunk_cache[key] = chunk
             return chunk
 
         model = self.model
-        step = self._step_fn()
+        step = step if step is not None else self._step_fn()
 
         def body(state, _):
             state = step(state)
@@ -522,7 +523,22 @@ class Simulation:
         model, cfg = self.model, self.cfg
         samples = cfg.samples(model.dt_per_step)
         plot_interval = cfg.plot_interval(model.dt_per_step)
-        step_fn = self._chunk_fn(1)
+        if model.fast_slow_ratio:
+            # tick-indexed fast/slow dispatch (reference ionic.py:277-286):
+            # two compiled variants, selected per outer step
+            geom = self._geom
+            fast = self._chunk_fn(
+                1, step=lambda s: model.fast_step(s, geom), variant="fast")
+            slow = self._chunk_fn(
+                1, step=lambda s: model.slow_step(s, geom), variant="slow")
+
+            def step_fn_of(i):
+                return slow if i % model.fast_slow_ratio == 0 else fast
+        else:
+            base = self._chunk_fn(1)
+
+            def step_fn_of(i):
+                return base
         self._dev_state = self._device_state()
         detector = CycleLengthDetector(
             cfg.dt, model.dt_per_step, plot_interval, self.cl_observer
@@ -530,7 +546,7 @@ class Simulation:
 
         then = time.time()
         for i in range(samples):
-            self._dev_state, out, _finite = step_fn(self._dev_state)
+            self._dev_state, out, _finite = step_fn_of(i)(self._dev_state)
             yield i
             if im is not None and i % plot_interval == 0:
                 im.imshow(np.asarray(self._image_fn()(self._dev_state)))

@@ -114,6 +114,35 @@ class IonicModel:
             state = self.solve(state, geom)
         return state
 
+    # -- tick-indexed fast/slow dispatch (reference ionic.py:277-286) -----------
+    #
+    # The reference's third multi-rate mechanism: a subclass that defines
+    # `fast_slow_ratio` (plus fast_step/slow_step) gets its slow step on
+    # every `fast_slow_ratio`-th outer tick and the fast step otherwise.
+    # Like the reference (where it was defined but unused by the three
+    # models), none of the bundled models sets it; the engine's run()
+    # generator honors it for user extensions.
+    fast_slow_ratio: Optional[int] = None
+
+    def fast_step(self, state: State, geom: Geometry) -> State:
+        """Outer step when tick % fast_slow_ratio != 0 (the _ode_fast_op
+        analog).  Override together with fast_slow_ratio."""
+        return self.step(state, geom)
+
+    def slow_step(self, state: State, geom: Geometry) -> State:
+        """Outer step when tick % fast_slow_ratio == 0 (the _ode_slow_op
+        analog)."""
+        return self.step(state, geom)
+
+    def step_for_tick(self, state: State, geom: Geometry, tick: int) -> State:
+        """Dispatch mirroring reference ionic.py:277-286: models with a
+        fused `step` just use it; fast_slow_ratio models split by tick."""
+        if self.fast_slow_ratio:
+            if tick % self.fast_slow_ratio == 0:
+                return self.slow_step(state, geom)
+            return self.fast_step(state, geom)
+        return self.step(state, geom)
+
     # -- views ------------------------------------------------------------------
 
     def pot(self, state: State) -> jnp.ndarray:

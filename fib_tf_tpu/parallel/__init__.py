@@ -12,6 +12,7 @@ from fib_tf_tpu.parallel.sharding import (
     make_mesh,
     plane_sharding,
     shard_state,
+    shard_state_global,
 )
 from fib_tf_tpu.parallel.halo import halo_exchange_step
 
@@ -19,5 +20,6 @@ __all__ = [
     "make_mesh",
     "plane_sharding",
     "shard_state",
+    "shard_state_global",
     "halo_exchange_step",
 ]

@@ -63,3 +63,18 @@ def shard_state(state: Dict[str, np.ndarray], mesh: Mesh):
     """Place every plane of a state pytree with the grid sharding."""
     sh = plane_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in state.items()}
+
+
+def shard_state_global(state: Dict[str, np.ndarray], mesh: Mesh):
+    """Multi-process variant of shard_state: build global arrays from the
+    (replicated, deterministic) host state via make_array_from_callback —
+    each process materializes only its addressable shards.  Use under
+    `jax.distributed` where `jax.device_put` cannot place onto
+    non-addressable devices."""
+    sh = plane_sharding(mesh)
+
+    def put(v):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, sh, lambda idx: v[idx])
+
+    return {k: put(v) for k, v in state.items()}

@@ -1,0 +1,91 @@
+"""Multi-process smoke test of the distributed runtime glue
+(parallel/distributed.py): two OS processes, each with 2 virtual CPU
+devices, join one jax.distributed job and advance a GSPMD-sharded
+Beeler-Reuter step over the 4-device global mesh (VERDICT r1 #10).
+
+This is the DCN story's CPU stand-in: the same initialize() + global
+mesh + sharded step that spans hosts on a real pod.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models import BeelerReuter, grid_geometry
+from fib_tf_tpu.parallel import distributed, shard_state_global
+
+distributed.initialize(f"localhost:{port}", n, pid)
+assert jax.process_count() == n
+
+mesh = distributed.global_mesh()          # all 4 devices, both processes
+assert mesh.devices.size == 2 * n
+
+cfg = SimConfig(width=32, height=32, dt=0.1, duration=1, diff=0.809,
+                cheby=True, skip=True)
+model = BeelerReuter(cfg)
+geom = grid_geometry()
+state = shard_state_global(model.initial_state(), mesh)
+
+@jax.jit
+def steps(s):
+    return jax.lax.scan(lambda st, _: (model.step(st, geom), None),
+                        s, None, length=3)[0]
+
+out = steps(state)
+# fully-replicated reduction: identical on every process
+checksum = float(jnp.sum(out["V"]))
+assert np.isfinite(checksum)
+print(f"DIST_OK pid={pid} ndev={len(jax.devices())} checksum={checksum:.6f}")
+"""
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_gspmd_step(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    port = free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo_root}
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    sums = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("DIST_OK")]
+        assert line, out[-2000:]
+        sums.append(float(line[0].split("checksum=")[1]))
+    # both processes see the same global array
+    assert sums[0] == pytest.approx(sums[1], rel=1e-6)

@@ -170,6 +170,45 @@ class TestAPIEquivalence:
         np.testing.assert_array_equal(res.state["u"], sim_b.state["u"])
 
 
+class TestTickDispatch:
+    def test_fast_slow_ratio_dispatch(self):
+        """ode_op(tick) analog (reference ionic.py:277-286): a model with
+        fast_slow_ratio gets slow_step on every ratio-th outer tick of
+        run() and fast_step otherwise."""
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.models import Fenton4v, grid_geometry
+
+        class TickModel(Fenton4v):
+            fast_slow_ratio = 3
+
+            def fast_step(self, state, geom):
+                # marker: bump s by 1 (s is otherwise in [0, 1])
+                return {**state, "s": state["s"] + 1.0}
+
+            def slow_step(self, state, geom):
+                return {**state, "s": state["s"] + 100.0}
+
+        cfg = small_cfg(duration=6)
+        sim = Simulation(TickModel(cfg)).define()
+        for _ in sim.run(im=None, keep_state=True):
+            pass
+        # ticks 0..5 -> slow at 0 and 3 (2x +100), fast at the rest (4x +1)
+        assert float(sim.state["s"][0, 0]) == pytest.approx(204.0)
+
+    def test_default_models_unchanged(self):
+        """Without fast_slow_ratio, step_for_tick is the fused step."""
+        from fib_tf_tpu.models import Fenton4v, grid_geometry
+        import jax.numpy as jnp
+
+        model = Fenton4v(small_cfg())
+        geom = grid_geometry()
+        s = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        a = model.step_for_tick(s, geom, tick=0)
+        b = model.step(s, geom)
+        np.testing.assert_array_equal(np.asarray(a["u"]), np.asarray(b["u"]))
+
+
 class TestCheckpointResume:
     def test_state_handoff(self):
         """Two-model chained run passing state (reference court.py:615-636

