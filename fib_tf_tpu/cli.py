@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dt-per-plot", type=float, default=10)
     r.add_argument("--diff", type=float, default=None,
                    help="diffusion coefficient (model default if omitted)")
+    r.add_argument("--fiber-angle", type=float, default=None,
+                   help="fiber direction in degrees from x (anisotropic)")
+    r.add_argument("--fiber-ratio", type=float, default=1.0,
+                   help="cross-fiber conduction fraction (0, 1]")
     r.add_argument("--duration", type=float, default=1000)
     r.add_argument("--cheby", action="store_true", default=True)
     r.add_argument("--no-cheby", dest="cheby", action="store_false")
@@ -92,6 +96,9 @@ def cmd_run(args) -> int:
         width=args.width, height=args.height, dt=args.dt,
         dt_per_plot=args.dt_per_plot,
         diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        fiber_angle=(np.deg2rad(args.fiber_angle)
+                     if args.fiber_angle is not None else None),
+        fiber_ratio=args.fiber_ratio,
         duration=args.duration, cheby=args.cheby, skip=args.skip,
         table=args.table, chronic=args.chronic,
         timeline=args.timeline, save_graph=args.save_graph,

@@ -35,6 +35,13 @@ class SimConfig:
 
     # -- physics ---------------------------------------------------------
     diff: float = 1.5           # diffusion coefficient
+    # Anisotropic conduction (the 2D realization of the fiber `normal`
+    # the reference carried in its native Config, common.h:21-24, but
+    # never used from Python): fibers at `fiber_angle` radians from the
+    # x axis conduct with coefficient `diff`, cross-fiber with
+    # `diff * fiber_ratio`.  None = isotropic (reference behavior).
+    fiber_angle: Optional[float] = None
+    fiber_ratio: float = 1.0
 
     # -- compile-time optimization variants (reference br.py:98-107, 132-135)
     skip: bool = False          # multi-rate slow-gate skipping
@@ -88,6 +95,9 @@ class SimConfig:
             raise ValueError("duration must be non-negative")
         if self.kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unsupported kernel: {self.kernel}")
+        if not 0.0 < self.fiber_ratio <= 1.0:
+            raise ValueError("fiber_ratio must be in (0, 1] "
+                             "(cross-fiber fraction of diff)")
 
     # -- reference-dict interop ------------------------------------------------
 

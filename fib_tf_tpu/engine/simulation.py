@@ -125,7 +125,8 @@ class Simulation:
         """Materialize geometry + initial state.  `state` seeds the run from
         a previous model's final state (checkpoint/resume; reference
         court.py:49-57, 623-626)."""
-        self._geom = grid_geometry(self.phase)
+        self._geom = grid_geometry(self.phase, self.cfg.fiber_angle,
+                                   self.cfg.fiber_ratio)
         init = state if state is not None else self.model.initial_state(s1=s1)
         init = {k: np.asarray(v, dtype=np.float32) for k, v in init.items()}
         self._initial = init
@@ -185,8 +186,17 @@ class Simulation:
         multi-chip story is the shard_map chunk in parallel/spmd.py)."""
         if self._sharding is not None:
             return False
+        aniso = (self.cfg.fiber_angle is not None
+                 and self.cfg.fiber_ratio != 1.0)
         if self.cfg.kernel == "pallas":
+            if aniso:
+                raise ValueError(
+                    "the Pallas kernels implement the isotropic stencil; "
+                    "anisotropic runs use kernel='xla'"
+                )
             return True
+        if aniso:
+            return False
         if self.cfg.kernel == "xla":
             return False
         import jax as _jax

@@ -46,12 +46,33 @@ class Geometry:
     enforce_boundary: Callable[[jnp.ndarray], jnp.ndarray]
 
 
-def grid_geometry(phase: Optional[np.ndarray] = None) -> Geometry:
-    """Standard 2D tissue geometry, optionally with a phase field.
+def grid_geometry(
+    phase: Optional[np.ndarray] = None,
+    fiber_angle: Optional[float] = None,
+    fiber_ratio: float = 1.0,
+) -> Geometry:
+    """Standard 2D tissue geometry, optionally with a phase field and/or
+    anisotropic fiber conduction.
 
     The padded phase field is precomputed once (it is constant across the
     run; values match the reference's per-step REFLECT pad, ionic.py:76).
+    With `fiber_angle` set, the Laplacian becomes the anisotropic tensor
+    operator (stencil.anisotropic_laplace); the phase-field no-flux
+    correction is derived for the isotropic operator, so the combination
+    is not supported.
     """
+    if fiber_angle is not None and fiber_ratio != 1.0:
+        if phase is not None:
+            raise ValueError(
+                "anisotropic diffusion with a phase field is not "
+                "supported (the no-flux correction term assumes the "
+                "isotropic operator)"
+            )
+        dxx, dxy, dyy = stencil.fiber_tensor(fiber_angle, fiber_ratio)
+        return Geometry(
+            laplace=lambda x: stencil.anisotropic_laplace(x, dxx, dxy, dyy),
+            enforce_boundary=stencil.enforce_boundary,
+        )
     if phase is None:
         return Geometry(
             laplace=stencil.laplace,

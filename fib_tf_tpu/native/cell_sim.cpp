@@ -30,6 +30,12 @@ namespace {
 
 struct Config {
   double dt = 0.1;
+  double diff = 0.0;             // 0D cell: no diffusion term
+  // fiber direction for anisotropic conduction (reference common.h:21-24
+  // carried a float3 `normal`; the 2D framework realization is
+  // SimConfig.fiber_angle/fiber_ratio — unused in this 0D harness but
+  // kept for Config-surface parity)
+  double normal[3] = {1.0, 0.0, 0.0};
   bool chronic = true;
   bool multirate = false;
   bool use_table = false;

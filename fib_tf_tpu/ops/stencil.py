@@ -84,6 +84,46 @@ def laplace_conv(x: jnp.ndarray) -> jnp.ndarray:
     )[0, 0]
 
 
+def anisotropic_laplace(
+    x: jnp.ndarray, dxx: float, dxy: float, dyy: float
+) -> jnp.ndarray:
+    """Anisotropic diffusion operator dxx*Vxx + 2*dxy*Vxy + dyy*Vyy with
+    REFLECT boundary handling (constant diffusion tensor).
+
+    The reference carried a fiber `normal` in its native Config for
+    anisotropic conduction (common.h:21-24) but its Python side never used
+    it; this is the 2D framework realization.  Build (dxx, dxy, dyy) from
+    a fiber angle with `fiber_tensor`.  Second derivatives use the
+    standard central stencils; the mixed term uses the 4-corner form.
+    Note the axis convention: rows (axis 0) are y, columns (axis 1) x.
+
+    The whole operator is scaled x2 to match the reference's isotropic
+    9-point stencil, which evaluates to 2*laplacian (on V = x^2 it
+    returns 4, ionic.py:49-53) — so fiber_ratio=1 reproduces the
+    isotropic conduction speed at the same `diff` coefficient.
+    """
+    xp = _reflect_pad(x)
+    c = xp[1:-1, 1:-1]
+    vxx = xp[1:-1, :-2] - 2.0 * c + xp[1:-1, 2:]
+    vyy = xp[:-2, 1:-1] - 2.0 * c + xp[2:, 1:-1]
+    vxy = 0.25 * (
+        xp[2:, 2:] + xp[:-2, :-2] - xp[2:, :-2] - xp[:-2, 2:]
+    )
+    return 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+
+
+def fiber_tensor(angle_rad: float, ratio: float):
+    """Unit diffusion tensor for fibers at `angle_rad` from the x axis:
+    D = R diag(1, ratio) R^T, i.e. conduction 1 along fibers and `ratio`
+    across them (multiply by the scalar `diff` coefficient at use site).
+    Returns (dxx, dxy, dyy)."""
+    c, s = float(np.cos(angle_rad)), float(np.sin(angle_rad))
+    dxx = c * c + ratio * s * s
+    dyy = s * s + ratio * c * c
+    dxy = (1.0 - ratio) * c * s
+    return dxx, dxy, dyy
+
+
 def phase_field_correction(
     x_padded: jnp.ndarray, phase_padded: jnp.ndarray
 ) -> jnp.ndarray:

@@ -68,6 +68,89 @@ class TestLaplace:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class TestAnisotropicLaplace:
+    def test_exact_on_quadratic(self):
+        """For V = a x^2 + b x y + c y^2 the operator must return
+        2a dxx + 2b dxy + 2c dyy exactly (interior; second-order stencils
+        are exact on quadratics)."""
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.ops.stencil import anisotropic_laplace
+
+        a, b, c = 0.7, -0.3, 1.1
+        dxx, dxy, dyy = 0.9, 0.2, 0.4
+        yy, xx = np.mgrid[0:16, 0:16].astype(np.float32)
+        v = a * xx**2 + b * xx * yy + c * yy**2
+        got = np.asarray(anisotropic_laplace(jnp.asarray(v), dxx, dxy, dyy))
+        # x2 normalization matching the reference 9-point stencil
+        want = 2.0 * (2 * a * dxx + 2 * b * dxy + 2 * c * dyy)
+        np.testing.assert_allclose(
+            got[2:-2, 2:-2], want, rtol=1e-4, atol=1e-3
+        )
+
+    def test_isotropic_reduction(self):
+        """ratio=1 at any angle gives the 5-point Laplacian Vxx + Vyy."""
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.ops.stencil import anisotropic_laplace, fiber_tensor
+
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal((12, 12)).astype(np.float32))
+        dxx, dxy, dyy = fiber_tensor(0.61, 1.0)
+        assert dxy == pytest.approx(0.0)
+        got = np.asarray(anisotropic_laplace(v, dxx, dxy, dyy))
+        want = np.asarray(anisotropic_laplace(v, 1.0, 0.0, 1.0))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_fiber_tensor_spd(self):
+        from fib_tf_tpu.ops.stencil import fiber_tensor
+
+        for ang in (0.0, 0.5, 1.2):
+            dxx, dxy, dyy = fiber_tensor(ang, 0.25)
+            assert dxx > 0 and dyy > 0
+            assert dxx * dyy - dxy**2 == pytest.approx(0.25, rel=1e-6)
+
+    def test_cv_anisotropy_physics(self):
+        """A fenton planar wave along x conducts ~1/sqrt(ratio) faster
+        with fibers along x (ratio=0.25) than across them (angle 90°)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_physics import measure_cv_cells_per_ms
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import Fenton4v, grid_geometry
+
+        cvs = {}
+        for name, ang in (("along", 0.0), ("across", np.pi / 2)):
+            cfg = SimConfig(width=128, height=16, dt=0.1, duration=1,
+                            diff=1.5, fiber_angle=ang, fiber_ratio=0.25)
+            model = Fenton4v(cfg)
+            # measure through the aniso geometry
+            import jax
+            import jax.numpy as jnp
+
+            geom = grid_geometry(None, ang, 0.25)
+            state = {k: jnp.asarray(v)
+                     for k, v in model.initial_state(s1=True).items()}
+
+            def body(s, _):
+                s = model.step(s, geom)
+                return s, jnp.stack([s["u"][8, 30], s["u"][8, 90]])
+
+            _, probes = jax.jit(lambda s: jax.lax.scan(
+                body, s, None, length=120))(state)
+            probes = np.asarray(probes)
+            t = [np.where(probes[:, j] > 0.5)[0][0] for j in (0, 1)]
+            cvs[name] = 60.0 / (t[1] - t[0])
+        # fibers along the propagation axis must conduct clearly faster;
+        # the published affine CV law (29 + 50*diff) at D=1.5 vs 0.375
+        # predicts ~2.2x, and lattice discreteness near the low-D end
+        # pushes it slightly higher (measured 2.52)
+        ratio = cvs["along"] / cvs["across"]
+        assert 2.0 < ratio < 3.0, ratio
+
+
 class TestEnforceBoundary:
     def test_borders_copied_from_interior(self):
         rng = np.random.RandomState(3)
