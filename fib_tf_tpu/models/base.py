@@ -57,20 +57,20 @@ def grid_geometry(
     The padded phase field is precomputed once (it is constant across the
     run; values match the reference's per-step REFLECT pad, ionic.py:76).
     With `fiber_angle` set, the Laplacian becomes the anisotropic tensor
-    operator (stencil.anisotropic_laplace); the phase-field no-flux
-    correction is derived for the isotropic operator, so the combination
-    is not supported.
+    operator (stencil.anisotropic_laplace), including the tensor form of
+    the phase-field no-flux correction when a phase field is present.
     """
     if fiber_angle is not None and fiber_ratio != 1.0:
-        if phase is not None:
-            raise ValueError(
-                "anisotropic diffusion with a phase field is not "
-                "supported (the no-flux correction term assumes the "
-                "isotropic operator)"
-            )
         dxx, dxy, dyy = stencil.fiber_tensor(fiber_angle, fiber_ratio)
+        pp = None
+        if phase is not None:
+            pp = jnp.asarray(
+                np.pad(np.asarray(phase, np.float32), 1, mode="reflect")
+            )
         return Geometry(
-            laplace=lambda x: stencil.anisotropic_laplace(x, dxx, dxy, dyy),
+            laplace=lambda x: stencil.anisotropic_laplace(
+                x, dxx, dxy, dyy, phase_padded=pp
+            ),
             enforce_boundary=stencil.enforce_boundary,
         )
     if phase is None:

@@ -85,7 +85,11 @@ def laplace_conv(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def anisotropic_laplace(
-    x: jnp.ndarray, dxx: float, dxy: float, dyy: float
+    x: jnp.ndarray,
+    dxx: float,
+    dxy: float,
+    dyy: float,
+    phase_padded: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Anisotropic diffusion operator dxx*Vxx + 2*dxy*Vxy + dyy*Vyy with
     REFLECT boundary handling (constant diffusion tensor).
@@ -109,7 +113,36 @@ def anisotropic_laplace(
     vxy = 0.25 * (
         xp[2:, 2:] + xp[:-2, :-2] - xp[2:, :-2] - xp[:-2, 2:]
     )
-    return 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+    l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+    if phase_padded is not None:
+        l = l + anisotropic_phase_correction(
+            xp, phase_padded, dxx, dxy, dyy
+        )
+    return l
+
+
+def anisotropic_phase_correction(
+    x_padded: jnp.ndarray,
+    phase_padded: jnp.ndarray,
+    dxx: float,
+    dxy: float,
+    dyy: float,
+) -> jnp.ndarray:
+    """Tensor form of the phase-field no-flux correction:
+    (∇V · D∇ϕ)/ϕ via central differences, = (Gx(dxx Px + dxy Py) +
+    Gy(dxy Px + dyy Py))/(4ϕ) where G/P are the x2-scaled central
+    differences.  At D = I this reduces EXACTLY to
+    `phase_field_correction` — deliberately keeping the reference's
+    weighting quirk, where the correction enters at half the relative
+    weight of its 2x-normalized Laplacian (ionic.py:70-81 vs :49-53)."""
+    X, p = x_padded, phase_padded
+    gx = X[1:-1, 2:] - X[1:-1, :-2]
+    gy = X[2:, 1:-1] - X[:-2, 1:-1]
+    px = p[1:-1, 2:] - p[1:-1, :-2]
+    py = p[2:, 1:-1] - p[:-2, 1:-1]
+    return (
+        gx * (dxx * px + dxy * py) + gy * (dxy * px + dyy * py)
+    ) / (4.0 * p[1:-1, 1:-1])
 
 
 def fiber_tensor(angle_rad: float, ratio: float):

@@ -102,6 +102,43 @@ class TestAnisotropicLaplace:
         want = np.asarray(anisotropic_laplace(v, 1.0, 0.0, 1.0))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_phase_correction_isotropic_reduction(self):
+        """At D = I the tensor no-flux correction equals the reference
+        isotropic phase_field_correction exactly."""
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.ops.stencil import (
+            add_hole_to_phase_field,
+            anisotropic_phase_correction,
+            phase_field_correction,
+        )
+
+        rng = np.random.default_rng(1)
+        v = rng.standard_normal((16, 16)).astype(np.float32)
+        phase = add_hole_to_phase_field(None, 16, 16, 8, 8, 4)
+        xp = jnp.pad(jnp.asarray(v), 1, mode="reflect")
+        pp = jnp.pad(jnp.asarray(phase), 1, mode="reflect")
+        got = np.asarray(
+            anisotropic_phase_correction(xp, pp, 1.0, 0.0, 1.0))
+        want = np.asarray(phase_field_correction(xp, pp))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_aniso_with_hole_runs(self):
+        """Fiber anisotropy + phase-field obstacle: the wave must
+        propagate around the hole without NaNs."""
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.engine import Simulation
+        from fib_tf_tpu.models import Fenton4v
+
+        cfg = SimConfig(width=64, height=64, dt=0.1, duration=40,
+                        diff=1.5, fiber_angle=np.pi / 4, fiber_ratio=0.4)
+        sim = Simulation(Fenton4v(cfg))
+        sim.add_hole_to_phase_field(32, 32, 8)
+        sim.define()
+        res = sim.simulate()
+        assert np.isfinite(res.state["u"]).all()
+        assert res.state["u"][32, -2] > 0.5  # crossed the grid
+
     def test_fiber_tensor_spd(self):
         from fib_tf_tpu.ops.stencil import fiber_tensor
 
