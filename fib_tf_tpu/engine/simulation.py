@@ -82,12 +82,19 @@ class Simulation:
         if wide_halo and mesh is not None:
             n_row_shards = int(mesh.devices.shape[0])
             rows = self.cfg.height // n_row_shards
-            if rows < model.dt_per_step:
+            n_col_shards = int(
+                mesh.devices.shape[1] if mesh.devices.ndim > 1 else 1
+            )
+            cols = self.cfg.width // n_col_shards
+            if rows < model.dt_per_step or (
+                n_col_shards > 1 and cols < model.dt_per_step
+            ):
                 raise ValueError(
                     f"wide_halo needs >= dt_per_step={model.dt_per_step} "
-                    f"rows per shard, got {rows} "
-                    f"({self.cfg.height} rows / {n_row_shards} shards); "
-                    "use fewer row shards or a taller grid"
+                    f"rows (and columns, on a 2D mesh) per shard, got "
+                    f"{rows}x{cols} ({self.cfg.height}x{self.cfg.width} "
+                    f"over {n_row_shards}x{n_col_shards} shards); "
+                    "use fewer shards or a larger grid"
                 )
         if mesh is not None:
             from fib_tf_tpu.parallel.sharding import plane_sharding

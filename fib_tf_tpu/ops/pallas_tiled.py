@@ -50,13 +50,30 @@ def _row_down(x):  # y[i] = x[i+1]; last row keeps itself
     return jnp.concatenate([x[1:], x[-1:]], axis=0)
 
 
-def tile_geometry(rg: jnp.ndarray, h_total: int,
-                  phase_ext: Optional[jnp.ndarray] = None) -> Geometry:
-    """Geometry over an extended row block.
+def _col_left(x):   # y[:, j] = x[:, j-1]; col 0 keeps itself
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
 
-    `rg` is the [ext_h, 1] int32 array of global row indices of the block's
-    rows; rows outside [0, h_total) are halo garbage that shrinks away.
-    Column operators see the full width and use plain REFLECT semantics.
+
+def _col_right(x):  # y[:, j] = x[:, j+1]; last col keeps itself
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
+def block_geometry(
+    rg: jnp.ndarray,
+    h_total: int,
+    cg: Optional[jnp.ndarray] = None,
+    w_total: Optional[int] = None,
+    phase_ext: Optional[jnp.ndarray] = None,
+) -> Geometry:
+    """Geometry over a block extended with halo rows (and, when `cg` is
+    given, halo columns).
+
+    `rg` is the [ext_h, 1] int32 array of global row indices of the
+    block's rows; rows outside [0, h_total) are halo garbage that shrinks
+    away one ring per substep.  Without `cg`, columns span the full width
+    and use plain REFLECT semantics; with `cg` ([1, ext_w] global column
+    indices) the same global-edge masking applies along columns — the 2D
+    wide-halo case.
     """
     top = rg == 0
     bottom = rg == h_total - 1
@@ -68,32 +85,60 @@ def tile_geometry(rg: jnp.ndarray, h_total: int,
     def south(x):
         return jnp.where(bottom, _row_up(x), _row_down(x))
 
+    if cg is None:
+        west, east = _col_reflect_west, _col_reflect_east
+
+        def col_fix(x):
+            return jnp.concatenate(
+                [x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1
+            )
+    else:
+        left_edge = cg == 0
+        right_edge = cg == w_total - 1
+
+        def west(x):
+            return jnp.where(left_edge, _col_right(x), _col_left(x))
+
+        def east(x):
+            return jnp.where(right_edge, _col_left(x), _col_right(x))
+
+        def col_fix(x):
+            x = jnp.where(left_edge, _col_right(x), x)
+            x = jnp.where(right_edge, _col_left(x), x)
+            return x
+
     def laplace(x):
         n = north(x)
         s = south(x)
-        w = _col_reflect_west(x)
-        e = _col_reflect_east(x)
-        nw = _col_reflect_west(n)
-        ne = _col_reflect_east(n)
-        sw = _col_reflect_west(s)
-        se = _col_reflect_east(s)
+        w = west(x)
+        e = east(x)
+        nw = west(n)
+        ne = east(n)
+        sw = west(s)
+        se = east(s)
         l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
         if phase_ext is not None:
             p = phase_ext
             pn = north(p)
             ps = south(p)
-            pw = _col_reflect_west(p)
-            pe = _col_reflect_east(p)
+            pw = west(p)
+            pe = east(p)
             l = l + ((s - n) * (ps - pn) + (e - w) * (pe - pw)) / (4.0 * p)
         return l
 
     def enforce_boundary(x):
         x = jnp.where(top, _row_down(x), x)       # row 0 <- row 1
         x = jnp.where(bottom, _row_up(x), x)      # row H-1 <- row H-2
-        x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
-        return x
+        return col_fix(x)
 
     return Geometry(laplace=laplace, enforce_boundary=enforce_boundary)
+
+
+def tile_geometry(rg: jnp.ndarray, h_total: int,
+                  phase_ext: Optional[jnp.ndarray] = None) -> Geometry:
+    """Row-extended block geometry (full-width columns) — the tiled
+    kernel's and 1D wide-halo's case."""
+    return block_geometry(rg, h_total, phase_ext=phase_ext)
 
 
 def make_tiled_pallas_step(

@@ -81,6 +81,20 @@ def _exchange_rows(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([top, x, bottom], axis=0)
 
 
+def _exchange_cols(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
+    """[h, w] -> [h, w+2k]: K ghost columns from each column-axis
+    neighbor.  Applied to a row-EXTENDED block, the exchanged columns
+    carry the sender's row ghosts — the KxK corner blocks the fused
+    substep group needs arrive for free (same two-phase trick as
+    halo.extend_2d)."""
+    n = lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    left = lax.ppermute(x[:, -k:], axis_name, fwd)
+    right = lax.ppermute(x[:, :k], axis_name, bwd)
+    return jnp.concatenate([left, x, right], axis=1)
+
+
 def make_spmd_chunk(
     model: IonicModel,
     mesh: Mesh,
@@ -101,19 +115,15 @@ def make_spmd_chunk(
     messages — the stencil analog of ring-attention's comm/compute
     overlap.
 
-    2D meshes (rows x cols) are supported on the per-substep path: halo
-    exchange runs in two phases (rows, then columns of the row-extended
-    block, which carries the diagonal corners for free — halo.extend_2d);
-    probes psum over both axes.  wide_halo is 1D-only.
+    2D meshes (rows x cols) are supported on both paths: halo exchange
+    runs in two phases (rows, then columns of the row-extended block,
+    which carries the diagonal corners for free — halo.extend_2d /
+    _exchange_cols); probes psum over both axes.  2D wide-halo exchanges
+    K rows + K columns (with KxK corners) once per outer step.
     """
     is_2d = len(mesh.axis_names) >= 2 and mesh.devices.shape[1] > 1
     axis = mesh.axis_names[0]
     col_axis = mesh.axis_names[1] if is_2d else None
-    if wide_halo and is_2d:
-        raise ValueError(
-            "wide_halo is implemented for 1D (row) meshes only; use a "
-            "mesh shaped (n, 1) or the per-substep 2D path"
-        )
     cfg = model.cfg
     n_cells = cfg.height * cfg.width
     probe_row, probe_col = 20, cfg.width // 2
@@ -154,29 +164,49 @@ def make_spmd_chunk(
             return probes
 
         if wide_halo:
-            from fib_tf_tpu.ops.pallas_tiled import tile_geometry
+            from fib_tf_tpu.ops.pallas_tiled import block_geometry
 
             k = model.dt_per_step
             h_local = next(iter(state.values())).shape[0]
-            if h_local < k:
+            w_local = next(iter(state.values())).shape[1]
+            if h_local < k or (is_2d and w_local < k):
                 raise ValueError(
-                    f"wide_halo needs >= {k} rows per shard "
-                    f"(dt_per_step), got {h_local}; use more rows or "
-                    f"fewer devices"
+                    f"wide_halo needs >= {k} rows (and columns, on a 2D "
+                    f"mesh) per shard (dt_per_step), got "
+                    f"{h_local}x{w_local}; use fewer devices"
                 )
-            start = lax.axis_index(axis) * h_local - k
-            rg = start + jax.lax.broadcasted_iota(
+            rstart = lax.axis_index(axis) * h_local - k
+            rg = rstart + jax.lax.broadcasted_iota(
                 jnp.int32, (h_local + 2 * k, 1), 0
             )
-            phase_ext = (
-                _exchange_rows(phase_local, k, axis) if has_phase else None
-            )
-            geom = tile_geometry(rg, cfg.height, phase_ext)
+            if is_2d:
+                cstart = lax.axis_index(col_axis) * w_local - k
+                cg = cstart + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, w_local + 2 * k), 1
+                )
+
+                def extend(v):
+                    return _exchange_cols(
+                        _exchange_rows(v, k, axis), k, col_axis
+                    )
+
+                def crop(v):
+                    return v[k:-k, k:-k]
+            else:
+                cg = None
+
+                def extend(v):
+                    return _exchange_rows(v, k, axis)
+
+                def crop(v):
+                    return v[k:-k]
+            phase_ext = extend(phase_local) if has_phase else None
+            geom = block_geometry(rg, cfg.height, cg, cfg.width, phase_ext)
 
             def body(s, _):
-                ext = {kk: _exchange_rows(v, k, axis) for kk, v in s.items()}
+                ext = {kk: extend(v) for kk, v in s.items()}
                 ext = model.step(ext, geom)
-                s = {kk: v[k:-k] for kk, v in ext.items()}
+                s = {kk: crop(v) for kk, v in ext.items()}
                 return s, probes_of(s)
 
         elif is_2d:

@@ -239,20 +239,45 @@ class TestShardMapHalo:
             res.state["u"], want.state["u"], rtol=1e-5, atol=1e-6
         )
 
-    def test_wide_halo_2d_raises(self):
+    def test_wide_halo_2d_matches(self):
+        """2D wide-halo: one K-row + K-column (with KxK corners)
+        exchange per outer step == single device, including a phase
+        field and the global edges."""
+        from fib_tf_tpu.ops import stencil as st
+
+        # (2, 2) mesh: 64 rows x 64 cols per shard >= K=10 in both dims
+        c = cfg(height=128, width=128)
+        model = Fenton4v(c)
+        for phase in (None,
+                      st.add_hole_to_phase_field(None, 128, 128, 64, 64, 10)):
+            want = reference_run(model, 3, phase=phase)
+            import jax
+            mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+            chunk = make_spmd_chunk(model, mesh, length=3, phase=phase,
+                                    wide_halo=True)
+            got, probes = chunk(shard_state(model.initial_state(), mesh))
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6,
+                    err_msg=f"phase={phase is not None} {k}",
+                )
+            assert probes["v"].shape == (3,)
+
+    def test_wide_halo_2d_too_narrow_raises(self):
         import pytest
 
+        # 64 cols / 2 col-shards = 32 >= 10 ok, but rows 64/8 = 8 < 10
         model = Fenton4v(cfg())
-        mesh = make_mesh(shape=(4, 2))
-        with pytest.raises(ValueError, match="1D"):
-            make_spmd_chunk(model, mesh, length=1, wide_halo=True)
+        mesh = make_mesh(shape=(8, 1))
+        with pytest.raises(ValueError, match="rows"):
+            Simulation(model, mesh=mesh, wide_halo=True)
 
     def test_wide_halo_too_few_rows_engine_error(self):
         import pytest
 
         # 64 rows / 8 shards = 8 rows < dt_per_step=10 for fenton
         model = Fenton4v(cfg())
-        with pytest.raises(ValueError, match="rows per shard"):
+        with pytest.raises(ValueError, match="rows"):
             Simulation(model, mesh=make_mesh(), wide_halo=True)
 
     def test_wide_halo_matches(self):
