@@ -98,6 +98,18 @@ class SimConfig:
         if not 0.0 < self.fiber_ratio <= 1.0:
             raise ValueError("fiber_ratio must be in (0, 1] "
                              "(cross-fiber fraction of diff)")
+        # reject silent no-ops: asking for fibers without anisotropy (or
+        # anisotropy without a direction) would run fully isotropic
+        if self.fiber_angle is not None and self.fiber_ratio == 1.0:
+            raise ValueError(
+                "fiber_angle is set but fiber_ratio == 1.0 is isotropic; "
+                "set fiber_ratio < 1 (or drop fiber_angle)"
+            )
+        if self.fiber_angle is None and self.fiber_ratio != 1.0:
+            raise ValueError(
+                "fiber_ratio != 1.0 requires fiber_angle (the fiber "
+                "direction)"
+            )
 
     # -- reference-dict interop ------------------------------------------------
 

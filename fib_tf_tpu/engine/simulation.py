@@ -79,23 +79,25 @@ class Simulation:
             )
         self._mesh = mesh
         self._wide_halo = wide_halo
+        if mesh is not None and self.cfg.fiber_angle is not None:
+            raise ValueError(
+                "fiber anisotropy is not implemented on the shard_map "
+                "(mesh=...) path — the halo geometries are isotropic; "
+                "use the GSPMD path (sharding=...) or single device"
+            )
         if wide_halo and mesh is not None:
+            from fib_tf_tpu.parallel.spmd import check_wide_halo_shards
+
             n_row_shards = int(mesh.devices.shape[0])
-            rows = self.cfg.height // n_row_shards
             n_col_shards = int(
                 mesh.devices.shape[1] if mesh.devices.ndim > 1 else 1
             )
-            cols = self.cfg.width // n_col_shards
-            if rows < model.dt_per_step or (
-                n_col_shards > 1 and cols < model.dt_per_step
-            ):
-                raise ValueError(
-                    f"wide_halo needs >= dt_per_step={model.dt_per_step} "
-                    f"rows (and columns, on a 2D mesh) per shard, got "
-                    f"{rows}x{cols} ({self.cfg.height}x{self.cfg.width} "
-                    f"over {n_row_shards}x{n_col_shards} shards); "
-                    "use fewer shards or a larger grid"
-                )
+            check_wide_halo_shards(
+                self.cfg.height // n_row_shards,
+                self.cfg.width // n_col_shards,
+                model.dt_per_step,
+                n_col_shards > 1,
+            )
         if mesh is not None:
             from fib_tf_tpu.parallel.sharding import plane_sharding
 
@@ -103,6 +105,7 @@ class Simulation:
         self._sharding = sharding  # optional jax.sharding.Sharding for state
         self.cl_observer: Optional[Callable[[int, float], None]] = None
         self.state: Optional[Dict[str, np.ndarray]] = None  # keep_state output
+        self._probe_window: Optional[Tuple[int, Dict]] = None
         self._timeline_done = False
 
     # -- geometry construction (before define) ----------------------------------
@@ -167,9 +170,8 @@ class Simulation:
         # by phase[pixel] is identical and free
         scale = 1.0
         if self.phase is not None:
-            scale = float(
-                self.phase[20, self.cfg.width // 2]
-            )
+            r, c = self.model.probe_pixel
+            scale = float(self.phase[r, c])
         p = {"v": self.model.probe(state) * scale}
         if hasattr(self.model, "trend_probe"):
             p["trend"] = self.model.trend_probe(state)
@@ -230,9 +232,11 @@ class Simulation:
         return True
 
     def _halo_rows(self) -> int:
-        """Temporal-halo rows of the tiled kernel: dt_per_step rounded up
-        to the f32 sublane multiple (must match ops/pallas_tiled.py)."""
-        return ((self.model.dt_per_step + 7) // 8) * 8
+        """Temporal-halo rows of the tiled kernel (single source of
+        truth: ops/pallas_tiled.halo_rows)."""
+        from fib_tf_tpu.ops.pallas_tiled import halo_rows
+
+        return halo_rows(self.model.dt_per_step)
 
     @staticmethod
     def _pick_tile_rows(h: int, k: int) -> Optional[int]:
@@ -281,12 +285,17 @@ class Simulation:
     def _chunk_fn(self, length: int, step=None, variant: str = ""):
         """Jitted scan of `length` outer steps; emits probe streams and a
         finiteness flag.  `step` overrides the outer-step function (used
-        by the fast/slow tick dispatch); `variant` keys the cache."""
-        key = (length, id(self._geom), variant)
+        by the fast/slow tick dispatch) and MUST come with a unique
+        `variant` cache key — two different overrides with the same
+        (length, variant) would silently alias."""
+        if step is not None and not variant:
+            raise ValueError("a step override requires a variant cache key")
+        use_spmd = self._mesh is not None and step is None
+        key = (length, id(self._geom), variant, use_spmd)
         if key in self._chunk_cache:
             return self._chunk_cache[key]
 
-        if self._mesh is not None and step is None:
+        if use_spmd:
             chunk = self._spmd_chunk_fn(length)
             self._chunk_cache[key] = chunk
             return chunk
@@ -353,9 +362,20 @@ class Simulation:
 
     def probe_at_step(self, i: int, key: str) -> np.ndarray:
         """Probe value at outer step `i` from the chunk currently being
-        consumed — valid inside cl_observer callbacks, whose step indices
-        always fall in the live window."""
+        consumed — valid inside cl_observer callbacks (both the
+        simulate() and run() drivers keep the window current)."""
+        if self._probe_window is None:
+            raise RuntimeError(
+                "probe_at_step is only valid while a run is consuming "
+                "probe chunks (e.g. inside a cl_observer callback)"
+            )
         start, out = self._probe_window
+        n = len(out[key])
+        if not 0 <= i - start < n:
+            raise IndexError(
+                f"step {i} outside the live probe window "
+                f"[{start}, {start + n})"
+            )
         return np.asarray(out[key][i - start])
 
     def fire_on(self, state, name: str):
@@ -398,6 +418,12 @@ class Simulation:
         if not self._defined:
             self.define()
         model, cfg = self.model, self.cfg
+        if model.fast_slow_ratio:
+            raise NotImplementedError(
+                "models with fast_slow_ratio (tick-indexed dispatch) use "
+                "the run() generator; simulate()'s segment scans assume a "
+                "tick-independent outer step"
+            )
         samples = cfg.samples(model.dt_per_step)
         plot_interval = cfg.plot_interval(model.dt_per_step)
 
@@ -542,12 +568,17 @@ class Simulation:
         plot_interval = cfg.plot_interval(model.dt_per_step)
         if model.fast_slow_ratio:
             # tick-indexed fast/slow dispatch (reference ionic.py:277-286):
-            # two compiled variants, selected per outer step
+            # two compiled variants, selected per outer step.  Routed
+            # through step_for_tick so a model overriding the dispatch
+            # itself is honored (tick=0 is the slow branch, tick=1 fast —
+            # the contract is dispatch by tick % fast_slow_ratio only).
             geom = self._geom
             fast = self._chunk_fn(
-                1, step=lambda s: model.fast_step(s, geom), variant="fast")
+                1, step=lambda s: model.step_for_tick(s, geom, 1),
+                variant="fast")
             slow = self._chunk_fn(
-                1, step=lambda s: model.slow_step(s, geom), variant="slow")
+                1, step=lambda s: model.step_for_tick(s, geom, 0),
+                variant="slow")
 
             def step_fn_of(i):
                 return slow if i % model.fast_slow_ratio == 0 else fast
@@ -567,7 +598,9 @@ class Simulation:
             yield i
             if im is not None and i % plot_interval == 0:
                 im.imshow(np.asarray(self._image_fn()(self._dev_state)))
-                detector.feed(i, np.asarray(out["v"]).reshape(-1))
+                host_out = jax.device_get(out)
+                self._probe_window = (i, host_out)
+                detector.feed(i, np.asarray(host_out["v"]).reshape(-1))
 
         if keep_state:
             self.state = {

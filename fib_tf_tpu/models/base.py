@@ -174,9 +174,15 @@ class IonicModel:
         """Potential normalized to [0, 1] grayscale (ionic.py:262-268)."""
         return (state[self.pot_key] - self.min_v) / (self.max_v - self.min_v)
 
+    @property
+    def probe_pixel(self):
+        """(row, col) of the wavefront-observer pixel — the single source
+        of truth used by probe(), the engine's phase scaling, and the
+        shard_map probe psum (reference ionic.py:216-224)."""
+        return (20, self.cfg.width // 2)
+
     def probe(self, state: State) -> jnp.ndarray:
-        """Scalar emitted per outer step from inside the compiled scan: the
-        normalized potential at the reference's wavefront-observer pixel
-        [20, width//2] (ionic.py:216-224)."""
-        img = self.image(state)
-        return img[20, self.cfg.width // 2]
+        """Scalar emitted per outer step from inside the compiled scan:
+        the normalized potential at `probe_pixel`."""
+        r, c = self.probe_pixel
+        return self.image(state)[r, c]

@@ -141,6 +141,14 @@ def tile_geometry(rg: jnp.ndarray, h_total: int,
     return block_geometry(rg, h_total, phase_ext=phase_ext)
 
 
+def halo_rows(dt_per_step: int) -> int:
+    """Temporal-halo rows per side of the tiled kernel: one ring per
+    substep, padded to the f32 sublane multiple (8) so every dynamic DMA
+    row offset is provably aligned.  The single source of truth — the
+    engine's tile-size selection imports this."""
+    return ((dt_per_step + 7) // 8) * 8
+
+
 def make_tiled_pallas_step(
     model: IonicModel,
     tile_rows: int = 128,
@@ -160,9 +168,7 @@ def make_tiled_pallas_step(
     h, w = cfg.height, cfg.width
     if h % tile_rows != 0:
         raise ValueError(f"height {h} not divisible by tile_rows {tile_rows}")
-    # halo rings consumed per outer step, padded up to the f32 sublane
-    # multiple (8) so every dynamic row offset stays provably aligned
-    k = ((model.dt_per_step + 7) // 8) * 8
+    k = halo_rows(model.dt_per_step)
     ext_h = tile_rows + 2 * k
     if h < ext_h:
         # tile_start clamps the DMA window to [0, h - ext_h]; a negative

@@ -95,6 +95,21 @@ def _exchange_cols(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def check_wide_halo_shards(
+    h_local: int, w_local: int, k: int, is_2d: bool
+) -> None:
+    """Shared wide-halo precondition: each shard must own at least K rows
+    (and K columns on a 2D mesh), because ghost cells come from the
+    immediate neighbor only.  Single source of truth for the engine's
+    construction-time check and the shard_map trace-time check."""
+    if h_local < k or (is_2d and w_local < k):
+        raise ValueError(
+            f"wide_halo needs >= dt_per_step={k} rows"
+            f"{' and columns' if is_2d else ''} per shard, got "
+            f"{h_local}x{w_local}; use fewer devices or a larger grid"
+        )
+
+
 def make_spmd_chunk(
     model: IonicModel,
     mesh: Mesh,
@@ -126,7 +141,7 @@ def make_spmd_chunk(
     col_axis = mesh.axis_names[1] if is_2d else None
     cfg = model.cfg
     n_cells = cfg.height * cfg.width
-    probe_row, probe_col = 20, cfg.width // 2
+    probe_row, probe_col = model.probe_pixel
 
     all_axes = (axis, col_axis) if is_2d else axis
     plane = P(axis, col_axis) if is_2d else P(axis)
@@ -169,12 +184,7 @@ def make_spmd_chunk(
             k = model.dt_per_step
             h_local = next(iter(state.values())).shape[0]
             w_local = next(iter(state.values())).shape[1]
-            if h_local < k or (is_2d and w_local < k):
-                raise ValueError(
-                    f"wide_halo needs >= {k} rows (and columns, on a 2D "
-                    f"mesh) per shard (dt_per_step), got "
-                    f"{h_local}x{w_local}; use fewer devices"
-                )
+            check_wide_halo_shards(h_local, w_local, k, is_2d)
             rstart = lax.axis_index(axis) * h_local - k
             rg = rstart + jax.lax.broadcasted_iota(
                 jnp.int32, (h_local + 2 * k, 1), 0

@@ -43,6 +43,18 @@ class TestValidation:
         with pytest.raises(ValueError):
             SimConfig(kernel="cuda")
 
+    def test_fiber_flags_must_pair(self):
+        import pytest
+
+        # angle without anisotropy would run silently isotropic
+        with pytest.raises(ValueError, match="isotropic"):
+            SimConfig(width=8, height=8, fiber_angle=0.5)
+        # ratio without a direction is meaningless
+        with pytest.raises(ValueError, match="fiber_angle"):
+            SimConfig(width=8, height=8, fiber_ratio=0.5)
+        # valid pair passes
+        SimConfig(width=8, height=8, fiber_angle=0.5, fiber_ratio=0.5)
+
     def test_frozen(self):
         cfg = SimConfig()
         with pytest.raises(Exception):

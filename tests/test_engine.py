@@ -196,6 +196,19 @@ class TestTickDispatch:
         # ticks 0..5 -> slow at 0 and 3 (2x +100), fast at the rest (4x +1)
         assert float(sim.state["s"][0, 0]) == pytest.approx(204.0)
 
+    def test_simulate_rejects_fast_slow_ratio(self):
+        """simulate()'s segment scans assume a tick-independent step;
+        fast_slow_ratio models must be rejected loudly, not silently run
+        single-rate."""
+        from fib_tf_tpu.models import Fenton4v
+
+        class TickModel(Fenton4v):
+            fast_slow_ratio = 3
+
+        sim = Simulation(TickModel(small_cfg(duration=3))).define()
+        with pytest.raises(NotImplementedError, match="run\\(\\)"):
+            sim.simulate()
+
     def test_default_models_unchanged(self):
         """Without fast_slow_ratio, step_for_tick is the fused step."""
         from fib_tf_tpu.models import Fenton4v, grid_geometry
