@@ -42,6 +42,28 @@ class TestRun:
         ])
         assert rc == 0
 
+    def test_fiber_flags(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "--cpu", "run", "--model", "fenton", "--width", "48",
+            "--height", "48", "--duration", "5",
+            "--fiber-angle", "30", "--fiber-ratio", "0.5",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["outer_steps"] == 5
+
+    def test_fiber_angle_alone_rejected(self, tmp_path, monkeypatch):
+        import pytest
+
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(ValueError, match="isotropic"):
+            cli.main([
+                "run", "--model", "fenton", "--width", "48",
+                "--height", "48", "--duration", "5",
+                "--fiber-angle", "30",
+            ])
+
 
 class TestTable:
     def test_golden_values(self, capsys):
