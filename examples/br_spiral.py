@@ -26,18 +26,22 @@ def main():
     ap.add_argument("--no-cheby", dest="cheby", action="store_false")
     ap.add_argument("--skip", action="store_true", default=False)
     ap.add_argument("--duration", type=float, default=1000.0)
+    ap.add_argument("--size", type=int, default=512)
     args = ap.parse_args()
 
+    n = args.size
     cfg = SimConfig(
-        width=512, height=512, dt=0.1, dt_per_plot=10, diff=0.809,
+        width=n, height=n, dt=0.1, dt_per_plot=10, diff=0.809,
         duration=args.duration, cheby=args.cheby, skip=args.skip,
     )
     sim = Simulation(BeelerReuter(cfg))
-    sim.add_hole_to_phase_field(150, 200, 40)
+    sim.add_hole_to_phase_field(n * 150 // 512, n * 200 // 512,
+                                max(n * 40 // 512, 4))
     sim.define()
     sim.add_pace_op("s2", "luq", 10.0)
 
-    res = sim.simulate(schedule=[(300, "s2")], record_frames_every_ms=10)
+    res = sim.simulate(schedule=[(min(300, args.duration * 0.3), "s2")],
+                       record_frames_every_ms=10)
     print(f"cheby={args.cheby} skip={args.skip}: {res.elapsed:.3f} s "
           f"({res.sim_seconds_per_wall_second:.2f}x real time)")
     for i, cl in res.cycle_lengths:

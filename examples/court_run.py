@@ -23,29 +23,36 @@ def cl_observer(i, cl):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--duration", type=float, default=1000.0)
+    args = ap.parse_args()
+    n = args.size
     # note: the reference ran 20000 ms; this demo trims to 1000 ms per
     # model.  Long fibrillatory runs against the 1e-5 phase-field floor can
     # eventually hit explicit-Euler stiffness; unlike the reference (whose
     # NaN guard was commented out, ionic.py:208-212) the engine raises
     # FloatingPointError instead of silently integrating NaNs.
     cfg = SimConfig(
-        width=512, height=512, dt=0.1, dt_per_plot=10, diff=0.809,
-        duration=1000,
+        width=n, height=n, dt=0.1, dt_per_plot=10, diff=0.809,
+        duration=args.duration,
     )
 
     sim1 = Simulation(Courtemanche(cfg))
-    sim1.add_hole_to_phase_field(256, 256, 30)
-    sim1.add_hole_to_phase_field(256, 256, 250, neg=True)
+    sim1.add_hole_to_phase_field(n // 2, n // 2, max(n // 17, 4))
+    sim1.add_hole_to_phase_field(n // 2, n // 2, n // 2 - 6, neg=True)
     sim1.define()
     sim1.add_pace_op("s2", "luq", 10.0)
     sim1.cl_observer = cl_observer
 
-    res1 = sim1.simulate(schedule=[(350, "s2")])
+    res1 = sim1.simulate(schedule=[(min(350, args.duration * 0.35), "s2")])
     data = [res1.probes["trend"]]
 
     sim2 = Simulation(Courtemanche(cfg))
-    sim2.add_hole_to_phase_field(256, 256, 100)
-    sim2.add_hole_to_phase_field(256, 256, 250, neg=True)
+    sim2.add_hole_to_phase_field(n // 2, n // 2, max(n // 5, 8))
+    sim2.add_hole_to_phase_field(n // 2, n // 2, n // 2 - 6, neg=True)
     sim2.define(state=res1.state)        # resume from model 1's final state
     sim2.cl_observer = cl_observer
 

@@ -48,7 +48,7 @@ def run_small(cfg, cyclelengths, radius=50, i0=0):
     sim.add_pace_op("s2", "luq", 10.0)
     sim.cl_observer = partial(cl_observer, sim, cyclelengths, i0)
 
-    res = sim.simulate(schedule=[(300, "s2")])
+    res = sim.simulate(schedule=[(min(300, cfg.duration * 0.3), "s2")])
     img = (res.state["V"] - sim.model.min_v) / (
         sim.model.max_v - sim.model.min_v
     )
@@ -72,15 +72,21 @@ def run_large(cfg, cyclelengths, radius, i0=0):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--duration", type=float, default=1000.0,
+                    help="per-phase duration (reference used 10000)")
+    args = ap.parse_args()
     cfg = SimConfig(
-        width=512, height=512, dt=0.1, dt_per_plot=10, diff=1.5,
-        duration=1000,  # reference used 10000 ms; trimmed demo
-        ultra_slow=True,
+        width=args.size, height=args.size, dt=0.1, dt_per_plot=10,
+        diff=1.5, duration=args.duration, ultra_slow=True,
     )
     cyclelengths = []
-    run_small(cfg, cyclelengths, radius=10)
+    run_small(cfg, cyclelengths, radius=max(args.size // 50, 3))
     i0 = int(cfg.duration / cfg.dt)
-    run_large(cfg, cyclelengths, radius=100, i0=i0)
+    run_large(cfg, cyclelengths, radius=max(args.size // 5, 8), i0=i0)
     if cyclelengths:
         np.savetxt("cyclelengths.dat", np.asarray(cyclelengths))
 

@@ -20,9 +20,15 @@ from fib_tf_tpu.models import BeelerReuter
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--duration", type=float, default=3000.0)
+    args = ap.parse_args()
     cfg = SimConfig(
-        width=512, height=512, dt=0.1, dt_per_plot=10, diff=1.0,
-        duration=3000, cheby=True, skip=False,
+        width=args.size, height=args.size, dt=0.1, dt_per_plot=10,
+        diff=1.0, duration=args.duration, cheby=True, skip=False,
     )
     sim = Simulation(BeelerReuter(cfg))
     sim.add_hole_to_phase_field(150, 256, 50)

@@ -25,38 +25,44 @@ from fib_tf_tpu.ops import stencil
 from fib_tf_tpu.models.fenton import Fenton4v
 from fib_tf_tpu.config import SimConfig
 
-WIDTH = HEIGHT = 512
 DT = 0.1
 DIFF = 1.5
-SAMPLES = 10000
 S2_TIME_MS = 210
 
 
-MODEL = Fenton4v(SimConfig(width=WIDTH, height=HEIGHT, dt=DT))
-
-
-def solve(u, v, w, s):
-    """One explicit-Euler step with the conv-kernel Laplacian."""
-    u0 = stencil.enforce_boundary(u)
-    du, dv, dw, ds = MODEL.differentiate(u, v, w, s)
-    u1 = u0 + DT * du + DIFF * DT * stencil.laplace_conv(u0)
-    return u1, v + DT * dv, w + DT * dw, s + DT * ds
+def make_solve(model):
+    def solve(u, v, w, s):
+        """One explicit-Euler step with the conv-kernel Laplacian."""
+        u0 = stencil.enforce_boundary(u)
+        du, dv, dw, ds = model.differentiate(u, v, w, s)
+        u1 = u0 + DT * du + DIFF * DT * stencil.laplace_conv(u0)
+        return u1, v + DT * dv, w + DT * dw, s + DT * ds
+    return solve
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--jit", action="store_true",
                     help="wrap the step in jax.jit (the fenton_jit stage)")
-    ap.add_argument("--samples", type=int, default=SAMPLES)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--samples", type=int, default=10000)
+    ap.add_argument("--duration", type=float, default=None,
+                    help="ms; overrides --samples")
     args = ap.parse_args()
+    height = width = args.size
+    if args.duration is not None:
+        args.samples = int(args.duration / DT)
 
-    u = jnp.zeros((HEIGHT, WIDTH), jnp.float32).at[:, 1].set(1.0)
-    v = jnp.ones((HEIGHT, WIDTH), jnp.float32)
-    w = jnp.ones((HEIGHT, WIDTH), jnp.float32)
-    s = jnp.zeros((HEIGHT, WIDTH), jnp.float32)
+    model = Fenton4v(SimConfig(width=width, height=height, dt=DT))
+    solve = make_solve(model)
 
-    s2_mask = np.zeros((HEIGHT, WIDTH), np.float32)
-    s2_mask[: HEIGHT // 2, : WIDTH // 2] = 1.0
+    u = jnp.zeros((height, width), jnp.float32).at[:, 1].set(1.0)
+    v = jnp.ones((height, width), jnp.float32)
+    w = jnp.ones((height, width), jnp.float32)
+    s = jnp.zeros((height, width), jnp.float32)
+
+    s2_mask = np.zeros((height, width), np.float32)
+    s2_mask[: height // 2, : width // 2] = 1.0
     s2_mask = jnp.asarray(s2_mask)
     s2_step = int(S2_TIME_MS / DT)
 

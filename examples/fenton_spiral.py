@@ -20,12 +20,19 @@ from fib_tf_tpu.utils import viz
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--duration", type=float, default=1000.0)
+    args = ap.parse_args()
+    n = args.size
     cfg = SimConfig(
-        width=512, height=512, dt=0.1, dt_per_plot=10, diff=1.5,
-        duration=1000, timeline=False, save_graph=False,
+        width=n, height=n, dt=0.1, dt_per_plot=10, diff=1.5,
+        duration=args.duration, timeline=False, save_graph=False,
     )
     sim = Simulation(Fenton4v(cfg))
-    sim.add_hole_to_phase_field(256, 256, 30)
+    sim.add_hole_to_phase_field(n // 2, n // 2, max(n // 17, 4))
     sim.define()
     sim.add_pace_op("s2", "luq", 1.0)
 

@@ -1,0 +1,81 @@
+"""Smoke tests: every example script runs end-to-end at tiny size on the
+CPU backend (the reference's de-facto test strategy was 'run the
+script', SURVEY.md §4 — here each script is exercised as a subprocess
+exactly as a user would invoke it)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, "examples")
+
+
+def run_example(tmp_path, script, *args, timeout=420):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+           "PYTHONPATH": REPO}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, script), *args],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=str(tmp_path), env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-1500:]
+    return proc.stdout
+
+
+class TestExamples:
+    def test_fenton_spiral(self, tmp_path):
+        run_example(tmp_path, "fenton_spiral.py",
+                    "--size", "64", "--duration", "40")
+        assert os.path.exists(tmp_path / "cube.npy")
+        cube = np.load(tmp_path / "cube.npy")
+        assert cube.shape[1:] == (64, 64)
+        assert np.isfinite(cube).all()
+
+    def test_br_spiral(self, tmp_path):
+        run_example(tmp_path, "br_spiral.py",
+                    "--size", "64", "--duration", "40")
+
+    def test_court_run_chained(self, tmp_path):
+        out = run_example(tmp_path, "court_run.py",
+                          "--size", "48", "--duration", "20")
+        assert "saved trend data" in out
+        assert os.path.exists(tmp_path / "vol_na_2.dat")
+
+    def test_court_ultra_protocol(self, tmp_path):
+        out = run_example(tmp_path, "court_ultra_run.py",
+                          "--size", "48", "--duration", "20")
+        assert "rho =" in out
+        assert os.path.exists(tmp_path / "state_small.npz")
+        assert os.path.exists(tmp_path / "state_large.npz")
+
+    def test_egm(self, tmp_path):
+        run_example(tmp_path, "egm_run.py",
+                    "--size", "64", "--duration", "30")
+        dat = np.loadtxt(tmp_path / "test.dat")
+        assert np.isfinite(dat).all()
+
+    def test_egm_sharded(self, tmp_path):
+        run_example(tmp_path, "egm_sharded.py",
+                    "--width", "64", "--height", "64", "--duration", "10")
+
+    def test_fenton_simple_and_jit(self, tmp_path):
+        run_example(tmp_path, "fenton_simple.py",
+                    "--size", "48", "--duration", "20")
+        run_example(tmp_path, "fenton_simple.py",
+                    "--size", "48", "--duration", "20", "--jit")
+
+    def test_fiber_anisotropy(self, tmp_path):
+        out = run_example(tmp_path, "fiber_anisotropy.py",
+                          "--size", "64", "--duration", "10")
+        assert "long/short" in out
+        assert os.path.exists(tmp_path / "anisotropy.png")
+
+    def test_playcube(self, tmp_path):
+        cube = np.random.rand(3, 16, 16).astype(np.float32)
+        np.save(tmp_path / "cube.npy", cube)
+        run_example(tmp_path, "playcube.py", "cube.npy")
