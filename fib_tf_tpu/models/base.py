@@ -183,6 +183,10 @@ class IonicModel:
 
     def probe(self, state: State) -> jnp.ndarray:
         """Scalar emitted per outer step from inside the compiled scan:
-        the normalized potential at `probe_pixel`."""
+        the normalized potential at `probe_pixel`.  Indexes BEFORE
+        normalizing so no full-plane image is materialized per step
+        (value-identical to image(state)[r, c])."""
         r, c = self.probe_pixel
-        return self.image(state)[r, c]
+        return (
+            state[self.pot_key][r, c] - self.min_v
+        ) / (self.max_v - self.min_v)
