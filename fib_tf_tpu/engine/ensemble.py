@@ -9,7 +9,6 @@ parallelism (no halos cross ensemble members).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -47,7 +46,11 @@ def run_ensemble(
         s = vstep(s)
         return s, vprobe(s)
 
-    @partial(jax.jit, donate_argnums=0)
+    # not donated: donation forces the scan result back into the input
+    # buffers, inserting a per-iteration state copy (engine/simulation.py
+    # _chunk_fn has the v5e measurements); the batch stays live one extra
+    # call, which is just HBM footprint
+    @jax.jit
     def chunk(s):
         final, probes = jax.lax.scan(body, s, None, length=n_outer)
         return final, probes.T  # [n_members, n_outer]

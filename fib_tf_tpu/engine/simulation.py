@@ -2,7 +2,7 @@
 
 Replaces the reference's `tf.Session` run loop (ionic.py:171-245).  Key
 re-design: instead of one `sess.run` per outer step with host round trips,
-the step loop is a `jax.lax.scan` inside a single donated `jax.jit`, cut
+the step loop is a `jax.lax.scan` inside a single `jax.jit`, cut
 into chunks only where the host must intervene: scheduled pacing events
 (the `fire_op` analog, ionic.py:165-169), plot frames, and chunked probe
 readback.  Per-step scalars (wavefront pixel, trend pixel, electrode means)
@@ -317,7 +317,14 @@ class Simulation:
             state = step(state)
             return state, self._probes(state)
 
-        @partial(jax.jit, donate_argnums=0)
+        # NOT donated: donating the state forces XLA to land the scan
+        # result back in the caller's buffers, which inserts a full
+        # state copy per iteration around the Pallas custom-call
+        # (measured on v5e at 512x512 BR: 15.4 us/substep donated vs
+        # 11.1 without; the XLA path pays 24.7 vs 22.9).  The carry
+        # double-buffers internally either way; keeping the input alive
+        # one extra chunk costs only its HBM footprint.
+        @jax.jit
         def chunk(state):
             state, out = jax.lax.scan(body, state, None, length=length)
             # cheap per-chunk failure detection (the reference's NaN check
@@ -544,8 +551,6 @@ class Simulation:
         cups = cfg.height * cfg.width * total_substeps / max(elapsed, 1e-9)
         sim_s = total_substeps * cfg.dt / 1000.0
 
-        # extract the final state BEFORE profiling: the profiled chunk
-        # donates (invalidates) its input buffers
         final_state = {k: np.asarray(v) for k, v in dev_state.items()}
         self.state = final_state
 

@@ -13,7 +13,6 @@ tests assert shard_map == GSPMD == single-device.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -263,7 +262,10 @@ def make_spmd_chunk(
         check_vma=False,
     )
 
-    @partial(jax.jit, donate_argnums=0)
+    # not donated — same per-iteration copy-insertion cost as the engine
+    # chunk (see Simulation._chunk_fn); the sharded state's extra lifetime
+    # is per-shard HBM only
+    @jax.jit
     def chunk(state):
         return fn(state, *( [phase_arr] if has_phase else [] ), *masks)
 
