@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--cheby", action="store_true", default=True)
     r.add_argument("--no-cheby", dest="cheby", action="store_false")
     r.add_argument("--skip", action="store_true")
+    r.add_argument("--ab2", action="store_true",
+                   help="Adams-Bashforth-2 for the Euler state updates "
+                        "(fenton/br)")
     r.add_argument("--table", action="store_true",
                    help="use the voltage-indexed lookup table (court)")
     r.add_argument("--no-chronic", dest="chronic", action="store_false")
@@ -100,7 +103,7 @@ def cmd_run(args) -> int:
                      if args.fiber_angle is not None else None),
         fiber_ratio=args.fiber_ratio,
         duration=args.duration, cheby=args.cheby, skip=args.skip,
-        table=args.table, chronic=args.chronic,
+        ab2=args.ab2, table=args.table, chronic=args.chronic,
         timeline=args.timeline, save_graph=args.save_graph,
         ultra_slow=(args.model == "court_ultra"),
     )

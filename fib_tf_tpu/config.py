@@ -65,6 +65,13 @@ class SimConfig:
     # plain `cheby` flag is ignored by Courtemanche, as in the reference
     # (its court Chebyshev path was dead code, court.py:463-477).
     court_cheby: bool = False
+    # Second-order Adams-Bashforth for the explicit-Euler state updates
+    # (Fenton: all four planes; Beeler-Reuter: V and Ca).  The reference's
+    # native traits reserve the 2x parameter storage for this behind
+    # `#ifdef ADAMS_BASHFORTH` (ionic.h:15-19) without implementing it;
+    # here it is a working opt-in.  Rush-Larsen gates are unaffected, and
+    # Courtemanche (host-split multi-rate) does not support it.
+    ab2: bool = False
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
 

@@ -152,7 +152,7 @@ class BeelerReuter(IonicModel):
         v = self._full(-84.624)
         if s1:
             v[:, 1] = 10.0
-        return {
+        st = {
             "V": v,
             "C": self._full(1e-4),
             "m": self._full(0.01),
@@ -162,6 +162,26 @@ class BeelerReuter(IonicModel):
             "f": self._full(0.994),
             "x1": self._full(0.0001),
         }
+        if self.cfg.ab2:
+            st = self.bootstrap_ab2(st)
+        return st
+
+    def bootstrap_ab2(self, state: Dict[str, np.ndarray]):
+        """(Re)build the AB2 derivative planes: f_{-1} := reaction
+        derivative of `state` (exact in 0D; the diffusion term is zero
+        away from sharp fronts).  Call after mutating a state by hand or
+        when resuming an Euler-run state into an ab2 model."""
+        st = dict(state)
+        i_k1, i_x1, i_na, i_ca = self.currents(
+            jnp.asarray(st["V"]), st["C"], st
+        )
+        st["_dV_"] = np.asarray(
+            -(i_k1 + i_x1 + i_na + i_ca) / C_M, np.float32
+        )
+        st["_dC_"] = np.asarray(
+            -1.0e-7 * i_ca + 0.07 * (1.0e-7 - st["C"]), np.float32
+        )
+        return st
 
     # -- gate updates -------------------------------------------------------------
 
@@ -283,14 +303,37 @@ class BeelerReuter(IonicModel):
         i_k1, i_x1, i_na, i_ca = self.currents(v0, state["C"], state, terms)
         i_sum = i_k1 + i_x1 + i_na + i_ca
 
+        if not self.cfg.ab2:
+            v1 = jnp.clip(
+                v0 + self.cfg.diff * dt * geom.laplace(v0) - dt * i_sum / C_M,
+                V_CLIP_LO,
+                V_CLIP_HI,
+            )
+            c1 = state["C"] + dt * (
+                -1.0e-7 * i_ca + 0.07 * (1.0e-7 - state["C"])
+            )
+            out = {"V": v1, "C": c1}
+            out.update(gates)
+            return out
+
+        # opt-in Adams-Bashforth-2 on the Euler-updated planes (V, Ca);
+        # the Rush-Larsen gates above are exponential integrators and
+        # keep their form
+        from fib_tf_tpu.ops.integrators import adams_bashforth2
+
+        g_v = self.cfg.diff * geom.laplace(v0) - i_sum / C_M
+        g_c = -1.0e-7 * i_ca + 0.07 * (1.0e-7 - state["C"])
         v1 = jnp.clip(
-            v0 + self.cfg.diff * dt * geom.laplace(v0) - dt * i_sum / C_M,
+            adams_bashforth2(v0, g_v, state["_dV_"], dt),
             V_CLIP_LO,
             V_CLIP_HI,
         )
-        c1 = state["C"] + dt * (-1.0e-7 * i_ca + 0.07 * (1.0e-7 - state["C"]))
-
-        out = {"V": v1, "C": c1}
+        out = {
+            "V": v1,
+            "C": adams_bashforth2(state["C"], g_c, state["_dC_"], dt),
+            "_dV_": g_v,
+            "_dC_": g_c,
+        }
         out.update(gates)
         return out
 

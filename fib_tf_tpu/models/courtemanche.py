@@ -369,6 +369,13 @@ class Courtemanche(IonicModel):
 
     def __init__(self, cfg: SimConfig):
         super().__init__(cfg)
+        if cfg.ab2:
+            raise NotImplementedError(
+                "ab2 is not implemented for Courtemanche: the multi-rate "
+                "fast/slow split advances states on different effective "
+                "dts, which has no well-defined shared AB2 history; use "
+                "fenton or br"
+            )
         self._table: Optional[jnp.ndarray] = None
         self._cheby: Optional[Dict[str, np.ndarray]] = None
         if cfg.table:

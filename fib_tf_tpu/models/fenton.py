@@ -64,12 +64,31 @@ class Fenton4v(IonicModel):
         u = self._full(0.0)
         if s1:
             u[:, 1] = 1.0
-        return {
+        st = {
             "u": u,
             "v": self._full(1.0),
             "w": self._full(1.0),
             "s": self._full(0.0),
         }
+        if self.cfg.ab2:
+            st = self.bootstrap_ab2(st)
+        return st
+
+    def bootstrap_ab2(self, state: Dict[str, np.ndarray]):
+        """(Re)build the AB2 derivative planes: f_{-1} := reaction
+        derivative of `state` (exact in 0D; in tissue the missing
+        diffusion term only perturbs the very first substep near sharp
+        fronts).  Call after mutating a state by hand or when resuming
+        an Euler-run state into an ab2 model."""
+        st = dict(state)
+        du, dv, dw, ds = self.differentiate(
+            st["u"], st["v"], st["w"], st["s"]
+        )
+        st["_du_"] = np.asarray(du, np.float32)
+        st["_dv_"] = np.asarray(dv, np.float32)
+        st["_dw_"] = np.asarray(dw, np.float32)
+        st["_ds_"] = np.asarray(ds, np.float32)
+        return st
 
     def differentiate(self, u, v, w, s):
         """Pointwise currents and gate ODE right-hand sides
@@ -95,14 +114,29 @@ class Fenton4v(IonicModel):
         return du, dv, dw, ds
 
     def solve(self, state: State, geom: Geometry) -> State:
-        """One explicit-Euler substep (reference fenton.py:95-108)."""
+        """One explicit-Euler substep (reference fenton.py:95-108), or the
+        opt-in Adams-Bashforth-2 variant (`cfg.ab2`) on all four planes."""
         u, v, w, s = state["u"], state["v"], state["w"], state["s"]
         dt = self.cfg.dt
         u0 = geom.enforce_boundary(u)
         du, dv, dw, ds = self.differentiate(u, v, w, s)
+        if not self.cfg.ab2:
+            return {
+                "u": u0 + dt * du + self.cfg.diff * dt * geom.laplace(u0),
+                "v": v + dt * dv,
+                "w": w + dt * dw,
+                "s": s + dt * ds,
+            }
+        from fib_tf_tpu.ops.integrators import adams_bashforth2
+
+        gu = du + self.cfg.diff * geom.laplace(u0)
         return {
-            "u": u0 + dt * du + self.cfg.diff * dt * geom.laplace(u0),
-            "v": v + dt * dv,
-            "w": w + dt * dw,
-            "s": s + dt * ds,
+            "u": adams_bashforth2(u0, gu, state["_du_"], dt),
+            "v": adams_bashforth2(v, dv, state["_dv_"], dt),
+            "w": adams_bashforth2(w, dw, state["_dw_"], dt),
+            "s": adams_bashforth2(s, ds, state["_ds_"], dt),
+            "_du_": gu,
+            "_dv_": dv,
+            "_dw_": dw,
+            "_ds_": ds,
         }

@@ -64,6 +64,24 @@ inline Fenton4vState fentonStep(const Fenton4vState& st, double dt) {
           st.s + dt * d.s};
 }
 
+// Adams-Bashforth-2 variant (the scheme the reference's ionic.h:15-19
+// reserves 2x-VARIABLES storage for behind #ifdef ADAMS_BASHFORTH).
+// `prev` carries f_{n-1} and is updated in place; bootstrap it with
+// fentonDerivative(initial state) so the first step reduces to Euler —
+// the same convention as the JAX models (models/fenton.py).
+inline Fenton4vState fentonStepAB2(const Fenton4vState& st,
+                                   Fenton4vState* prev, double dt) {
+  const auto d = fentonDerivative(st);
+  Fenton4vState out{
+      st.u + dt * (1.5 * d.u - 0.5 * prev->u),
+      st.v + dt * (1.5 * d.v - 0.5 * prev->v),
+      st.w + dt * (1.5 * d.w - 0.5 * prev->w),
+      st.s + dt * (1.5 * d.s - 0.5 * prev->s),
+  };
+  *prev = d;
+  return out;
+}
+
 // ---------------------------------------------------------------------------
 // Beeler-Reuter (modified)
 // ---------------------------------------------------------------------------
@@ -123,22 +141,11 @@ inline double brRushLarsen(double g, double v, int gate, double dt) {
 
 enum BRGate { G_X1 = 0, G_M, G_H, G_J, G_D, G_F };
 
-// one substep; n = dt multiples for the slow gates (0 = frozen)
-inline BRState brStep(const BRState& s, double dt, int n) {
+// Membrane currents from the PRE-update gates: reference br.py:160-168
+// feeds M/H/J/D/F/XI — not M1... — into ix1/iNa/iCa.  Returns the total;
+// *i_ca_out gets the slow inward current (the Ca ODE needs it).
+inline double brCurrents(const BRState& s, double* i_ca_out) {
   constexpr double g_s = 0.09, g_na = 4.0, g_nac = 0.005, e_na = 50.0;
-
-  BRState o = s;
-  o.m = brRushLarsen(s.m, s.v, G_M, dt);
-  o.h = brRushLarsen(s.h, s.v, G_H, dt);
-  if (n > 0) {
-    o.x1 = brRushLarsen(s.x1, s.v, G_X1, dt * n);
-    o.j = brRushLarsen(s.j, s.v, G_J, dt * n);
-    o.d = brRushLarsen(s.d, s.v, G_D, dt * n);
-    o.f = brRushLarsen(s.f, s.v, G_F, dt * n);
-  }
-
-  // Currents use the PRE-update gates (s.*, not o.*): reference
-  // br.py:160-168 feeds M/H/J/D/F/XI — not M1... — into ix1/iNa/iCa.
   const double v = s.v;
   const double i_k1 = 0.35 * (
       4.0 * (std::exp(0.04 * (v + 85.0)) - 1.0) /
@@ -150,11 +157,58 @@ inline BRState brStep(const BRState& s, double dt, int n) {
       (g_na * s.m * s.m * s.m * s.h * s.j + g_nac) * (v - e_na);
   const double e_ca = -82.3 - 13.0278 * std::log(s.c);
   const double i_ca = g_s * s.d * s.f * (v - e_ca);
+  *i_ca_out = i_ca;
+  return i_k1 + i_x1 + i_na + i_ca;
+}
 
-  double v1 = v - dt * (i_k1 + i_x1 + i_na + i_ca);
-  v1 = v1 < -85.0 ? -85.0 : (v1 > 25.0 ? 25.0 : v1);
-  o.v = v1;
+// the Rush-Larsen gate block shared by both integrators; n = dt multiples
+// for the slow gates (0 = frozen)
+inline void brAdvanceGates(const BRState& s, BRState* o, double dt, int n) {
+  o->m = brRushLarsen(s.m, s.v, G_M, dt);
+  o->h = brRushLarsen(s.h, s.v, G_H, dt);
+  if (n > 0) {
+    o->x1 = brRushLarsen(s.x1, s.v, G_X1, dt * n);
+    o->j = brRushLarsen(s.j, s.v, G_J, dt * n);
+    o->d = brRushLarsen(s.d, s.v, G_D, dt * n);
+    o->f = brRushLarsen(s.f, s.v, G_F, dt * n);
+  }
+}
+
+inline double brClipV(double v) {
+  return v < -85.0 ? -85.0 : (v > 25.0 ? 25.0 : v);
+}
+
+// one substep; n = dt multiples for the slow gates (0 = frozen)
+inline BRState brStep(const BRState& s, double dt, int n) {
+  BRState o = s;
+  brAdvanceGates(s, &o, dt, n);
+  double i_ca;
+  const double i_sum = brCurrents(s, &i_ca);
+  o.v = brClipV(s.v - dt * i_sum);
   o.c = s.c + dt * (-1.0e-7 * i_ca + 0.07 * (1.0e-7 - s.c));
+  return o;
+}
+
+// Adams-Bashforth-2 on the Euler-updated planes (V, Ca); gates stay
+// Rush-Larsen.  `prev` carries {dv, dc} = f_{n-1}; bootstrap it with
+// brDerivative(initial state), matching models/beeler_reuter.py.
+struct BRDeriv {
+  double dv, dc;
+};
+
+inline BRDeriv brDerivative(const BRState& s) {
+  double i_ca;
+  const double i_sum = brCurrents(s, &i_ca);
+  return {-i_sum, -1.0e-7 * i_ca + 0.07 * (1.0e-7 - s.c)};
+}
+
+inline BRState brStepAB2(const BRState& s, BRDeriv* prev, double dt, int n) {
+  BRState o = s;
+  brAdvanceGates(s, &o, dt, n);
+  const BRDeriv d = brDerivative(s);
+  o.v = brClipV(s.v + dt * (1.5 * d.dv - 0.5 * prev->dv));
+  o.c = s.c + dt * (1.5 * d.dc - 0.5 * prev->dc);
+  *prev = d;
   return o;
 }
 

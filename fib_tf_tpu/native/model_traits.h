@@ -9,6 +9,16 @@
 
 namespace fib {
 
+// Per-cell parameter storage: 2x with Adams-Bashforth-2 (the previous
+// derivative rides along).  The reference reserved exactly this behind
+// #ifdef ADAMS_BASHFORTH (ionic.h:15-19) without implementing the
+// scheme; fenton_br.h implements it (fentonStepAB2 / brStepAB2).
+template <typename Traits, bool kAdamsBashforth = false>
+struct ParamCount {
+  static constexpr int value =
+      kAdamsBashforth ? 2 * Traits::kVariables : Traits::kVariables;
+};
+
 struct FentonTraits {
   static constexpr int kVariables = 4;
   static constexpr float kUpstroke = 0.5f;   // wavefront threshold

@@ -44,6 +44,22 @@ def euler(g, rate, dt):
     return g + rate * dt
 
 
+def adams_bashforth2(g, rate, rate_prev, dt):
+    """Second-order Adams-Bashforth step:
+
+        g' = g + dt * (3/2 * f_n - 1/2 * f_{n-1})
+
+    The reference's native traits reserve 2x-VARIABLES parameter storage
+    for exactly this scheme behind `#ifdef ADAMS_BASHFORTH`
+    (ionic.h:15-19) but never implement it; here it is a real opt-in
+    integrator (`SimConfig.ab2`) for the explicit-Euler state updates.
+    Rush-Larsen gates keep their exponential form (AB2 does not apply).
+    Models bootstrap f_{-1} with the reaction derivative of the initial
+    state, so the first substep reduces to Euler up to the (initially
+    tiny) diffusion term."""
+    return g + dt * (1.5 * rate - 0.5 * rate_prev)
+
+
 def rush_larsen(g, g_inf, g_tau, dt):
     """Rush-Larsen exponential integration of a gating variable.
 

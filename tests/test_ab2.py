@@ -1,0 +1,168 @@
+"""Adams-Bashforth-2 integrator (SimConfig.ab2).
+
+The reference's native traits reserve 2x-VARIABLES parameter storage for
+this scheme behind `#ifdef ADAMS_BASHFORTH` (reference ionic.h:15-19)
+without implementing it; here it is a working opt-in for the
+explicit-Euler state updates (all four Fenton planes; BR's V and Ca).
+"""
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models import (
+    BeelerReuter,
+    Courtemanche,
+    Fenton4v,
+    cell_geometry,
+)
+from fib_tf_tpu.utils import native
+
+
+def solve_0d(model, state, n_substeps, record):
+    geom = cell_geometry()
+    state = {k: jnp.asarray(v, jnp.float32) for k, v in state.items()}
+
+    def body(s, _):
+        s = model.solve(s, geom)
+        return s, s[record][0, 0]
+
+    final, trace = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=n_substeps)
+    )(state)
+    return final, np.asarray(trace)
+
+
+def fenton_final_u(dt, ab2, t_ms=5.0):
+    """u(t_ms) from a smooth (switch-free) window: u starts at 0.4 and
+    rises toward 1 without crossing the sign()-step thresholds."""
+    m = Fenton4v(SimConfig(width=8, height=8, dt=dt, duration=1, ab2=ab2))
+    st = m.initial_state(s1=False)
+    st["u"][:] = 0.4
+    if ab2:
+        st = m.bootstrap_ab2(st)
+    final, _ = solve_0d(m, st, int(round(t_ms / dt)), "u")
+    return float(final["u"][0, 0])
+
+
+class TestFentonAB2:
+    def test_much_more_accurate_than_euler(self):
+        """At dt=0.1 the AB2 endpoint error vs a dt=0.001 reference is
+        ~70x below Euler's (measured 1.1e-5 vs 7.7e-4); assert >=20x."""
+        ref = fenton_final_u(0.001, ab2=False)
+        err_euler = abs(fenton_final_u(0.1, ab2=False) - ref)
+        err_ab2 = abs(fenton_final_u(0.1, ab2=True) - ref)
+        assert err_ab2 < err_euler / 20.0
+
+    def test_derivative_planes_ride_the_state(self):
+        m = Fenton4v(SimConfig(width=8, height=8, dt=0.1, duration=1,
+                               ab2=True))
+        st = m.initial_state()
+        assert set(st) == {"u", "v", "w", "s",
+                           "_du_", "_dv_", "_dw_", "_ds_"}
+        final, _ = solve_0d(m, st, 10, "u")
+        assert np.isfinite(final["_du_"]).all()
+
+    def test_matches_native_cell_sim(self):
+        """cell_sim_fb --ab2 is an independent C++ AB2 implementation with
+        the same bootstrap convention."""
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        if not os.path.exists(exe):
+            pytest.skip("native cell_sim_fb not built")
+        out = subprocess.run(
+            [exe, "fenton", "100", "0.1", "0.3", "--ab2"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        u_native = np.asarray(
+            [float(l.split()[1]) for l in out.strip().splitlines()]
+        )
+        m = Fenton4v(SimConfig(width=8, height=8, dt=0.1, duration=1,
+                               ab2=True))
+        st = m.initial_state(s1=False)
+        st["u"][:] = 0.3
+        st = m.bootstrap_ab2(st)
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in st.items()}
+
+        def body(x, _):
+            x = m.step(x, geom)  # 10 substeps = 1 ms
+            return x, x["u"][0, 0]
+
+        _, u_py = jax.jit(
+            lambda x: jax.lax.scan(body, x, None, length=100)
+        )(s)
+        assert np.abs(u_native - np.asarray(u_py)).max() < 5e-3
+
+
+class TestBeelerReuterAB2:
+    def br_final_v(self, dt, ab2, t_ms=5.0):
+        m = BeelerReuter(SimConfig(width=8, height=8, dt=dt, duration=1,
+                                   ab2=ab2, cheby=False, skip=False))
+        st = m.initial_state(s1=False)
+        st["V"][:] = -30.0
+        if ab2:
+            st = m.bootstrap_ab2(st)
+        final, _ = solve_0d(m, st, int(round(t_ms / dt)), "V")
+        return float(final["V"][0, 0])
+
+    def test_more_accurate_than_euler(self):
+        """Gates stay first-order Rush-Larsen, so the win is bounded —
+        measured ~2.7x on the V endpoint; assert >=1.5x."""
+        ref = self.br_final_v(0.002, ab2=False)
+        err_euler = abs(self.br_final_v(0.1, ab2=False) - ref)
+        err_ab2 = abs(self.br_final_v(0.1, ab2=True) - ref)
+        assert err_ab2 < err_euler / 1.5
+
+    def test_matches_native_cell_sim(self):
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        if not os.path.exists(exe):
+            pytest.skip("native cell_sim_fb not built")
+        out = subprocess.run(
+            [exe, "br", "100", "0.1", "-30", "--skip", "--ab2"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        v_native = np.asarray(
+            [float(l.split()[1]) for l in out.strip().splitlines()]
+        )
+        m = BeelerReuter(SimConfig(width=8, height=8, dt=0.1, duration=1,
+                                   ab2=True, cheby=False, skip=True))
+        st = m.initial_state(s1=False)
+        st["V"][:] = -30.0
+        st = m.bootstrap_ab2(st)
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in st.items()}
+
+        def body(x, _):
+            x = m.step(x, geom)  # 5 substeps = 0.5 ms
+            return x, x["V"][0, 0]
+
+        _, v_py = jax.jit(
+            lambda x: jax.lax.scan(body, x, None, length=200)
+        )(s)
+        # every other outer step lands on a millisecond boundary
+        assert np.abs(v_native - np.asarray(v_py)[1::2]).max() < 1.0
+
+    def test_tissue_runs_and_stays_close_to_euler(self):
+        from fib_tf_tpu.engine import Simulation
+
+        def run(ab2):
+            cfg = SimConfig(width=32, height=32, dt=0.1, duration=20,
+                            diff=0.809, ab2=ab2, cheby=True, skip=True)
+            sim = Simulation(BeelerReuter(cfg)).define()
+            return sim.simulate(warmup=False)
+
+        r_euler, r_ab2 = run(False), run(True)
+        assert np.isfinite(r_ab2.state["V"]).all()
+        # same physics, slightly different integrator: a planar wave over
+        # 20 ms should agree to a few mV
+        assert np.abs(r_ab2.state["V"] - r_euler.state["V"]).max() < 5.0
+
+
+def test_courtemanche_rejects_ab2():
+    with pytest.raises(NotImplementedError):
+        Courtemanche(SimConfig(width=8, height=8, ab2=True))
