@@ -103,9 +103,18 @@ def make_pallas_step(
     model: IonicModel,
     phase: Optional[np.ndarray] = None,
     interpret: Optional[bool] = None,
+    n_outer: int = 1,
 ):
-    """Build `step(state) -> state`: one outer step (dt_per_step substeps)
-    as a single VMEM-resident Pallas kernel."""
+    """Build `step(state) -> state`: `n_outer` outer steps (each
+    dt_per_step substeps) as a single VMEM-resident Pallas kernel.
+
+    `n_outer > 1` amortizes the kernel's HBM round trip over more
+    compute.  Measured NEUTRAL on v5e (BR 512x512: 10.8 us/substep at
+    K=1, 11.75 at K=2, 10.87 at K=4) — Mosaic already overlaps the
+    plane DMAs with compute and the kernel is VPU-bound, so there is no
+    traffic left to save (docs/OPTIMIZATIONS.md §8b).  Kept as a knob
+    for configurations where the DMA/compute ratio differs (more
+    planes, smaller grids, narrower-VPU generations)."""
     names = tuple(sorted(model.initial_state(s1=False).keys()))
     n = len(names)
     has_phase = phase is not None
@@ -124,7 +133,8 @@ def make_pallas_step(
         # swap in the Mosaic-safe expm1 for the duration of the trace
         integrators._IN_PALLAS_KERNEL = True
         try:
-            state = model.step(state, geom)
+            for _ in range(n_outer):
+                state = model.step(state, geom)
         finally:
             integrators._IN_PALLAS_KERNEL = False
         for k, r in zip(names, outs):
@@ -132,7 +142,7 @@ def make_pallas_step(
 
     h, w = model.cfg.height, model.cfg.width
     plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
-    spec = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
 
     n_in = n + (1 if has_phase else 0)
     call = pl.pallas_call(

@@ -286,10 +286,10 @@ def make_tiled_pallas_step(
         )
 
     plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
         (tile_rows, w), lambda t: (t, 0),
-        memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
     )
 
     if double_buffer:
