@@ -166,3 +166,56 @@ class TestBeelerReuterAB2:
 def test_courtemanche_rejects_ab2():
     with pytest.raises(NotImplementedError):
         Courtemanche(SimConfig(width=8, height=8, ab2=True))
+
+
+class TestAB2Sharded:
+    """The _d*_ derivative planes ride the state pytree through both
+    sharding paths; sharded must equal unsharded."""
+
+    def _reference(self, model, n_steps):
+        from fib_tf_tpu.models import grid_geometry
+
+        geom = grid_geometry()
+        s = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        out, _ = jax.jit(
+            lambda st: jax.lax.scan(
+                lambda x, _: (model.step(x, geom), None), st, None,
+                length=n_steps)
+        )(s)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def test_gspmd_matches_single_device(self):
+        from fib_tf_tpu.models import grid_geometry
+        from fib_tf_tpu.parallel import make_mesh, shard_state
+
+        model = Fenton4v(SimConfig(width=64, height=64, dt=0.1,
+                                   duration=5, ab2=True))
+        want = self._reference(model, 5)
+        mesh = make_mesh()
+        sharded = shard_state(model.initial_state(), mesh)
+        geom = grid_geometry()
+        got = jax.jit(
+            lambda st: jax.lax.scan(
+                lambda x, _: (model.step(x, geom), None), st, None,
+                length=5)[0]
+        )(sharded)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
+
+    def test_shard_map_matches_single_device(self):
+        from fib_tf_tpu.parallel import make_mesh, shard_state
+        from fib_tf_tpu.parallel.spmd import make_spmd_chunk
+
+        model = BeelerReuter(SimConfig(width=64, height=64, dt=0.1,
+                                       duration=5, ab2=True))
+        want = self._reference(model, 5)
+        mesh = make_mesh()
+        chunk = make_spmd_chunk(model, mesh, length=5)
+        got, probes = chunk(shard_state(model.initial_state(), mesh))
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
+            )
+        assert np.isfinite(np.asarray(probes["v"])).all()
