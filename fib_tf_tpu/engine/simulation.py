@@ -211,9 +211,9 @@ class Simulation:
         import jax as _jax
 
         # measured on v5e at 512x512 (us/substep, sync-corrected): fenton
-        # whole-grid 6.2 vs xla 14.3; br tiled 18.1 vs xla 23.6; court
-        # stays xla (43.7 vs tiled 44.5 — compute-bound, see
-        # docs/OPTIMIZATIONS.md §8c).  Mosaic requires the lane
+        # whole-grid 6.0 vs xla 14.3; br whole-grid 10.8, tiled 18.1,
+        # xla 22.9; court stays xla (43.7 vs tiled 44.5 — compute-bound,
+        # see docs/OPTIMIZATIONS.md §8c).  Mosaic requires the lane
         # dimension aligned to 128 and rows to the f32 sublane multiple 8;
         # misaligned (small) grids stay on the XLA path.
         if (
@@ -224,11 +224,7 @@ class Simulation:
         ):
             return False
         if self.model.name == "br":
-            n_planes = len(self.model.initial_state(s1=False))
-            state_mb = (
-                n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
-            )
-            if state_mb <= 8:
+            if self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX:
                 return True  # whole-grid kernel, no tiling constraint
             # the tiled kernel needs a tile size that divides H with room
             # for the temporal halo; tiny grids have none
@@ -236,6 +232,19 @@ class Simulation:
                 self.cfg.height, self._halo_rows()
             ) is not None
         return True
+
+    # Whole-grid vs tiled cutover, in MB of state (planes x H x W x 4).
+    # Measured on v5e: the whole-grid kernel wins up to at least 32 MB —
+    # fenton 1024x1024 (16 MB): 25.5 us/substep whole vs 40.4 tiled; BR
+    # 1024x512 (16 MB): 22.7 vs 43.8; BR 1024x1024 (32 MB): 46.1 whole
+    # vs 98.7 tiled, within 7% of linear scaling from 512x512.  The r1
+    # 8 MB cap was leaving ~2x on the table for large grids.  Past this
+    # the tiled kernel restores VMEM headroom.
+    WHOLE_GRID_STATE_MB_MAX = 32
+
+    def _state_mb(self) -> float:
+        n_planes = len(self.model.initial_state(s1=False))
+        return n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
 
     def _halo_rows(self) -> int:
         """Temporal-halo rows of the tiled kernel (single source of
@@ -260,16 +269,12 @@ class Simulation:
             from fib_tf_tpu.utils import cache
 
             cache.enable()
-            n_planes = len(self.model.initial_state(s1=False))
-            state_mb = (
-                n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
-            )
-            if state_mb <= 8:
-                # whole grid + temporaries fit VMEM: fenton up to 512x512
-                # (4 MB state), BR up to 512x512 (8 MB).  Measured on v5e
-                # at 512x512: fenton 6.2, BR 14.1 us/substep — the
-                # whole-grid kernel beats tiled (18.1) by dropping the
-                # temporal-halo redundancy entirely.
+            if self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX:
+                # whole grid + temporaries fit VMEM.  Measured on v5e:
+                # fenton 6.0 us/substep at 512x512 (vs 14.3 XLA), BR
+                # 10.8 (vs 22.9 XLA, 18.1 tiled); at 16 MB states the
+                # whole-grid kernel still beats tiled ~2x (see
+                # WHOLE_GRID_STATE_MB_MAX).
                 from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
                 return make_pallas_step(self.model, phase=self.phase)
