@@ -195,34 +195,35 @@ class Simulation:
         multi-chip story is the shard_map chunk in parallel/spmd.py)."""
         if self._sharding is not None:
             return False
-        aniso = (self.cfg.fiber_angle is not None
-                 and self.cfg.fiber_ratio != 1.0)
         if self.cfg.kernel == "pallas":
-            if aniso:
-                raise ValueError(
-                    "the Pallas kernels implement the isotropic stencil; "
-                    "anisotropic runs use kernel='xla'"
-                )
             return True
-        if aniso:
-            return False
         if self.cfg.kernel == "xla":
             return False
         import jax as _jax
 
         # measured on v5e at 512x512 (us/substep, sync-corrected): fenton
         # whole-grid 6.0 vs xla 14.3; br whole-grid 10.8, tiled 18.1,
-        # xla 22.9; court stays xla (43.7 vs tiled 44.5 — compute-bound,
-        # see docs/OPTIMIZATIONS.md §8c).  Mosaic requires the lane
-        # dimension aligned to 128 and rows to the f32 sublane multiple 8;
-        # misaligned (small) grids stay on the XLA path.
+        # xla 22.9; court whole-grid 24.3 vs xla 43.7 (r1/r2's '>VMEM'
+        # assumption was wrong — 21 planes = 21 MB compiles fine) while
+        # court TILED loses to xla (44.5), so court uses whole-grid or
+        # nothing.  Mosaic requires the lane dimension aligned to 128 and
+        # rows to the f32 sublane multiple 8; misaligned (small) grids
+        # stay on the XLA path.
         if (
             _jax.default_backend() != "tpu"
-            or self.model.name not in ("fenton", "br")
+            or self.model.name not in ("fenton", "br", "court",
+                                       "court_ultra")
             or self.cfg.width % 128 != 0
             or self.cfg.height % 8 != 0
         ):
             return False
+        if self.model.name in ("court", "court_ultra"):
+            # table mode gathers don't lower in Mosaic; the tiled
+            # kernel's halo recompute loses to XLA for this
+            # compute-bound model, so past the whole-grid budget stay
+            # on XLA (docs/OPTIMIZATIONS.md §8c)
+            return (not self.cfg.table
+                    and self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX)
         if self.model.name == "br":
             if self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX:
                 return True  # whole-grid kernel, no tiling constraint
@@ -263,6 +264,16 @@ class Simulation:
                 return t
         return None
 
+    def _fiber(self):
+        """(dxx, dxy, dyy) when anisotropic, else None — both kernels
+        implement the tensor operator (value-identical to the XLA path's
+        stencil.anisotropic_laplace)."""
+        if self.cfg.fiber_angle is not None and self.cfg.fiber_ratio != 1.0:
+            return stencil.fiber_tensor(
+                self.cfg.fiber_angle, self.cfg.fiber_ratio
+            )
+        return None
+
     def _step_fn(self):
         """The outer-step implementation for this run."""
         if self._use_pallas():
@@ -277,7 +288,8 @@ class Simulation:
                 # WHOLE_GRID_STATE_MB_MAX).
                 from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
-                return make_pallas_step(self.model, phase=self.phase)
+                return make_pallas_step(self.model, phase=self.phase,
+                                        fiber=self._fiber())
             from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
 
             tile_rows = self._pick_tile_rows(
@@ -293,6 +305,7 @@ class Simulation:
                 self.model,
                 tile_rows=tile_rows,
                 phase=self.phase,
+                fiber=self._fiber(),
             )
         model, geom = self.model, self._geom
         return lambda state: model.step(state, geom)

@@ -80,6 +80,39 @@ def vmem_laplace(
     return l
 
 
+def vmem_anisotropic_laplace(
+    x: jnp.ndarray,
+    dxx: float,
+    dxy: float,
+    dyy: float,
+    phase: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Anisotropic tensor operator via shifts (value-identical to
+    ops.stencil.anisotropic_laplace incl. the x2 normalization and the
+    tensor phase-field correction)."""
+    n = _shift(x, -1, 0)
+    s = _shift(x, 1, 0)
+    w = _shift(x, 0, -1)
+    e = _shift(x, 0, 1)
+    nw = _shift(x, -1, -1)
+    ne = _shift(x, -1, 1)
+    sw = _shift(x, 1, -1)
+    se = _shift(x, 1, 1)
+    vxx = w - 2.0 * x + e
+    vyy = n - 2.0 * x + s
+    vxy = 0.25 * (se + nw - sw - ne)
+    l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+    if phase is not None:
+        gx = e - w
+        gy = s - n
+        px = _shift(phase, 0, 1) - _shift(phase, 0, -1)
+        py = _shift(phase, 1, 0) - _shift(phase, -1, 0)
+        l = l + (
+            gx * (dxx * px + dxy * py) + gy * (dxy * px + dyy * py)
+        ) / (4.0 * phase)
+    return l
+
+
 def vmem_enforce_boundary(x: jnp.ndarray) -> jnp.ndarray:
     """SYMMETRIC interior rewrite via row/col replacement (value-identical
     to ops.stencil.enforce_boundary), scatter-free."""
@@ -88,7 +121,19 @@ def vmem_enforce_boundary(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def vmem_geometry(phase: Optional[jnp.ndarray] = None) -> Geometry:
+def vmem_geometry(
+    phase: Optional[jnp.ndarray] = None,
+    fiber: Optional[tuple] = None,
+) -> Geometry:
+    """`fiber` = (dxx, dxy, dyy) from stencil.fiber_tensor selects the
+    anisotropic operator."""
+    if fiber is not None:
+        dxx, dxy, dyy = fiber
+        return Geometry(
+            laplace=lambda x: vmem_anisotropic_laplace(
+                x, dxx, dxy, dyy, phase),
+            enforce_boundary=vmem_enforce_boundary,
+        )
     return Geometry(
         laplace=lambda x: vmem_laplace(x, phase),
         enforce_boundary=vmem_enforce_boundary,
@@ -104,6 +149,7 @@ def make_pallas_step(
     phase: Optional[np.ndarray] = None,
     interpret: Optional[bool] = None,
     n_outer: int = 1,
+    fiber: Optional[tuple] = None,
 ):
     """Build `step(state) -> state`: `n_outer` outer steps (each
     dt_per_step substeps) as a single VMEM-resident Pallas kernel.
@@ -129,7 +175,7 @@ def make_pallas_step(
         phase_arr = refs[n][:] if has_phase else None
         outs = refs[n + 1 :] if has_phase else refs[n:]
         state = {k: r[:] for k, r in zip(names, ins)}
-        geom = vmem_geometry(phase_arr)
+        geom = vmem_geometry(phase_arr, fiber)
         # swap in the Mosaic-safe expm1 for the duration of the trace
         integrators._IN_PALLAS_KERNEL = True
         try:

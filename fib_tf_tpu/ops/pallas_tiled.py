@@ -1,10 +1,10 @@
 """Row-tiled, temporally-blocked Pallas step kernel.
 
 The whole-grid kernel (pallas_step.py) needs every plane plus all
-temporaries resident in VMEM at once — fine for Fenton's 4 planes, hostile
-for Beeler-Reuter's 8 (the Chebyshev term chain alone adds ~9 plane-sized
-temps) and impossible for Courtemanche's 21.  This variant restores VMEM
-headroom with the classic overlapped temporal-blocking scheme:
+temporaries resident in VMEM at once — measured to win up to ~32 MB of
+state (even Courtemanche's 21 planes at 512x512).  This variant restores
+VMEM headroom beyond that with the classic overlapped temporal-blocking
+scheme:
 
   * the grid iterates over row tiles; each kernel instance DMAs
     `tile_rows + 2K` rows of every plane from HBM into VMEM scratch
@@ -64,6 +64,7 @@ def block_geometry(
     cg: Optional[jnp.ndarray] = None,
     w_total: Optional[int] = None,
     phase_ext: Optional[jnp.ndarray] = None,
+    fiber: Optional[tuple] = None,
 ) -> Geometry:
     """Geometry over a block extended with halo rows (and, when `cg` is
     given, halo columns).
@@ -116,6 +117,25 @@ def block_geometry(
         ne = east(n)
         sw = west(s)
         se = east(s)
+        if fiber is not None:
+            # anisotropic tensor operator (value-identical to
+            # stencil.anisotropic_laplace incl. the x2 normalization)
+            dxx, dxy, dyy = fiber
+            vxx = w - 2.0 * x + e
+            vyy = n - 2.0 * x + s
+            vxy = 0.25 * (se + nw - sw - ne)
+            l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+            if phase_ext is not None:
+                p = phase_ext
+                gx = e - w
+                gy = s - n
+                px = east(p) - west(p)
+                py = south(p) - north(p)
+                l = l + (
+                    gx * (dxx * px + dxy * py)
+                    + gy * (dxy * px + dyy * py)
+                ) / (4.0 * p)
+            return l
         l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
         if phase_ext is not None:
             p = phase_ext
@@ -135,10 +155,11 @@ def block_geometry(
 
 
 def tile_geometry(rg: jnp.ndarray, h_total: int,
-                  phase_ext: Optional[jnp.ndarray] = None) -> Geometry:
+                  phase_ext: Optional[jnp.ndarray] = None,
+                  fiber: Optional[tuple] = None) -> Geometry:
     """Row-extended block geometry (full-width columns) — the tiled
     kernel's and 1D wide-halo's case."""
-    return block_geometry(rg, h_total, phase_ext=phase_ext)
+    return block_geometry(rg, h_total, phase_ext=phase_ext, fiber=fiber)
 
 
 def halo_rows(dt_per_step: int) -> int:
@@ -155,6 +176,7 @@ def make_tiled_pallas_step(
     phase: Optional[np.ndarray] = None,
     interpret: Optional[bool] = None,
     double_buffer: Optional[bool] = None,
+    fiber: Optional[tuple] = None,
 ):
     """Build `step(state) -> state`: one outer step (all dt_per_step
     substeps) as a row-tiled temporally-blocked Pallas kernel.
@@ -204,7 +226,7 @@ def make_tiled_pallas_step(
 
         rg = start + jax.lax.broadcasted_iota(jnp.int32, (ext_h, 1), 0)
         phase_ext = read(n) if has_phase else None
-        geom = tile_geometry(rg, h, phase_ext)
+        geom = tile_geometry(rg, h, phase_ext, fiber)
 
         state = {kk: read(i) for i, kk in enumerate(names)}
         integrators._IN_PALLAS_KERNEL = True

@@ -8,7 +8,12 @@ import numpy as np
 import pytest
 
 from fib_tf_tpu.config import SimConfig
-from fib_tf_tpu.models import BeelerReuter, Fenton4v, grid_geometry
+from fib_tf_tpu.models import (
+    BeelerReuter,
+    Courtemanche,
+    Fenton4v,
+    grid_geometry,
+)
 from fib_tf_tpu.ops import stencil
 from fib_tf_tpu.ops.pallas_step import (
     make_pallas_step,
@@ -57,6 +62,7 @@ class TestPallasStep:
     @pytest.mark.parametrize("model_cls,extra", [
         (Fenton4v, {}),
         (BeelerReuter, dict(diff=0.809, cheby=True, skip=True)),
+        (Courtemanche, dict(diff=0.809)),
     ])
     def test_matches_xla_step(self, model_cls, extra):
         c = cfg(**extra)
@@ -95,6 +101,43 @@ class TestPallasStep:
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(want[k]),
                 rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+    def test_anisotropic_matches_xla_step(self):
+        """Whole-grid kernel with a fiber tensor == the XLA anisotropic
+        path, with and without a phase field."""
+        fiber = stencil.fiber_tensor(0.5, 0.3)
+        for phase in (None,
+                      stencil.add_hole_to_phase_field(None, 32, 32, 16,
+                                                      16, 6)):
+            c = cfg(fiber_angle=0.5, fiber_ratio=0.3)
+            model = Fenton4v(c)
+            geom = grid_geometry(phase, 0.5, 0.3)
+            state = {k: jnp.asarray(v)
+                     for k, v in model.initial_state().items()}
+            want = model.step(state, geom)
+            got = make_pallas_step(model, phase=phase, fiber=fiber)(state)
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(want[k]),
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"phase={phase is not None}/{k}",
+                )
+
+    def test_tiled_anisotropic_matches_xla_step(self):
+        fiber = stencil.fiber_tensor(1.1, 0.25)
+        phase = stencil.add_hole_to_phase_field(None, 64, 64, 32, 32, 10)
+        c = cfg(width=64, height=64, fiber_angle=1.1, fiber_ratio=0.25)
+        model = Fenton4v(c)
+        geom = grid_geometry(phase, 1.1, 0.25)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        want = model.step(state, geom)
+        got = make_tiled_pallas_step(
+            model, tile_rows=16, phase=phase, fiber=fiber)(state)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-3, atol=1e-5, err_msg=k,
             )
 
     def test_tiled_matches_xla_step(self):
