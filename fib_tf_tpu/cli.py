@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(fenton/br)")
     r.add_argument("--table", action="store_true",
                    help="use the voltage-indexed lookup table (court)")
+    r.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="step implementation: auto picks the fused Pallas "
+                        "kernel where measured profitable; xla skips the "
+                        "(long, one-time) Mosaic kernel compile")
     r.add_argument("--no-chronic", dest="chronic", action="store_false")
     r.add_argument("--hole", action="append", default=[],
                    help="x,y,radius[,neg] — may repeat")
@@ -104,6 +109,7 @@ def cmd_run(args) -> int:
         fiber_ratio=args.fiber_ratio,
         duration=args.duration, cheby=args.cheby, skip=args.skip,
         ab2=args.ab2, table=args.table, chronic=args.chronic,
+        kernel=args.kernel,
         timeline=args.timeline, save_graph=args.save_graph,
         ultra_slow=(args.model == "court_ultra"),
     )

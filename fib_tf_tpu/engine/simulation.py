@@ -520,6 +520,15 @@ class Simulation:
                 seg -= l
                 sim_step += l
         if warmup:
+            if self._use_pallas() and jax.default_backend() == "tpu":
+                import sys
+
+                print(
+                    "compiling fused kernel chunks (Mosaic compiles can "
+                    "take minutes on first run for the large models; "
+                    "cached in .jax_cache afterward)...",
+                    file=sys.stderr, flush=True,
+                )
             for l in lengths:
                 chunk = self._chunk_fn(l)
                 scratch = self._device_state(state)
