@@ -367,6 +367,10 @@ class Simulation:
             phase=self.phase,
             egm_masks=self._egm_masks or None,
             wide_halo=self._wide_halo,
+            # kernel='pallas' + wide_halo runs the per-shard fused block
+            # kernel; 'auto' stays XLA here (no multi-chip hardware was
+            # available to measure the crossover)
+            use_kernel=(self.cfg.kernel == "pallas" and self._wide_halo),
         )
         model = self.model
 

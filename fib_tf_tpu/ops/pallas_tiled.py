@@ -170,6 +170,101 @@ def halo_rows(dt_per_step: int) -> int:
     return ((dt_per_step + 7) // 8) * 8
 
 
+def make_block_kernel(
+    model: IonicModel,
+    ext_h: int,
+    ext_w: int,
+    h_total: int,
+    w_total: Optional[int] = None,
+    two_d: bool = False,
+    has_phase: bool = False,
+    interpret: Optional[bool] = None,
+    fiber: Optional[tuple] = None,
+):
+    """Fused substep-group kernel over ONE halo-extended block — the
+    per-shard compute of the wide-halo shard_map path (parallel/spmd.py).
+
+    The caller exchanges K ghost rows (and columns on a 2D mesh) via
+    ppermute, then this kernel advances the whole fused group with the
+    block VMEM-resident, exactly like the temporally-blocked tile kernel
+    — except the "tile" is the shard's block and the halo came over ICI
+    instead of from HBM.  `rstart` (and `cstart`) are the block's global
+    start indices (they depend on `lax.axis_index`, so they enter as
+    runtime scalars); global REFLECT/SYMMETRIC edge rules apply only on
+    the shards that own a domain edge, via the same global-index masks as
+    `block_geometry`.
+
+    Returns `step(ext_state, rstart[, cstart][, phase_ext]) -> ext_state`
+    (halo rings of the output are garbage; the caller crops the center).
+    On TPU the lane dimension (ext_w) should be a multiple of 128."""
+    names = tuple(sorted(model.initial_state(s1=False).keys()))
+    n = len(names)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(*refs):
+        from fib_tf_tpu.ops import integrators
+
+        ins = refs[:n]
+        i = n
+        rstart_ref = refs[i]
+        i += 1
+        cstart_ref = None
+        if two_d:
+            cstart_ref = refs[i]
+            i += 1
+        phase_ext = refs[i][:] if has_phase else None
+        outs = refs[-n:]
+
+        rg = rstart_ref[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (ext_h, 1), 0
+        )
+        cg = None
+        if two_d:
+            cg = cstart_ref[0] + jax.lax.broadcasted_iota(
+                jnp.int32, (1, ext_w), 1
+            )
+        geom = block_geometry(rg, h_total, cg, w_total, phase_ext, fiber)
+        state = {kk: r[:] for kk, r in zip(names, ins)}
+        integrators._IN_PALLAS_KERNEL = True
+        try:
+            state = model.step(state, geom)
+        finally:
+            integrators._IN_PALLAS_KERNEL = False
+        for kk, r in zip(names, outs):
+            r[:] = state[kk]
+
+    plane = jax.ShapeDtypeStruct((ext_h, ext_w), jnp.float32)
+    vspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM)
+    in_specs = [vspec] * n + [sspec] + ([sspec] if two_d else [])
+    if has_phase:
+        in_specs.append(vspec)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[plane] * n,
+        in_specs=in_specs,
+        out_specs=[vspec] * n,
+        input_output_aliases={i: i for i in range(n)},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+    def step(ext_state, rstart, cstart=None, phase_ext=None):
+        args = [ext_state[kk] for kk in names]
+        args.append(jnp.asarray(rstart, jnp.int32).reshape(1))
+        if two_d:
+            args.append(jnp.asarray(cstart, jnp.int32).reshape(1))
+        if has_phase:
+            args.append(phase_ext)
+        outs = call(*args)
+        return dict(zip(names, outs))
+
+    return step
+
+
 def make_tiled_pallas_step(
     model: IonicModel,
     tile_rows: int = 128,

@@ -116,6 +116,7 @@ def make_spmd_chunk(
     phase: Optional[np.ndarray] = None,
     egm_masks: Optional[list] = None,
     wide_halo: bool = False,
+    use_kernel: bool = False,
 ):
     """Build a jitted chunk(state) -> (state, probes) running `length`
     outer steps entirely inside shard_map over `mesh`'s first axis.
@@ -134,7 +135,18 @@ def make_spmd_chunk(
     which carries the diagonal corners for free — halo.extend_2d /
     _exchange_cols); probes psum over both axes.  2D wide-halo exchanges
     K rows + K columns (with KxK corners) once per outer step.
+
+    `use_kernel=True` (requires wide_halo) replaces the per-shard XLA
+    substep group with the fused Pallas block kernel
+    (ops/pallas_tiled.make_block_kernel): halos ride ICI once per outer
+    step, then the whole group runs VMEM-resident — the multi-chip
+    analog of the single-chip whole-grid kernel.
     """
+    if use_kernel and not wide_halo:
+        raise ValueError(
+            "use_kernel requires wide_halo=True (the per-substep "
+            "exchange path has no fused block to hand the kernel)"
+        )
     is_2d = len(mesh.axis_names) >= 2 and mesh.devices.shape[1] > 1
     axis = mesh.axis_names[0]
     col_axis = mesh.axis_names[1] if is_2d else None
@@ -210,13 +222,34 @@ def make_spmd_chunk(
                 def crop(v):
                     return v[k:-k]
             phase_ext = extend(phase_local) if has_phase else None
-            geom = block_geometry(rg, cfg.height, cg, cfg.width, phase_ext)
+            if use_kernel:
+                # per-shard fused Pallas kernel on the extended block:
+                # the halo rode ICI, the substep group runs VMEM-resident
+                # (ops/pallas_tiled.make_block_kernel)
+                from fib_tf_tpu.ops.pallas_tiled import make_block_kernel
 
-            def body(s, _):
-                ext = {kk: extend(v) for kk, v in s.items()}
-                ext = model.step(ext, geom)
-                s = {kk: crop(v) for kk, v in ext.items()}
-                return s, probes_of(s)
+                ext_w = w_local + 2 * k if is_2d else w_local
+                kern = make_block_kernel(
+                    model, h_local + 2 * k, ext_w, cfg.height,
+                    cfg.width if is_2d else None, is_2d, has_phase,
+                )
+                cstart_val = cstart if is_2d else None
+
+                def body(s, _):
+                    ext = {kk: extend(v) for kk, v in s.items()}
+                    ext = kern(ext, rstart, cstart_val, phase_ext)
+                    s = {kk: crop(v) for kk, v in ext.items()}
+                    return s, probes_of(s)
+            else:
+                geom = block_geometry(
+                    rg, cfg.height, cg, cfg.width, phase_ext
+                )
+
+                def body(s, _):
+                    ext = {kk: extend(v) for kk, v in s.items()}
+                    ext = model.step(ext, geom)
+                    s = {kk: crop(v) for kk, v in ext.items()}
+                    return s, probes_of(s)
 
         elif is_2d:
             from fib_tf_tpu.parallel.halo import (

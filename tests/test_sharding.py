@@ -309,3 +309,60 @@ class TestShardMapHalo:
                     err_msg=f"{model.name} phase={with_phase} {k}",
                 )
             assert probes["v"].shape == (3,)
+
+
+class TestShardBlockKernel:
+    """wide_halo + use_kernel: per-shard fused Pallas block kernel
+    (interpret mode on the CPU mesh) == XLA shard_map == single device."""
+
+    def test_1d_matches(self):
+        from fib_tf_tpu.ops import stencil as st
+
+        for model_cls, extra, with_phase in [
+            (Fenton4v, {}, False),
+            (Fenton4v, {}, True),
+            (BeelerReuter, dict(diff=0.809, cheby=True, skip=True), False),
+        ]:
+            c = cfg(height=128, **extra)
+            model = model_cls(c)
+            phase = (
+                st.add_hole_to_phase_field(None, 128, 64, 32, 64, 10)
+                if with_phase else None
+            )
+            want = reference_run(model, 2, phase=phase)
+            mesh = make_mesh()
+            chunk = make_spmd_chunk(
+                model, mesh, length=2, phase=phase, wide_halo=True,
+                use_kernel=True,
+            )
+            got, probes = chunk(shard_state(model.initial_state(), mesh))
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), want[k], rtol=1e-5, atol=1e-5,
+                    err_msg=f"{model.name} phase={with_phase} {k}",
+                )
+            assert probes["v"].shape == (2,)
+
+    def test_2d_matches(self):
+        from fib_tf_tpu.ops import stencil as st
+
+        c = cfg(height=128, width=128)
+        model = Fenton4v(c)
+        phase = st.add_hole_to_phase_field(None, 128, 128, 64, 64, 10)
+        want = reference_run(model, 2, phase=phase)
+        mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+        chunk = make_spmd_chunk(model, mesh, length=2, phase=phase,
+                                wide_halo=True, use_kernel=True)
+        got, _ = chunk(shard_state(model.initial_state(), mesh))
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-5, atol=1e-5,
+                err_msg=k,
+            )
+
+    def test_requires_wide_halo(self):
+        import pytest
+
+        model = Fenton4v(cfg())
+        with pytest.raises(ValueError, match="wide_halo"):
+            make_spmd_chunk(model, make_mesh(), length=2, use_kernel=True)
