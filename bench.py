@@ -24,9 +24,11 @@ def main():
     from fib_tf_tpu.engine import Simulation
     from fib_tf_tpu.models import BeelerReuter
 
-    # 5 s of simulated time: long enough that per-chunk host-sync latency
-    # (~30 ms over the device tunnel) is <2% of the measurement
-    sim_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 5000.0
+    # 20 s of simulated time: the one-off per-run costs (~60-90 ms of
+    # device-tunnel syncs) are <0.3% of the measurement, so the number
+    # is the steady-state rate (0.123 at 5 s vs 0.1145 at 20 s; the
+    # kernel itself is 10.8 us/substep = 0.108)
+    sim_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 20000.0
     cfg = SimConfig(
         width=512, height=512, dt=0.1, dt_per_plot=10, diff=0.809,
         duration=sim_ms, cheby=True, skip=True,
