@@ -79,11 +79,13 @@ class Simulation:
             )
         self._mesh = mesh
         self._wide_halo = wide_halo
-        if mesh is not None and self.cfg.fiber_angle is not None:
+        if (mesh is not None and self.cfg.fiber_angle is not None
+                and not wide_halo):
             raise ValueError(
-                "fiber anisotropy is not implemented on the shard_map "
-                "(mesh=...) path — the halo geometries are isotropic; "
-                "use the GSPMD path (sharding=...) or single device"
+                "fiber anisotropy on the shard_map (mesh=...) path "
+                "requires wide_halo=True (the per-substep halo "
+                "geometries are isotropic); or use the GSPMD path "
+                "(sharding=...) / single device"
             )
         if wide_halo and mesh is not None:
             from fib_tf_tpu.parallel.spmd import check_wide_halo_shards
@@ -139,6 +141,33 @@ class Simulation:
                                    self.cfg.fiber_ratio)
         init = state if state is not None else self.model.initial_state(s1=s1)
         init = {k: np.asarray(v, dtype=np.float32) for k, v in init.items()}
+        if state is not None:
+            # reconcile a resumed state with this model's plane set
+            # across the ab2 flag: drop stale derivative planes (ab2 run
+            # resumed into a non-ab2 model), rebuild missing ones
+            # (Euler checkpoint resumed into an ab2 model)
+            expected = set(self.model.state_keys())
+            stale = {k for k in init if k not in expected}
+            if stale:
+                if not all(k.startswith("_d") for k in stale):
+                    raise ValueError(
+                        f"resume state has unknown planes {sorted(stale)} "
+                        f"for model {self.model.name!r}"
+                    )
+                init = {k: v for k, v in init.items() if k in expected}
+            missing = expected - set(init)
+            if missing:
+                if (self.cfg.ab2
+                        and hasattr(self.model, "bootstrap_ab2")
+                        and all(k.startswith("_d") for k in missing)):
+                    init = {
+                        k: np.asarray(v, np.float32)
+                        for k, v in self.model.bootstrap_ab2(init).items()
+                    }
+                else:
+                    raise ValueError(
+                        f"resume state is missing planes {sorted(missing)}"
+                    )
         self._initial = init
         self._defined = True
         return self
@@ -195,11 +224,29 @@ class Simulation:
         multi-chip story is the shard_map chunk in parallel/spmd.py)."""
         if self._sharding is not None:
             return False
+        import jax as _jax
+
         if self.cfg.kernel == "pallas":
+            # reject un-lowerable forced combinations up front (on TPU
+            # only — CPU interpret mode has neither constraint) instead
+            # of letting the user wait through a Mosaic compile that
+            # dies with a raw lowering error
+            if _jax.default_backend() == "tpu":
+                if self.cfg.table and self.model.name in ("court",
+                                                          "court_ultra"):
+                    raise ValueError(
+                        "table-mode gathers don't lower in Mosaic; use "
+                        "kernel='xla' or drop table=True"
+                    )
+                if self.cfg.width % 128 != 0 or self.cfg.height % 8 != 0:
+                    raise ValueError(
+                        f"Mosaic needs width % 128 == 0 and height % 8 "
+                        f"== 0, got {self.cfg.width}x{self.cfg.height}; "
+                        "use kernel='xla' or an aligned grid"
+                    )
             return True
         if self.cfg.kernel == "xla":
             return False
-        import jax as _jax
 
         # measured on v5e at 512x512 (us/substep, sync-corrected): fenton
         # whole-grid 6.0 vs xla 14.3; br whole-grid 10.8, tiled 18.1,
@@ -244,7 +291,7 @@ class Simulation:
     WHOLE_GRID_STATE_MB_MAX = 32
 
     def _state_mb(self) -> float:
-        n_planes = len(self.model.initial_state(s1=False))
+        n_planes = len(self.model.state_keys())
         return n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
 
     def _halo_rows(self) -> int:
@@ -371,6 +418,7 @@ class Simulation:
             # kernel; 'auto' stays XLA here (no multi-chip hardware was
             # available to measure the crossover)
             use_kernel=(self.cfg.kernel == "pallas" and self._wide_halo),
+            fiber=self._fiber(),
         )
         model = self.model
 
@@ -388,13 +436,21 @@ class Simulation:
         if hasattr(self, "_pace_jit"):
             return self._pace_jit
         model = self.model
+        refresh_ab2 = self.cfg.ab2 and hasattr(model, "_ab2_rates")
 
         @jax.jit
         def pace(state, mask):
-            return {
+            out = {
                 **state,
                 model.pot_key: stencil.apply_pace(state[model.pot_key], mask),
             }
+            if refresh_ab2:
+                # the stimulus changed the potential, so the carried
+                # f_{n-1} is stale at the paced pixels; re-bootstrap the
+                # derivative planes from the post-stimulus state (the
+                # models' own "call after mutating a state" contract)
+                out.update(model._ab2_rates(out))
+            return out
 
         self._pace_jit = pace
         return pace

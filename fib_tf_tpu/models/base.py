@@ -118,6 +118,14 @@ class IonicModel:
     def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
         raise NotImplementedError
 
+    def state_keys(self):
+        """Sorted state-plane names, for metadata-only callers (kernel
+        builders, sharding specs, engine sizing).  Default derives them
+        from initial_state; models whose initial_state does real work
+        (e.g. the ab2 derivative bootstrap) override this with the
+        literal key tuple."""
+        return tuple(sorted(self.initial_state(s1=False).keys()))
+
     # -- dynamics ---------------------------------------------------------------
 
     def solve(self, state: State, geom: Geometry) -> State:

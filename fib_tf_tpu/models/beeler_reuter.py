@@ -147,6 +147,12 @@ class BeelerReuter(IonicModel):
 
     # -- state ------------------------------------------------------------------
 
+    def state_keys(self):
+        base = ("C", "V", "d", "f", "h", "j", "m", "x1")
+        if self.cfg.ab2:
+            return tuple(sorted(base + ("_dV_", "_dC_")))
+        return base
+
     def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
         """Resting state (br.py:71-78) with the S1 stripe (br.py:81-82)."""
         v = self._full(-84.624)
@@ -166,21 +172,28 @@ class BeelerReuter(IonicModel):
             st = self.bootstrap_ab2(st)
         return st
 
+    def _ab2_rates(self, state):
+        """Traced AB2 derivative-plane refresh (reaction only): pure jnp,
+        usable inside jit — the engine's pacing op re-bootstraps through
+        this after mutating V."""
+        i_k1, i_x1, i_na, i_ca = self.currents(
+            jnp.asarray(state["V"]), state["C"], state
+        )
+        return {
+            "_dV_": -(i_k1 + i_x1 + i_na + i_ca) / C_M,
+            "_dC_": -1.0e-7 * i_ca + 0.07 * (1.0e-7 - state["C"]),
+        }
+
     def bootstrap_ab2(self, state: Dict[str, np.ndarray]):
         """(Re)build the AB2 derivative planes: f_{-1} := reaction
         derivative of `state` (exact in 0D; the diffusion term is zero
         away from sharp fronts).  Call after mutating a state by hand or
         when resuming an Euler-run state into an ab2 model."""
         st = dict(state)
-        i_k1, i_x1, i_na, i_ca = self.currents(
-            jnp.asarray(st["V"]), st["C"], st
-        )
-        st["_dV_"] = np.asarray(
-            -(i_k1 + i_x1 + i_na + i_ca) / C_M, np.float32
-        )
-        st["_dC_"] = np.asarray(
-            -1.0e-7 * i_ca + 0.07 * (1.0e-7 - st["C"]), np.float32
-        )
+        st.update({
+            k: np.asarray(v, np.float32)
+            for k, v in self._ab2_rates(st).items()
+        })
         return st
 
     # -- gate updates -------------------------------------------------------------

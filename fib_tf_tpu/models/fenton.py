@@ -58,6 +58,12 @@ class Fenton4v(IonicModel):
     dt_per_step = 10
     pot_key = "u"
 
+    def state_keys(self):
+        base = ("s", "u", "v", "w")
+        if self.cfg.ab2:
+            return tuple(sorted(base + ("_du_", "_dv_", "_dw_", "_ds_")))
+        return base
+
     def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
         """(u, v, w, s) = (0, 1, 1, 0) with an S1 stripe u[:, 1] = 1
         (reference fenton.py:116-123)."""
@@ -74,6 +80,15 @@ class Fenton4v(IonicModel):
             st = self.bootstrap_ab2(st)
         return st
 
+    def _ab2_rates(self, state):
+        """Traced AB2 derivative-plane refresh: f := reaction derivative
+        of `state`.  Pure jnp — usable inside jit (the engine's pacing
+        op re-bootstraps through this after mutating the potential)."""
+        du, dv, dw, ds = self.differentiate(
+            state["u"], state["v"], state["w"], state["s"]
+        )
+        return {"_du_": du, "_dv_": dv, "_dw_": dw, "_ds_": ds}
+
     def bootstrap_ab2(self, state: Dict[str, np.ndarray]):
         """(Re)build the AB2 derivative planes: f_{-1} := reaction
         derivative of `state` (exact in 0D; in tissue the missing
@@ -81,13 +96,10 @@ class Fenton4v(IonicModel):
         fronts).  Call after mutating a state by hand or when resuming
         an Euler-run state into an ab2 model."""
         st = dict(state)
-        du, dv, dw, ds = self.differentiate(
-            st["u"], st["v"], st["w"], st["s"]
-        )
-        st["_du_"] = np.asarray(du, np.float32)
-        st["_dv_"] = np.asarray(dv, np.float32)
-        st["_dw_"] = np.asarray(dw, np.float32)
-        st["_ds_"] = np.asarray(ds, np.float32)
+        st.update({
+            k: np.asarray(v, np.float32)
+            for k, v in self._ab2_rates(st).items()
+        })
         return st
 
     def differentiate(self, u, v, w, s):

@@ -161,7 +161,7 @@ def make_pallas_step(
     traffic left to save (docs/OPTIMIZATIONS.md §8b).  Kept as a knob
     for configurations where the DMA/compute ratio differs (more
     planes, smaller grids, narrower-VPU generations)."""
-    names = tuple(sorted(model.initial_state(s1=False).keys()))
+    names = model.state_keys()
     n = len(names)
     has_phase = phase is not None
     phase_f32 = np.asarray(phase, np.float32) if has_phase else None

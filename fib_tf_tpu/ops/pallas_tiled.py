@@ -197,7 +197,7 @@ def make_block_kernel(
     Returns `step(ext_state, rstart[, cstart][, phase_ext]) -> ext_state`
     (halo rings of the output are garbage; the caller crops the center).
     On TPU the lane dimension (ext_w) should be a multiple of 128."""
-    names = tuple(sorted(model.initial_state(s1=False).keys()))
+    names = model.state_keys()
     n = len(names)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -295,7 +295,7 @@ def make_tiled_pallas_step(
             f"tile_rows or use the whole-grid/XLA path"
         )
     n_tiles = h // tile_rows
-    names = tuple(sorted(model.initial_state(s1=False).keys()))
+    names = model.state_keys()
     n = len(names)
     has_phase = phase is not None
     phase_f32 = np.asarray(phase, np.float32) if has_phase else None

@@ -117,6 +117,7 @@ def make_spmd_chunk(
     egm_masks: Optional[list] = None,
     wide_halo: bool = False,
     use_kernel: bool = False,
+    fiber: Optional[tuple] = None,
 ):
     """Build a jitted chunk(state) -> (state, probes) running `length`
     outer steps entirely inside shard_map over `mesh`'s first axis.
@@ -141,11 +142,21 @@ def make_spmd_chunk(
     (ops/pallas_tiled.make_block_kernel): halos ride ICI once per outer
     step, then the whole group runs VMEM-resident — the multi-chip
     analog of the single-chip whole-grid kernel.
+
+    `fiber` = (dxx, dxy, dyy) from stencil.fiber_tensor selects the
+    anisotropic tensor operator (also requires wide_halo — the
+    per-substep halo geometries are isotropic).
     """
     if use_kernel and not wide_halo:
         raise ValueError(
             "use_kernel requires wide_halo=True (the per-substep "
             "exchange path has no fused block to hand the kernel)"
+        )
+    if fiber is not None and not wide_halo:
+        raise ValueError(
+            "fiber anisotropy on the shard_map path requires "
+            "wide_halo=True (the per-substep halo geometries implement "
+            "the isotropic stencil only)"
         )
     is_2d = len(mesh.axis_names) >= 2 and mesh.devices.shape[1] > 1
     axis = mesh.axis_names[0]
@@ -156,7 +167,7 @@ def make_spmd_chunk(
 
     all_axes = (axis, col_axis) if is_2d else axis
     plane = P(axis, col_axis) if is_2d else P(axis)
-    state_spec = {k: plane for k in model.initial_state(s1=False)}
+    state_spec = {k: plane for k in model.state_keys()}
 
     has_phase = phase is not None
     phase_arr = jnp.asarray(phase) if has_phase else None
@@ -232,6 +243,7 @@ def make_spmd_chunk(
                 kern = make_block_kernel(
                     model, h_local + 2 * k, ext_w, cfg.height,
                     cfg.width if is_2d else None, is_2d, has_phase,
+                    fiber=fiber,
                 )
                 cstart_val = cstart if is_2d else None
 
@@ -242,7 +254,7 @@ def make_spmd_chunk(
                     return s, probes_of(s)
             else:
                 geom = block_geometry(
-                    rg, cfg.height, cg, cfg.width, phase_ext
+                    rg, cfg.height, cg, cfg.width, phase_ext, fiber
                 )
 
                 def body(s, _):

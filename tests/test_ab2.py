@@ -219,3 +219,88 @@ class TestAB2Sharded:
                 np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6
             )
         assert np.isfinite(np.asarray(probes["v"])).all()
+
+
+class TestAB2EngineIntegration:
+    def _cfg(self, ab2):
+        return SimConfig(width=32, height=32, dt=0.1, duration=10,
+                         diff=0.809, ab2=ab2, cheby=True, skip=True)
+
+    def test_resume_euler_checkpoint_into_ab2(self):
+        from fib_tf_tpu.engine import Simulation
+
+        r = Simulation(BeelerReuter(self._cfg(False))).define().simulate(
+            warmup=False)
+        sim = Simulation(BeelerReuter(self._cfg(True))).define(
+            state=r.state)
+        res = sim.simulate(warmup=False)
+        assert np.isfinite(res.state["V"]).all()
+        assert "_dV_" in res.state
+
+    def test_resume_ab2_checkpoint_into_euler(self):
+        from fib_tf_tpu.engine import Simulation
+
+        r = Simulation(BeelerReuter(self._cfg(True))).define().simulate(
+            warmup=False)
+        assert "_dV_" in r.state
+        sim = Simulation(BeelerReuter(self._cfg(False))).define(
+            state=r.state)
+        res = sim.simulate(warmup=False)
+        assert np.isfinite(res.state["V"]).all()
+        assert "_dV_" not in res.state
+
+    def test_resume_unknown_plane_rejected(self):
+        from fib_tf_tpu.engine import Simulation
+
+        st = BeelerReuter(self._cfg(False)).initial_state()
+        st["bogus"] = st["V"]
+        with pytest.raises(ValueError, match="unknown planes"):
+            Simulation(BeelerReuter(self._cfg(False))).define(state=st)
+
+    def test_pacing_refreshes_derivative_planes(self):
+        from fib_tf_tpu.engine import Simulation
+
+        sim = Simulation(BeelerReuter(self._cfg(True))).define()
+        sim.add_pace_op("s2", "luq", 10.0)
+        st = sim._device_state()
+        paced = sim.fire_on(st, "s2")
+        # the derivative planes must equal a fresh bootstrap of the
+        # post-stimulus state, not the pre-stimulus values
+        want = sim.model.bootstrap_ab2(
+            {k: np.asarray(v) for k, v in paced.items()}
+        )
+        np.testing.assert_allclose(
+            np.asarray(paced["_dV_"]), want["_dV_"], rtol=1e-6, atol=1e-6
+        )
+        assert not np.allclose(np.asarray(paced["_dV_"]),
+                               np.asarray(st["_dV_"]))
+
+    def test_state_keys_match_initial_state(self):
+        from fib_tf_tpu.models import CourtemancheUltra
+
+        for model in (
+            Fenton4v(self._cfg(False)),
+            Fenton4v(self._cfg(True)),
+            BeelerReuter(self._cfg(False)),
+            BeelerReuter(self._cfg(True)),
+            Courtemanche(SimConfig(width=8, height=8)),
+            CourtemancheUltra(SimConfig(width=8, height=8,
+                                        ultra_slow=True)),
+        ):
+            assert model.state_keys() == tuple(
+                sorted(model.initial_state(s1=False).keys())
+            ), model
+
+
+def test_forced_pallas_guards(monkeypatch):
+    from fib_tf_tpu.engine import Simulation
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sim = Simulation(Courtemanche(SimConfig(
+        width=512, height=512, table=True, kernel="pallas"))).define()
+    with pytest.raises(ValueError, match="Mosaic"):
+        sim._use_pallas()
+    sim2 = Simulation(BeelerReuter(SimConfig(
+        width=100, height=100, kernel="pallas"))).define()
+    with pytest.raises(ValueError, match="128"):
+        sim2._use_pallas()

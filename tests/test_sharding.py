@@ -366,3 +366,52 @@ class TestShardBlockKernel:
         model = Fenton4v(cfg())
         with pytest.raises(ValueError, match="wide_halo"):
             make_spmd_chunk(model, make_mesh(), length=2, use_kernel=True)
+
+
+class TestShardedAnisotropy:
+    """fiber tensor on the wide-halo shard_map path (XLA and block-kernel
+    variants) == single-device anisotropic run."""
+
+    def test_wide_halo_aniso_matches(self):
+        from fib_tf_tpu.models import grid_geometry as gg
+        from fib_tf_tpu.ops import stencil as st
+
+        c = SimConfig(width=64, height=128, dt=0.1, duration=5, diff=1.5,
+                      fiber_angle=0.6, fiber_ratio=0.3)
+        model = Fenton4v(c)
+        fiber = st.fiber_tensor(0.6, 0.3)
+        geom = gg(None, 0.6, 0.3)
+        s0 = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        want, _ = jax.jit(
+            lambda x: jax.lax.scan(
+                lambda y, _: (model.step(y, geom), None), x, None,
+                length=2)
+        )(s0)
+        mesh = make_mesh()
+        for use_kernel in (False, True):
+            chunk = make_spmd_chunk(model, mesh, length=2,
+                                    wide_halo=True, use_kernel=use_kernel,
+                                    fiber=fiber)
+            got, _ = chunk(shard_state(model.initial_state(), mesh))
+            for k in want:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(want[k]),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"kernel={use_kernel} {k}",
+                )
+
+    def test_fiber_requires_wide_halo(self):
+        import pytest
+        from fib_tf_tpu.ops import stencil as st
+
+        model = Fenton4v(cfg())
+        with pytest.raises(ValueError, match="wide_halo"):
+            make_spmd_chunk(model, make_mesh(), length=2,
+                            fiber=st.fiber_tensor(0.5, 0.5))
+
+    def test_engine_mesh_aniso_requires_wide_halo(self):
+        import pytest
+
+        c = cfg(fiber_angle=0.5, fiber_ratio=0.5)
+        with pytest.raises(ValueError, match="wide_halo"):
+            Simulation(Fenton4v(c), mesh=make_mesh())
