@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel where measured profitable; xla skips the "
                         "(long, one-time) Mosaic kernel compile")
     r.add_argument("--no-chronic", dest="chronic", action="store_false")
+    r.add_argument("--dv-max", type=float, default=None,
+                   help="stability guard: cap |dV| per substep in mV "
+                        "(court; default off = reference behavior)")
     r.add_argument("--hole", action="append", default=[],
                    help="x,y,radius[,neg] — may repeat")
     r.add_argument("--s2", type=float, default=None,
@@ -109,7 +112,7 @@ def cmd_run(args) -> int:
         fiber_ratio=args.fiber_ratio,
         duration=args.duration, cheby=args.cheby, skip=args.skip,
         ab2=args.ab2, table=args.table, chronic=args.chronic,
-        kernel=args.kernel,
+        kernel=args.kernel, dv_max=args.dv_max,
         timeline=args.timeline, save_graph=args.save_graph,
         ultra_slow=(args.model == "court_ultra"),
     )

@@ -72,6 +72,14 @@ class SimConfig:
     # here it is a working opt-in.  Rush-Larsen gates are unaffected, and
     # Courtemanche (host-split multi-rate) does not support it.
     ab2: bool = False
+    # Opt-in stability guard for Courtemanche: cap |ΔV| per substep at
+    # this many mV.  The court analog of BR's reference V-clip
+    # (br.py:167-168); prevents the explicit-Euler blowup the reference
+    # silently integrated through in long fibrillatory runs.  None
+    # (default) = exact reference behavior.  Physiological upstrokes
+    # move ~2-4 mV per 0.1 ms substep, so 25.0 only engages in genuine
+    # instability.
+    dv_max: Optional[float] = None
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
 

@@ -537,7 +537,16 @@ class Courtemanche(IonicModel):
               + i_nak + i_cap + i_naca + i_ca_l) / CM,
             dt_("V"),
         )
-        s1["V"] = dv + self.cfg.diff * dt_("V") * geom.laplace(v)
+        v1 = dv + self.cfg.diff * dt_("V") * geom.laplace(v)
+        if self.cfg.dv_max is not None:
+            # opt-in stability guard for long fibrillatory runs: cap the
+            # per-substep V change (the court analog of BR's reference
+            # V-clip, br.py:167-168, which court.py lacked — its runs
+            # could integrate off to NaN where the reference's disabled
+            # NaN check, ionic.py:208-212, never noticed).  Off by
+            # default for exact reference parity.
+            v1 = v + jnp.clip(v1 - v, -self.cfg.dv_max, self.cfg.dv_max)
+        s1["V"] = v1
 
         i_rel = K_REL * state["u_gate"] ** 2 * state["v_gate"] * state["w_gate"] * (
             state["Ca_rel"] - state["Ca_i"]

@@ -190,3 +190,47 @@ class TestCourtemanche0D:
         assert np.isfinite(trace).all()
         # the us gate must stay in (0, 1) and move from its 0.72 start
         assert 1e-5 <= final["us"].min() and final["us"].max() <= 0.99999
+
+
+class TestCourtDvMax:
+    """Opt-in |dV|/substep cap (SimConfig.dv_max) — the court analog of
+    BR's reference V-clip, for long fibrillatory runs that hit genuine
+    explicit-Euler stiffness."""
+
+    def test_caps_extreme_excursions(self):
+        from fib_tf_tpu.models import Courtemanche, cell_geometry
+
+        def one_step(dv_max):
+            # a deliberately unstable configuration (dt far past the
+            # explicit-Euler limit) makes one substep overshoot wildly —
+            # the mechanical stand-in for the slow blowup of long
+            # fibrillatory runs
+            cfg = SimConfig(width=8, height=8, dt=50.0, duration=100,
+                            dv_max=dv_max)
+            m = Courtemanche(cfg)
+            st = m.initial_state(s1=False)
+            st["V"][:] = 150.0  # far outside physiological range
+            geom = cell_geometry()
+            s = {k: jnp.asarray(v) for k, v in st.items()}
+            out = m.solve(s, geom)
+            return float(out["V"][0, 0]) - 150.0
+
+        unclamped = one_step(None)
+        clamped = one_step(25.0)
+        assert abs(unclamped) > 25.0      # the excursion is genuinely wild
+        assert abs(clamped) <= 25.0 + 1e-4
+
+    def test_off_by_default_is_reference_exact(self):
+        from fib_tf_tpu.models import Courtemanche, cell_geometry
+
+        cfg = SimConfig(width=8, height=8, dt=0.1, duration=1)
+        m = Courtemanche(cfg)
+        st = {k: jnp.asarray(v)
+              for k, v in m.initial_state(s1=False).items()}
+        geom = cell_geometry()
+        a = m.solve(st, geom)
+        m2 = Courtemanche(cfg.replace(dv_max=1000.0))
+        b = m2.solve(st, geom)
+        # a generous cap never engages at rest: bit-identical V
+        np.testing.assert_array_equal(np.asarray(a["V"]),
+                                      np.asarray(b["V"]))
