@@ -87,6 +87,14 @@ class Simulation:
                 "geometries are isotropic); or use the GSPMD path "
                 "(sharding=...) / single device"
             )
+        if (mesh is not None and self.cfg.kernel == "pallas"
+                and not wide_halo):
+            raise ValueError(
+                "kernel='pallas' on the shard_map (mesh=...) path requires "
+                "wide_halo=True — the per-substep exchange path has no "
+                "fused block to hand the kernel (ADVICE r2: this used to "
+                "fall back to XLA silently)"
+            )
         if wide_halo and mesh is not None:
             from fib_tf_tpu.parallel.spmd import check_wide_halo_shards
 
@@ -400,6 +408,16 @@ class Simulation:
         self._chunk_cache[key] = chunk
         return chunk
 
+    def _spmd_use_kernel(self) -> bool:
+        """Whether the wide-halo shard_map chunk runs the per-shard fused
+        Pallas block kernel instead of per-shard XLA.  'pallas' forces it
+        (construction already required wide_halo); 'auto' stays XLA until
+        the 1-device-mesh measurement says otherwise (milestone: VERDICT
+        r2 #1)."""
+        if self._mesh is None or not self._wide_halo:
+            return False
+        return self.cfg.kernel == "pallas"
+
     def _spmd_chunk_fn(self, length: int):
         """Chunk via the explicit shard_map halo-exchange path
         (parallel/spmd.py), with the engine's (state, probes, finite)
@@ -414,10 +432,7 @@ class Simulation:
             phase=self.phase,
             egm_masks=self._egm_masks or None,
             wide_halo=self._wide_halo,
-            # kernel='pallas' + wide_halo runs the per-shard fused block
-            # kernel; 'auto' stays XLA here (no multi-chip hardware was
-            # available to measure the crossover)
-            use_kernel=(self.cfg.kernel == "pallas" and self._wide_halo),
+            use_kernel=self._spmd_use_kernel(),
             fiber=self._fiber(),
         )
         model = self.model
@@ -438,6 +453,8 @@ class Simulation:
         model = self.model
         refresh_ab2 = self.cfg.ab2 and hasattr(model, "_ab2_rates")
 
+        min_v = model.min_v
+
         @jax.jit
         def pace(state, mask):
             out = {
@@ -447,9 +464,15 @@ class Simulation:
             if refresh_ab2:
                 # the stimulus changed the potential, so the carried
                 # f_{n-1} is stale at the paced pixels; re-bootstrap the
-                # derivative planes from the post-stimulus state (the
-                # models' own "call after mutating a state" contract)
-                out.update(model._ab2_rates(out))
+                # derivative planes there from the post-stimulus state
+                # and keep the carried (diffusion-inclusive) derivatives
+                # everywhere else (ADVICE r2: a grid-wide reset would
+                # drop the diffusion component of f_{n-1} at wavefronts)
+                paced = mask > min_v
+                fresh = model._ab2_rates(out)
+                out.update({
+                    k: jnp.where(paced, v, out[k]) for k, v in fresh.items()
+                })
             return out
 
         self._pace_jit = pace
@@ -580,7 +603,8 @@ class Simulation:
                 seg -= l
                 sim_step += l
         if warmup:
-            if self._use_pallas() and jax.default_backend() == "tpu":
+            if ((self._use_pallas() or self._spmd_use_kernel())
+                    and jax.default_backend() == "tpu"):
                 import sys
 
                 print(

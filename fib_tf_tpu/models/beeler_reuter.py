@@ -336,15 +336,17 @@ class BeelerReuter(IonicModel):
 
         g_v = self.cfg.diff * geom.laplace(v0) - i_sum / C_M
         g_c = -1.0e-7 * i_ca + 0.07 * (1.0e-7 - state["C"])
-        v1 = jnp.clip(
-            adams_bashforth2(v0, g_v, state["_dV_"], dt),
-            V_CLIP_LO,
-            V_CLIP_HI,
-        )
+        v1_raw = adams_bashforth2(v0, g_v, state["_dV_"], dt)
+        v1 = jnp.clip(v1_raw, V_CLIP_LO, V_CLIP_HI)
+        # where the clip engages, the carried history must describe the
+        # clipped trajectory, not the unclipped one: store the effective
+        # derivative (v1 - v0)/dt there (ADVICE r2; a no-op when the clip
+        # does not fire, which is the steady state)
+        g_v_store = jnp.where(v1 == v1_raw, g_v, (v1 - v0) / dt)
         out = {
             "V": v1,
             "C": adams_bashforth2(state["C"], g_c, state["_dC_"], dt),
-            "_dV_": g_v,
+            "_dV_": g_v_store,
             "_dC_": g_c,
         }
         out.update(gates)

@@ -406,6 +406,14 @@ class Courtemanche(IonicModel):
 
     # -- state ------------------------------------------------------------------
 
+    def state_keys(self):
+        """Literal key tuple (ADVICE r2: the base-class default would
+        materialize 21 full H x W planes just for metadata)."""
+        keys = tuple(self.INITIAL_VALUES.keys())
+        if self.ultra_slow:
+            keys = keys + ("us",)
+        return tuple(sorted(keys))
+
     def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
         state = {k: self._full(val) for k, val in self.INITIAL_VALUES.items()}
         if self.ultra_slow:
