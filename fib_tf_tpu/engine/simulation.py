@@ -234,6 +234,10 @@ class Simulation:
             return False
         import jax as _jax
 
+        aligned = (self.cfg.width % 128 == 0 and self.cfg.height % 8 == 0)
+        whole_grid_fits = (
+            self._state_mb(padded=True) <= self.WHOLE_GRID_STATE_MB_MAX
+        )
         if self.cfg.kernel == "pallas":
             # reject un-lowerable forced combinations up front (on TPU
             # only — CPU interpret mode has neither constraint) instead
@@ -246,11 +250,14 @@ class Simulation:
                         "table-mode gathers don't lower in Mosaic; use "
                         "kernel='xla' or drop table=True"
                     )
-                if self.cfg.width % 128 != 0 or self.cfg.height % 8 != 0:
+                if not aligned and not whole_grid_fits:
                     raise ValueError(
-                        f"Mosaic needs width % 128 == 0 and height % 8 "
-                        f"== 0, got {self.cfg.width}x{self.cfg.height}; "
-                        "use kernel='xla' or an aligned grid"
+                        f"{self.cfg.width}x{self.cfg.height} is not "
+                        "(128, 8)-aligned and its padded state exceeds "
+                        "the whole-grid VMEM budget; only the tiled "
+                        "kernel could take it and Mosaic tiling needs "
+                        "the alignment — use kernel='xla' or an aligned "
+                        "grid"
                     )
             return True
         if self.cfg.kernel == "xla":
@@ -261,26 +268,31 @@ class Simulation:
         # xla 22.9; court whole-grid 24.3 vs xla 43.7 (r1/r2's '>VMEM'
         # assumption was wrong — 21 planes = 21 MB compiles fine) while
         # court TILED loses to xla (44.5), so court uses whole-grid or
-        # nothing.  Mosaic requires the lane dimension aligned to 128 and
-        # rows to the f32 sublane multiple 8; misaligned (small) grids
-        # stay on the XLA path.
+        # nothing.  Unaligned grids run the whole-grid kernel on planes
+        # padded to the (8, 128) tile (VERDICT r2 #3), provided the
+        # padding overhead stays small enough that the kernel's ~2x win
+        # survives it (PAD_OVERHEAD_MAX).
         if (
             _jax.default_backend() != "tpu"
             or self.model.name not in ("fenton", "br", "court",
                                        "court_ultra")
-            or self.cfg.width % 128 != 0
-            or self.cfg.height % 8 != 0
         ):
             return False
+        if not aligned:
+            if not whole_grid_fits:
+                return False  # tiled kernel requires the alignment
+            pad = self._padded()
+            overhead = (pad[0] * pad[1]) / (self.cfg.height * self.cfg.width)
+            if overhead > self.PAD_OVERHEAD_MAX:
+                return False  # padding would eat the kernel's win
         if self.model.name in ("court", "court_ultra"):
             # table mode gathers don't lower in Mosaic; the tiled
             # kernel's halo recompute loses to XLA for this
             # compute-bound model, so past the whole-grid budget stay
             # on XLA (docs/OPTIMIZATIONS.md §8c)
-            return (not self.cfg.table
-                    and self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX)
+            return not self.cfg.table and whole_grid_fits
         if self.model.name == "br":
-            if self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX:
+            if whole_grid_fits:
                 return True  # whole-grid kernel, no tiling constraint
             # the tiled kernel needs a tile size that divides H with room
             # for the temporal halo; tiny grids have none
@@ -288,6 +300,12 @@ class Simulation:
                 self.cfg.height, self._halo_rows()
             ) is not None
         return True
+
+    # 'auto' only pads an unaligned grid into the whole-grid kernel while
+    # padded_cells / true_cells stays below this (the kernel's measured
+    # advantage is ~2x, so 1.5x wasted lanes still wins; a 64x64 grid
+    # padded to 64x128 would not).  kernel='pallas' overrides.
+    PAD_OVERHEAD_MAX = 1.5
 
     # Whole-grid vs tiled cutover, in MB of state (planes x H x W x 4).
     # Measured on v5e: the whole-grid kernel wins up to at least 32 MB —
@@ -298,9 +316,21 @@ class Simulation:
     # the tiled kernel restores VMEM headroom.
     WHOLE_GRID_STATE_MB_MAX = 32
 
-    def _state_mb(self) -> float:
+    def _padded(self):
+        """(hp, wp) the whole-grid kernel would pad this grid to, or None
+        when already (8, 128)-aligned (ops/pallas_step.padded_shape)."""
+        from fib_tf_tpu.ops.pallas_step import padded_shape
+
+        return padded_shape(self.cfg.height, self.cfg.width)
+
+    def _state_mb(self, padded: bool = False) -> float:
         n_planes = len(self.model.state_keys())
-        return n_planes * self.cfg.height * self.cfg.width * 4 / 2**20
+        h, w = self.cfg.height, self.cfg.width
+        if padded:
+            p = self._padded()
+            if p is not None:
+                h, w = p
+        return n_planes * h * w * 4 / 2**20
 
     def _halo_rows(self) -> int:
         """Temporal-halo rows of the tiled kernel (single source of
@@ -335,16 +365,19 @@ class Simulation:
             from fib_tf_tpu.utils import cache
 
             cache.enable()
-            if self._state_mb() <= self.WHOLE_GRID_STATE_MB_MAX:
+            if self._state_mb(padded=True) <= self.WHOLE_GRID_STATE_MB_MAX:
                 # whole grid + temporaries fit VMEM.  Measured on v5e:
                 # fenton 6.0 us/substep at 512x512 (vs 14.3 XLA), BR
                 # 10.8 (vs 22.9 XLA, 18.1 tiled); at 16 MB states the
                 # whole-grid kernel still beats tiled ~2x (see
-                # WHOLE_GRID_STATE_MB_MAX).
+                # WHOLE_GRID_STATE_MB_MAX).  Unaligned grids run on
+                # padded planes (pad=True); the chunk pads/crops once
+                # per chunk.
                 from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
                 return make_pallas_step(self.model, phase=self.phase,
-                                        fiber=self._fiber())
+                                        fiber=self._fiber(),
+                                        pad=self._padded() is not None)
             from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
 
             tile_rows = self._pick_tile_rows(
@@ -384,7 +417,39 @@ class Simulation:
             return chunk
 
         model = self.model
-        step = step if step is not None else self._step_fn()
+        pad_shape = None
+        if step is None:
+            if (self._use_pallas()
+                    and self._state_mb(padded=True)
+                    <= self.WHOLE_GRID_STATE_MB_MAX):
+                pad_shape = self._padded()
+            step = self._step_fn()
+
+        if pad_shape is not None:
+            # unaligned grid on the whole-grid kernel: the scan carries
+            # PADDED planes (pad/crop once per chunk, not per step);
+            # probes and the finite check see the cropped true grid
+            from fib_tf_tpu.ops.pallas_step import crop_state, pad_state
+
+            h, w = self.cfg.height, self.cfg.width
+            hp, wp = pad_shape
+
+            def body_padded(sp, _):
+                sp = step(sp)
+                return sp, self._probes(crop_state(sp, h, w))
+
+            @jax.jit
+            def chunk_padded(state):
+                sp = pad_state(state, h, w, hp, wp)
+                sp, out = jax.lax.scan(
+                    body_padded, sp, None, length=length
+                )
+                state = crop_state(sp, h, w)
+                finite = jnp.isfinite(state[model.pot_key]).all()
+                return state, out, finite
+
+            self._chunk_cache[key] = chunk_padded
+            return chunk_padded
 
         def body(state, _):
             state = step(state)

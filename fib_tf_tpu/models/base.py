@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,21 @@ def cell_geometry() -> Geometry:
     )
 
 
+def repeat_substeps(fn: Callable[[State], State], state: State,
+                    n: int, unroll: bool) -> State:
+    """`n` identical substeps, either Python-unrolled (the XLA scan path,
+    where each substep is its own fusion anyway) or under
+    `lax.fori_loop` (the Pallas kernels, where a Python unroll bloats
+    the Mosaic program ~n x and was the root cause of the 10-40 min
+    court compiles — VERDICT r2 #2).  Same ops in the same order per
+    iteration, so the two forms are value-identical."""
+    if unroll or n == 1:
+        for _ in range(n):
+            state = fn(state)
+        return state
+    return jax.lax.fori_loop(0, n, lambda i, s: fn(s), state)
+
+
 class IonicModel:
     """Base class for the ionic model zoo."""
 
@@ -132,16 +148,31 @@ class IonicModel:
         """One explicit-Euler substep (dt)."""
         raise NotImplementedError
 
-    def step(self, state: State, geom: Geometry) -> State:
+    def step(self, state: State, geom: Geometry,
+             unroll: bool = True) -> State:
         """One outer step = `dt_per_step` fused substeps.
 
         The fusion corresponds to the reference's graph unrolling
         (fenton.py:133-138, br.py:96-107): under `jit`+`scan` the host is
-        only touched once per outer step.
+        only touched once per outer step.  `unroll=False` runs the
+        identical substeps under `lax.fori_loop` instead of a Python
+        unroll — value-identical, but the traced program holds one body
+        (the Pallas kernels use this; see repeat_substeps).
         """
-        for _ in range(self.dt_per_step):
-            state = self.solve(state, geom)
-        return state
+        return repeat_substeps(
+            lambda s: self.solve(s, geom), state, self.dt_per_step, unroll
+        )
+
+    def kernel_step(self, state: State, geom: Geometry) -> State:
+        """The outer step as traced inside Pallas kernels: value-identical
+        to `step`, with identical substeps under `lax.fori_loop` to keep
+        the Mosaic program small.  Falls back to the plain unrolled step
+        for user models whose `step` override predates the `unroll`
+        keyword."""
+        try:
+            return self.step(state, geom, unroll=False)
+        except TypeError:
+            return self.step(state, geom)
 
     # -- tick-indexed fast/slow dispatch (reference ionic.py:277-286) -----------
     #

@@ -352,15 +352,21 @@ class BeelerReuter(IonicModel):
         out.update(gates)
         return out
 
-    def step(self, state: State, geom: Geometry) -> State:
+    def step(self, state: State, geom: Geometry,
+             unroll: bool = True) -> State:
         """One outer step = 5 substeps; with `skip`, the first substep
         advances the slow gates 5 dt and the rest freeze them
-        (br.py:96-107)."""
+        (br.py:96-107).  `unroll=False` puts the identical substeps under
+        lax.fori_loop (models/base.repeat_substeps)."""
+        from fib_tf_tpu.models.base import repeat_substeps
+
         if self.cfg.skip:
             state = self.solve(state, geom, n=5)
-            for _ in range(4):
-                state = self.solve(state, geom, n=0)
+            state = repeat_substeps(
+                lambda s: self.solve(s, geom, n=0), state, 4, unroll
+            )
         else:
-            for _ in range(5):
-                state = self.solve(state, geom, n=1)
+            state = repeat_substeps(
+                lambda s: self.solve(s, geom, n=1), state, 5, unroll
+            )
         return state

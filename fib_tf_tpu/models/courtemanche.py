@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -603,13 +604,16 @@ class Courtemanche(IonicModel):
     def solve(self, state: State, geom: Geometry) -> State:
         return self.solve_full(state, geom)[0]
 
-    def step(self, state: State, geom: Geometry) -> State:
+    def step(self, state: State, geom: Geometry,
+             unroll: bool = True) -> State:
         """One fused fast/slow group of 10 dt substeps.
 
         Replicates the reference host schedule (court.py:615-619): at
         substep 0 the fast states commit, then the slow states commit from
         a second solve that sees the fast-updated values (two sess.runs in
         the reference); substeps 1-9 commit fast states only.
+        `unroll=False` puts the 9 identical fast-only substeps under
+        lax.fori_loop (models/base.repeat_substeps).
         """
         slow = [k for k in state if k not in self.fast_states]
 
@@ -620,9 +624,22 @@ class Courtemanche(IonicModel):
         state = fast_only(state)
         s1 = self.solve(state, geom)
         state = {**state, **{k: s1[k] for k in slow}}
-        for _ in range(SLOW_RATIO - 1):
-            state = fast_only(state)
-        return state
+        if unroll:
+            for _ in range(SLOW_RATIO - 1):
+                state = fast_only(state)
+            return state
+        # fori_loop form: carry ONLY the fast planes — the 17 slow planes
+        # are loop-invariant and ride as closed-over constants instead of
+        # per-iteration carries
+        frozen = {k: state[k] for k in slow}
+
+        def body(_, fast_s):
+            s1 = self.solve({**frozen, **fast_s}, geom)
+            return {k: s1[k] for k in self.fast_states}
+
+        fast0 = {k: state[k] for k in self.fast_states}
+        fast = jax.lax.fori_loop(0, SLOW_RATIO - 1, body, fast0)
+        return {**frozen, **fast}
 
     def trend_probe(self, state: State) -> jnp.ndarray:
         """The on-graph trend probe: V and Na_i at pixel
@@ -648,12 +665,15 @@ class CourtemancheUltra(Courtemanche):
     def dt_for(self, name: str) -> float:
         return self.cfg.dt  # δt ≡ dt (court_ultra.py:127-132)
 
-    def step(self, state: State, geom: Geometry) -> State:
+    def step(self, state: State, geom: Geometry,
+             unroll: bool = True) -> State:
         # all states commit every substep; keep the 10-substep fusion for
-        # host-loop amortization
-        for _ in range(SLOW_RATIO):
-            state = self.solve(state, geom)
-        return state
+        # host-loop amortization (fori_loop form when unroll=False)
+        from fib_tf_tpu.models.base import repeat_substeps
+
+        return repeat_substeps(
+            lambda s: self.solve(s, geom), state, SLOW_RATIO, unroll
+        )
 
     def trend_probe(self, state: State) -> jnp.ndarray:
         """court_ultra probes V at [width//2, height//8]

@@ -144,12 +144,23 @@ def vmem_geometry(
 # The fused kernel
 # -----------------------------------------------------------------------------
 
+def padded_shape(h: int, w: int) -> Optional[tuple]:
+    """(hp, wp) the whole-grid kernel pads an unaligned grid to — rows to
+    the f32 sublane multiple (8), columns to the lane width (128) — or
+    None when the grid is already aligned.  The reference's fast path was
+    size-agnostic (fenton.py:126); this is how the kernel path matches it
+    (VERDICT r2 #3)."""
+    hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+    return None if (hp, wp) == (h, w) else (hp, wp)
+
+
 def make_pallas_step(
     model: IonicModel,
     phase: Optional[np.ndarray] = None,
     interpret: Optional[bool] = None,
     n_outer: int = 1,
     fiber: Optional[tuple] = None,
+    pad: bool = False,
 ):
     """Build `step(state) -> state`: `n_outer` outer steps (each
     dt_per_step substeps) as a single VMEM-resident Pallas kernel.
@@ -160,11 +171,32 @@ def make_pallas_step(
     plane DMAs with compute and the kernel is VPU-bound, so there is no
     traffic left to save (docs/OPTIMIZATIONS.md §8b).  Kept as a knob
     for configurations where the DMA/compute ratio differs (more
-    planes, smaller grids, narrower-VPU generations)."""
+    planes, smaller grids, narrower-VPU generations).
+
+    `pad=True` (required when the grid is not (8,128)-aligned) makes the
+    returned step operate on PADDED planes of `padded_shape(h, w)`;
+    REFLECT/SYMMETRIC rules apply at the TRUE edges via global-index
+    masks (ops/pallas_tiled.block_geometry), so the pad region is never
+    read by real cells — it evolves as garbage and the caller crops it
+    away (the engine pads once per chunk, not per step).  Use
+    `pad_state`/`crop_state` to convert."""
     names = model.state_keys()
     n = len(names)
+    h, w = model.cfg.height, model.cfg.width
+    pshape = padded_shape(h, w) if pad else None
+    kh, kw = pshape if pshape is not None else (h, w)
     has_phase = phase is not None
-    phase_f32 = np.asarray(phase, np.float32) if has_phase else None
+    if has_phase:
+        phase_f32 = np.asarray(phase, np.float32)
+        if pshape is not None:
+            # pad value 1.0 keeps the (never-read-by-real-cells) pad
+            # region's 1/(4*phase) finite
+            phase_f32 = np.pad(
+                phase_f32, ((0, kh - h), (0, kw - w)),
+                mode="constant", constant_values=1.0,
+            )
+    else:
+        phase_f32 = None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -175,19 +207,31 @@ def make_pallas_step(
         phase_arr = refs[n][:] if has_phase else None
         outs = refs[n + 1 :] if has_phase else refs[n:]
         state = {k: r[:] for k, r in zip(names, ins)}
-        geom = vmem_geometry(phase_arr, fiber)
+        if pshape is not None:
+            from fib_tf_tpu.ops.pallas_tiled import block_geometry
+
+            rg = jax.lax.broadcasted_iota(jnp.int32, (kh, 1), 0)
+            cg = (jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1)
+                  if kw != w else None)
+            geom = block_geometry(
+                rg, h, cg, w if kw != w else None, phase_arr, fiber
+            )
+        else:
+            geom = vmem_geometry(phase_arr, fiber)
         # swap in the Mosaic-safe expm1 for the duration of the trace
         integrators._IN_PALLAS_KERNEL = True
         try:
+            # kernel_step = identical substeps under lax.fori_loop; a
+            # Python unroll here bloats the Mosaic program ~dt_per_step x
+            # and was the root cause of 10-40 min court compiles
             for _ in range(n_outer):
-                state = model.step(state, geom)
+                state = model.kernel_step(state, geom)
         finally:
             integrators._IN_PALLAS_KERNEL = False
         for k, r in zip(names, outs):
             r[:] = state[k]
 
-    h, w = model.cfg.height, model.cfg.width
-    plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    plane = jax.ShapeDtypeStruct((kh, kw), jnp.float32)
     spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
 
     n_in = n + (1 if has_phase else 0)
@@ -211,3 +255,20 @@ def make_pallas_step(
         return dict(zip(names, outs))
 
     return step
+
+
+def pad_state(state: Dict[str, jnp.ndarray], h: int, w: int,
+              hp: int, wp: int) -> Dict[str, jnp.ndarray]:
+    """Edge-replicate a true-size state into the padded planes a
+    `make_pallas_step(..., pad=True)` step expects (edge values keep the
+    never-read pad region in physiological range)."""
+    return {
+        k: jnp.pad(v, ((0, hp - h), (0, wp - w)), mode="edge")
+        for k, v in state.items()
+    }
+
+
+def crop_state(state: Dict[str, jnp.ndarray], h: int, w: int
+               ) -> Dict[str, jnp.ndarray]:
+    """Strip the pad region back off."""
+    return {k: v[:h, :w] for k, v in state.items()}

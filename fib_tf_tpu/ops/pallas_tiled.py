@@ -228,7 +228,7 @@ def make_block_kernel(
         state = {kk: r[:] for kk, r in zip(names, ins)}
         integrators._IN_PALLAS_KERNEL = True
         try:
-            state = model.step(state, geom)
+            state = model.kernel_step(state, geom)
         finally:
             integrators._IN_PALLAS_KERNEL = False
         for kk, r in zip(names, outs):
@@ -326,7 +326,7 @@ def make_tiled_pallas_step(
         state = {kk: read(i) for i, kk in enumerate(names)}
         integrators._IN_PALLAS_KERNEL = True
         try:
-            state = model.step(state, geom)
+            state = model.kernel_step(state, geom)
         finally:
             integrators._IN_PALLAS_KERNEL = False
 

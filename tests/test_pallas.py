@@ -199,3 +199,144 @@ class TestPallasStep:
             np.asarray(out["u"]), np.asarray(want["u"]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestPaddedWholeGrid:
+    """Unaligned grids run the whole-grid kernel on (8,128)-padded planes
+    with global-index edge masks (VERDICT r2 #3: the reference's fast
+    path was size-agnostic, fenton.py:126)."""
+
+    def test_padded_shape(self):
+        from fib_tf_tpu.ops.pallas_step import padded_shape
+
+        assert padded_shape(512, 512) is None
+        assert padded_shape(500, 500) == (504, 512)
+        assert padded_shape(300, 200) == (304, 256)
+        assert padded_shape(33, 50) == (40, 128)
+
+    @pytest.mark.parametrize(
+        "model_cls,extra,h,w",
+        [
+            (Fenton4v, {}, 33, 50),
+            (BeelerReuter, {"cheby": True, "skip": True}, 30, 40),
+            (Courtemanche, {}, 20, 36),
+        ],
+    )
+    def test_padded_matches_xla(self, model_cls, extra, h, w):
+        from fib_tf_tpu.ops.pallas_step import (
+            crop_state, pad_state, padded_shape,
+        )
+
+        c = cfg(width=w, height=h, **extra)
+        model = model_cls(c)
+        geom = grid_geometry()
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+
+        hp, wp = padded_shape(h, w)
+        kstep = make_pallas_step(model, interpret=True, pad=True)
+        sp = pad_state(state, h, w, hp, wp)
+        ref = state
+        for _ in range(3):
+            sp = kstep(sp)
+            ref = model.step(ref, geom)
+        out = crop_state(sp, h, w)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]),
+                rtol=1e-3, atol=1e-5, err_msg=k,
+            )
+
+    def test_padded_with_phase_field(self):
+        from fib_tf_tpu.ops.pallas_step import (
+            crop_state, pad_state, padded_shape,
+        )
+
+        h, w = 26, 44
+        c = cfg(width=w, height=h)
+        phase = stencil.add_hole_to_phase_field(None, h, w, w // 2, h // 2, 5)
+        model = Fenton4v(c)
+        geom = grid_geometry(phase)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+
+        hp, wp = padded_shape(h, w)
+        kstep = make_pallas_step(model, phase=phase, interpret=True, pad=True)
+        sp = pad_state(state, h, w, hp, wp)
+        ref = state
+        for _ in range(2):
+            sp = kstep(sp)
+            ref = model.step(ref, geom)
+        out = crop_state(sp, h, w)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]),
+                rtol=1e-3, atol=1e-5, err_msg=k,
+            )
+
+    def test_engine_unaligned_pallas_matches_xla(self):
+        """End-to-end: simulate() on an unaligned grid, kernel='pallas'
+        (interpret on CPU) == kernel='xla', incl. pacing + phase."""
+        from fib_tf_tpu.engine import Simulation
+
+        results = {}
+        for kern in ("xla", "pallas"):
+            c = SimConfig(width=33, height=50, dt=0.1, diff=0.809,
+                          duration=10, kernel=kern)
+            sim = Simulation(Fenton4v(c))
+            sim.add_hole_to_phase_field(16, 25, 4)
+            sim.define()
+            sim.add_pace_op("s2", "luq", 1.0)
+            results[kern] = sim.simulate(schedule=[(3.0, "s2")])
+        a, b = results["xla"], results["pallas"]
+        np.testing.assert_allclose(a.probes["v"], b.probes["v"],
+                                   rtol=1e-4, atol=1e-5)
+        for k in a.state:
+            assert b.state[k].shape == (50, 33)
+            np.testing.assert_allclose(a.state[k], b.state[k],
+                                       rtol=1e-3, atol=1e-5, err_msg=k)
+
+
+class TestKernelStepFori:
+    """kernel_step (fori_loop substeps) is value-identical to the
+    unrolled step at f32 ULP level (VERDICT r2 #2)."""
+
+    @pytest.mark.parametrize(
+        "model_cls,extra",
+        [
+            (Fenton4v, {}),
+            (BeelerReuter, {"cheby": True, "skip": True}),
+            (BeelerReuter, {"cheby": False, "skip": False}),
+            (Courtemanche, {}),
+        ],
+    )
+    def test_matches_unrolled(self, model_cls, extra):
+        c = cfg(**extra)
+        model = model_cls(c)
+        geom = grid_geometry()
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        a = b = state
+        for _ in range(3):
+            a = jax.jit(lambda s: model.step(s, geom))(a)
+            b = jax.jit(lambda s: model.step(s, geom, unroll=False))(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]),
+                rtol=1e-5, atol=1e-7, err_msg=k,
+            )
+
+    def test_kernel_step_fallback_for_legacy_signature(self):
+        """User models whose step() predates the unroll kwarg still work
+        through kernel_step."""
+        from fib_tf_tpu.models.base import IonicModel
+
+        class Legacy(Fenton4v):
+            def step(self, state, geom):  # no unroll kwarg
+                return super().step(state, geom)
+
+        model = Legacy(cfg())
+        geom = grid_geometry()
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        out = model.kernel_step(state, geom)
+        ref = model.step(state, geom)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                       rtol=1e-6, atol=1e-7)
