@@ -196,18 +196,56 @@ class TestTickDispatch:
         # ticks 0..5 -> slow at 0 and 3 (2x +100), fast at the rest (4x +1)
         assert float(sim.state["s"][0, 0]) == pytest.approx(204.0)
 
-    def test_simulate_rejects_fast_slow_ratio(self):
-        """simulate()'s segment scans assume a tick-independent step;
-        fast_slow_ratio models must be rejected loudly, not silently run
-        single-rate."""
+    def test_simulate_matches_run_generator(self):
+        """simulate() scans whole ratio-groups per iteration (VERDICT r2
+        #6) and must land on the same final state and per-outer-step
+        dispatch sequence as the run() generator."""
         from fib_tf_tpu.models import Fenton4v
 
         class TickModel(Fenton4v):
             fast_slow_ratio = 3
 
-        sim = Simulation(TickModel(small_cfg(duration=3))).define()
-        with pytest.raises(NotImplementedError, match="run\\(\\)"):
-            sim.simulate()
+            def fast_step(self, state, geom):
+                return {**state, "s": state["s"] + 1.0}
+
+            def slow_step(self, state, geom):
+                return {**state, "s": state["s"] + 100.0}
+
+        # duration=7 outer steps: 2 full groups + 1-step tail
+        cfg = small_cfg(duration=7)
+        sim1 = Simulation(TickModel(cfg)).define()
+        for _ in sim1.run(im=None, keep_state=True):
+            pass
+        sim2 = Simulation(TickModel(cfg)).define()
+        res = sim2.simulate()
+        assert res.steps == 7
+        assert res.probes["v"].shape[0] == 7
+        # ticks 0..6: slow at 0, 3, 6 (3x +100), fast at the rest (4x +1)
+        assert float(res.state["s"][0, 0]) == pytest.approx(304.0)
+        np.testing.assert_array_equal(sim1.state["s"], res.state["s"])
+
+    def test_simulate_ratio_snaps_events_to_groups(self):
+        """Pacing events snap to ratio-group boundaries so every chunk
+        starts at a tick ≡ 0 (mod ratio)."""
+        from fib_tf_tpu.models import Fenton4v
+
+        class TickModel(Fenton4v):
+            fast_slow_ratio = 3
+
+            def fast_step(self, state, geom):
+                return {**state, "s": state["s"] + 1.0}
+
+            def slow_step(self, state, geom):
+                return {**state, "s": state["s"] + 100.0}
+
+        cfg = small_cfg(duration=9)
+        sim = Simulation(TickModel(cfg)).define()
+        sim.add_pace_op("s2", "luq", 1.0)
+        # 4 ms -> step 4+1=5, snaps to 6 (group boundary)
+        res = sim.simulate(schedule=[(4.0, "s2")])
+        assert res.steps == 9
+        # dispatch unaffected: slow at 0,3,6 (+300), fast 6x (+6)
+        assert float(res.state["s"][0, 0]) == pytest.approx(306.0)
 
     def test_default_models_unchanged(self):
         """Without fast_slow_ratio, step_for_tick is the fused step."""
