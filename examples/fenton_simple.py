@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--samples", type=int, default=10000)
     ap.add_argument("--duration", type=float, default=None,
                     help="ms; overrides --samples")
+    ap.add_argument("--timeline", action="store_true",
+                    help="write a jax.profiler trace of 100 steps to "
+                         "timeline_simple_trace/ (or timeline_jit_trace/ "
+                         "with --jit) — the reference's per-stage Chrome "
+                         "traces, fenton_simple.py:207-215")
     args = ap.parse_args()
     height = width = args.size
     if args.duration is not None:
@@ -67,6 +72,20 @@ def main():
     s2_step = int(S2_TIME_MS / DT)
 
     step = jax.jit(solve) if args.jit else solve
+
+    if args.timeline:
+        # profile 100 warm steps per stage, mirroring the reference's
+        # timeline_simple vs timeline_jit figures: the simple trace shows
+        # one dispatch per op, the jit trace one fused program per step
+        for _ in range(3):  # warm up (compile) outside the trace
+            u, v, w, s = step(u, v, w, s)
+        logdir = "timeline_jit_trace" if args.jit else "timeline_simple_trace"
+        with jax.profiler.trace(logdir):
+            for _ in range(100):
+                u, v, w, s = step(u, v, w, s)
+            jax.block_until_ready(u)
+        print("profiler trace written to %s/" % logdir)
+        return
 
     then = time.time()
     for i in range(args.samples):

@@ -69,6 +69,17 @@ class TestExamples:
         run_example(tmp_path, "fenton_simple.py",
                     "--size", "48", "--duration", "20", "--jit")
 
+    def test_fenton_simple_timeline(self, tmp_path):
+        # the reference's per-stage Chrome-trace evidence
+        # (fenton_simple.py:207-215 / fenton_jit.py:210-218)
+        out = run_example(tmp_path, "fenton_simple.py",
+                          "--size", "32", "--samples", "20", "--timeline",
+                          "--jit")
+        assert "timeline_jit_trace" in out
+        trace_dir = tmp_path / "timeline_jit_trace"
+        assert trace_dir.is_dir()
+        assert any(trace_dir.rglob("*"))
+
     def test_fiber_anisotropy(self, tmp_path):
         out = run_example(tmp_path, "fiber_anisotropy.py",
                           "--size", "64", "--duration", "10")
