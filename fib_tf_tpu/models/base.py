@@ -97,12 +97,12 @@ def cell_geometry() -> Geometry:
 
 def repeat_substeps(fn: Callable[[State], State], state: State,
                     n: int, unroll: bool) -> State:
-    """`n` identical substeps, either Python-unrolled (the XLA scan path,
-    where each substep is its own fusion anyway) or under
-    `lax.fori_loop` (the Pallas kernels, where a Python unroll bloats
-    the Mosaic program ~n x and was the root cause of the 10-40 min
-    court compiles — VERDICT r2 #2).  Same ops in the same order per
-    iteration, so the two forms are value-identical."""
+    """`n` identical substeps, either Python-unrolled or under
+    `lax.fori_loop`.  Same ops in the same order per iteration, so the
+    two forms are value-identical.  NOTE: the fori form does NOT speed up
+    Mosaic compiles — measured slower than the unroll on every model
+    (see IonicModel.kernel_step); it exists for experimentation and for
+    host-side scans where trace size matters."""
     if unroll or n == 1:
         for _ in range(n):
             state = fn(state)
@@ -164,15 +164,17 @@ class IonicModel:
         )
 
     def kernel_step(self, state: State, geom: Geometry) -> State:
-        """The outer step as traced inside Pallas kernels: value-identical
-        to `step`, with identical substeps under `lax.fori_loop` to keep
-        the Mosaic program small.  Falls back to the plain unrolled step
-        for user models whose `step` override predates the `unroll`
-        keyword."""
-        try:
-            return self.step(state, geom, unroll=False)
-        except TypeError:
-            return self.step(state, geom)
+        """The outer step as traced inside Pallas kernels.
+
+        Measured negative result (v5e, fresh Mosaic compiles, cache off):
+        running the identical substeps under `lax.fori_loop`
+        (`unroll=False`) to shrink the traced program made compiles
+        SLOWER, not faster — BR whole-grid 389 s vs 294 s unrolled, court
+        566 s vs 480 s unrolled.  Mosaic's loop analysis costs more than
+        the duplicated bodies save, so kernels trace the plain Python
+        unroll; the `unroll=False` path stays available (value-identical,
+        tested) for experiments."""
+        return self.step(state, geom)
 
     # -- tick-indexed fast/slow dispatch (reference ionic.py:277-286) -----------
     #

@@ -221,9 +221,10 @@ def make_pallas_step(
         # swap in the Mosaic-safe expm1 for the duration of the trace
         integrators._IN_PALLAS_KERNEL = True
         try:
-            # kernel_step = identical substeps under lax.fori_loop; a
-            # Python unroll here bloats the Mosaic program ~dt_per_step x
-            # and was the root cause of 10-40 min court compiles
+            # kernel_step = plain unrolled substeps: an in-kernel
+            # fori_loop over the identical substeps was measured SLOWER
+            # to Mosaic-compile than the unroll (see
+            # IonicModel.kernel_step), so the bodies stay unrolled
             for _ in range(n_outer):
                 state = model.kernel_step(state, geom)
         finally:
