@@ -425,6 +425,81 @@ class TestEnsemble:
         for i in range(1, 8):
             np.testing.assert_array_equal(final["u"][0], final["u"][i])
 
+    def test_event_fires_at_per_member_step(self):
+        from fib_tf_tpu.engine.ensemble import (
+            EnsembleEvent, run_ensemble, stack_states,
+        )
+
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=False)] * 3)
+        ev = EnsembleEvent(step=np.array([1, 4, 99]), loc="luq", v=1.0)
+        final, probes = run_ensemble(
+            model, stacked, n_outer=8, events=[ev],
+            probe=lambda s: s["u"].max(),
+        )
+        # member 0 stimulated at step 1, member 1 at step 4, member 2 never
+        assert probes[0, 0] < 0.1 and probes[0, 1] >= 0.99
+        assert probes[1, 3] < 0.1 and probes[1, 4] >= 0.99
+        assert (probes[2] < 0.1).all()
+
+    def test_per_member_phase(self):
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        h, w = cfg.height, cfg.width
+        from fib_tf_tpu.ops.stencil import add_hole_to_phase_field
+
+        ones = np.ones((h, w), np.float32)
+        hole = add_hole_to_phase_field(None, h, w, w // 2, h // 2, 8)
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+
+        # per-member [2,H,W]: member 0 plain, member 1 with the obstacle
+        per_member = np.stack([ones, hole])
+        final, _ = run_ensemble(model, stacked, 10, phase=per_member)
+        assert not np.allclose(final["u"][0], final["u"][1])
+
+        # the shared-[H,W] path and the per-member path agree member-wise
+        final_shared, _ = run_ensemble(
+            model, stack_states([model.initial_state(s1=True)]), 10,
+            phase=hole,
+        )
+        np.testing.assert_allclose(
+            final["u"][1], final_shared["u"][0], atol=1e-5
+        )
+
+    def test_probe_dict_streams(self):
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+        final, probes = run_ensemble(
+            model, stacked, 4,
+            probe=lambda s: {"front": model.probe(s),
+                             "mean_u": s["u"].mean()},
+        )
+        assert set(probes) == {"front", "mean_u"}
+        assert probes["front"].shape == (2, 4)
+        assert probes["mean_u"].shape == (2, 4)
+        assert np.isfinite(probes["mean_u"]).all()
+
+    def test_s2_scan_classifies(self):
+        from fib_tf_tpu.engine.ensemble import s2_scan
+
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        # member 1's S2 never fires: its S1 wave exits the tiny sheet and
+        # repolarizes (APD ~200 ms) -> died out.  member 0 is re-stimulated
+        # near the end, so tissue is still active at the horizon.
+        steps, sustained, probes = s2_scan(
+            model, n_outer=320, s2_steps=np.array([300, 10_000])
+        )
+        assert probes.shape == (2, 320)
+        assert sustained.dtype == bool
+        assert sustained[0] and not sustained[1]
+
 
 class TestFailureDetection:
     def test_nan_raises(self):

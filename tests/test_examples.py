@@ -69,6 +69,14 @@ class TestExamples:
         run_example(tmp_path, "fenton_simple.py",
                     "--size", "48", "--duration", "20", "--jit")
 
+    def test_s2_scan(self, tmp_path):
+        out = run_example(tmp_path, "s2_scan.py",
+                          "--size", "48", "--members", "3",
+                          "--s2-from", "30", "--s2-to", "60",
+                          "--duration", "80")
+        assert "S2 scan: 3 members" in out
+        assert out.count("S2 @") == 3
+
     def test_fenton_simple_timeline(self, tmp_path):
         # the reference's per-stage Chrome-trace evidence
         # (fenton_simple.py:207-215 / fenton_jit.py:210-218)
