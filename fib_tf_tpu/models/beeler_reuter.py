@@ -121,6 +121,7 @@ class BeelerReuter(IonicModel):
         v = np.linspace(self.min_v, self.max_v, CHEBY_SAMPLES)
         coef = {}
         slow_n = 5 if self.cfg.skip else 1
+        self._fold_slow_n = slow_n
         for g in GATES:
             a = rate_np(v, RATE_PARAMS[(g, "a")])
             b = rate_np(v, RATE_PARAMS[(g, "b")])
@@ -219,10 +220,22 @@ class BeelerReuter(IonicModel):
 
             if self.cfg.cheby_fold:
                 # folded form: g' = clip(g + (g - g_inf) * r(V)) where
-                # r(V) = expm1(-dt_g/tau(V)) was fit at definition time
+                # r(V) = expm1(-dt_g/tau(V)) was fit at definition time —
+                # dt_g is BAKED IN (dt for fast gates, dt*slow_n for slow
+                # ones), so the caller's n must match the baked cadence;
+                # driving solve(n=1) per substep with skip+fold would
+                # silently advance slow gates 5x (APD90 202 -> 71 ms)
                 from fib_tf_tpu.ops.integrators import GATE_MAX, GATE_MIN
 
-                def advance(gate, _n):
+                def advance(gate, n_):
+                    baked = 1 if gate in FAST_GATES else self._fold_slow_n
+                    if n_ != baked:
+                        raise ValueError(
+                            f"cheby_fold baked dt*{baked} for gate "
+                            f"{gate!r} but solve was driven with n={n_}; "
+                            "with skip+fold, drive the model through "
+                            "step() (or set cheby_fold=False)"
+                        )
                     inf = chebyshev_eval(
                         self._cheby_coef[f"{gate}_inf"], terms)
                     r = chebyshev_eval(self._cheby_coef[f"{gate}_rl"], terms)
