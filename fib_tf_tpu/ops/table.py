@@ -85,6 +85,36 @@ def lookup_onehot(
     return {k: picked[..., j] for j, k in enumerate(keys)}
 
 
+def lookup_onehot_iota(
+    table: jnp.ndarray, v: jnp.ndarray, keys: Sequence[str]
+) -> Dict[str, jnp.ndarray]:
+    """Mosaic-lowerable one-hot lookup: the one-hot matrix is built by an
+    iota==index compare (pure elementwise — no scatter, unlike
+    `lookup_onehot`'s `.at[].set`), then contracted against the table on
+    the MXU.  `v` must be 2D [H, W]; rows are processed whole, so the
+    peak temporary is [W, rows] + [W, n_cols] per row.
+    """
+    import jax
+
+    rows, n_cols = table.shape
+    h, w = v.shape
+    block = max(1, 4096 // w)          # ~4096 cells per MXU call
+    while h % block:
+        block -= 1
+    n = block * w
+    idx = row_index(v, rows).reshape(h // block, n)  # int32
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 1)
+
+    def one_block(i):
+        oh = (idx[i][:, None] == col).astype(table.dtype)  # [n, rows]
+        return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+    picked = jax.lax.map(one_block, jnp.arange(h // block))
+    picked = picked.reshape(h, w, n_cols)
+    return {k: picked[..., j] for j, k in enumerate(keys)}
+
+
 def load_native_table(path: str, n_cols: int) -> np.ndarray:
     """Load a table emitted by the C++ generator (one float per line,
     row-major), the native generate_table toolchain's output format."""

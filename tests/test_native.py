@@ -214,3 +214,27 @@ class TestNativeTable:
         out = table_ops.lookup(tbl, v, INTER_KEYS)
         assert out["m_inf"].shape == (2, 2)
         assert np.isfinite(np.asarray(out["tau_h"])).all()
+
+    def test_onehot_variants_match_gather(self):
+        """All three lookup realizations agree exactly — the scatter
+        one-hot (XLA) and the Mosaic-safe iota-compare one-hot both pick
+        the same table rows as the gather (tools/table_bench.py measures
+        their kernel-level cost)."""
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.models.courtemanche import calc_intermediates_np
+
+        tbl = jnp.asarray(
+            table_ops.build_table(calc_intermediates_np, INTER_KEYS)
+        )
+        rng = np.random.default_rng(3)
+        v = jnp.asarray(
+            rng.uniform(-100.0, 49.0, (16, 128)).astype(np.float32)
+        )
+        ref = table_ops.lookup(tbl, v, INTER_KEYS)
+        for fn in (table_ops.lookup_onehot, table_ops.lookup_onehot_iota):
+            got = fn(tbl, v, INTER_KEYS)
+            for k in INTER_KEYS:
+                np.testing.assert_array_equal(
+                    np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
+                )
