@@ -512,12 +512,26 @@ class Simulation:
     def _spmd_use_kernel(self) -> bool:
         """Whether the wide-halo shard_map chunk runs the per-shard fused
         Pallas block kernel instead of per-shard XLA.  'pallas' forces it
-        (construction already required wide_halo); 'auto' stays XLA until
-        the 1-device-mesh measurement says otherwise (milestone: VERDICT
-        r2 #1)."""
+        (construction already required wide_halo).  'auto' now picks it on
+        TPU: measured on a 1-device mesh (the identical
+        shard_map/ppermute/kernel program with zero-distance halos,
+        tools/spmd_bench.py, v5e 512x512): BR wide-kernel 12.6 us/substep
+        vs wide-XLA 25.4 — the same ~2x the whole-grid kernel shows
+        single-chip, so the sharded default follows the measurement
+        (VERDICT r2 #1)."""
         if self._mesh is None or not self._wide_halo:
             return False
-        return self.cfg.kernel == "pallas"
+        if self.cfg.kernel == "pallas":
+            return True
+        if self.cfg.kernel != "auto":
+            return False
+        import jax as _jax
+
+        return (
+            _jax.default_backend() == "tpu"
+            and self.model.name in ("fenton", "br", "court", "court_ultra")
+            and not self.cfg.table
+        )
 
     def _spmd_chunk_fn(self, length: int):
         """Chunk via the explicit shard_map halo-exchange path

@@ -415,3 +415,33 @@ class TestShardedAnisotropy:
         c = cfg(fiber_angle=0.5, fiber_ratio=0.5)
         with pytest.raises(ValueError, match="wide_halo"):
             Simulation(Fenton4v(c), mesh=make_mesh())
+
+
+class TestSpmdAutoKernel:
+    """'auto' on the mesh+wide_halo path picks the per-shard block kernel
+    on TPU (measured 12.6 vs 25.4 us/substep on a 1-device mesh,
+    tools/spmd_bench.py — VERDICT r2 #1)."""
+
+    def _sim(self, monkeypatch, backend="tpu", **kw):
+        import pytest as _pytest  # noqa: F401
+
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        c = cfg(width=128, height=128, **kw)
+        return Simulation(Fenton4v(c), mesh=make_mesh(), wide_halo=True)
+
+    def test_auto_picks_kernel_on_tpu(self, monkeypatch):
+        assert self._sim(monkeypatch)._spmd_use_kernel()
+
+    def test_auto_stays_xla_off_tpu(self, monkeypatch):
+        assert not self._sim(monkeypatch, backend="cpu")._spmd_use_kernel()
+
+    def test_auto_stays_xla_with_table(self, monkeypatch):
+        assert not self._sim(monkeypatch, table=True)._spmd_use_kernel()
+
+    def test_explicit_xla_respected(self, monkeypatch):
+        assert not self._sim(monkeypatch, kernel="xla")._spmd_use_kernel()
+
+    def test_no_kernel_without_wide_halo(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        sim = Simulation(Fenton4v(cfg()), mesh=make_mesh())
+        assert not sim._spmd_use_kernel()
