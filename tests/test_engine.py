@@ -485,6 +485,58 @@ class TestEnsemble:
         assert probes["mean_u"].shape == (2, 4)
         assert np.isfinite(probes["mean_u"]).all()
 
+    def test_kernel_path_matches_xla(self):
+        """kernel='pallas' (interpret mode on CPU) == the vmapped-XLA
+        path, aligned grid, with per-member events."""
+        from fib_tf_tpu.engine.ensemble import (
+            EnsembleEvent, run_ensemble, stack_states,
+        )
+
+        cfg = small_cfg(width=128, height=16, duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+        ev = EnsembleEvent(step=np.array([2, 99]), loc="luq", v=1.0)
+        out = {}
+        for kern in ("xla", "pallas"):
+            out[kern] = run_ensemble(
+                model, stacked, 6, events=[ev], kernel=kern
+            )
+        for k in out["xla"][0]:
+            np.testing.assert_allclose(
+                out["pallas"][0][k], out["xla"][0][k],
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+        np.testing.assert_allclose(
+            out["pallas"][1], out["xla"][1], rtol=1e-5, atol=1e-6
+        )
+
+    def test_kernel_path_unaligned_pads(self):
+        """48x48 is not (8,128)-aligned: the kernel path pads, crops, and
+        still matches XLA on the true grid."""
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+        f_xla, _ = run_ensemble(model, stacked, 5, kernel="xla")
+        f_k, _ = run_ensemble(model, stacked, 5, kernel="pallas")
+        assert f_k["u"].shape == f_xla["u"].shape
+        np.testing.assert_allclose(
+            f_k["u"], f_xla["u"], rtol=1e-5, atol=1e-6
+        )
+
+    def test_kernel_rejects_per_member_phase(self):
+        import pytest
+
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+        phase = np.ones((2, cfg.height, cfg.width), np.float32)
+        with pytest.raises(ValueError, match="per-member phase"):
+            run_ensemble(model, stacked, 2, phase=phase, kernel="pallas")
+
     def test_s2_scan_classifies(self):
         from fib_tf_tpu.engine.ensemble import s2_scan
 

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--outer", type=int, default=1000)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--kernel", default="xla", choices=["xla", "pallas"],
+                   help="xla = vmapped model.step; pallas = vmapped "
+                        "whole-grid kernel (the run_ensemble TPU default)")
     args = p.parse_args()
 
     from fib_tf_tpu.config import SimConfig
@@ -41,8 +44,13 @@ def main():
     cfg = SimConfig(width=args.size, height=args.size, dt=0.1, duration=1,
                     diff=1.5 if args.model == "fenton" else 0.809)
     model = MODEL_REGISTRY[args.model](cfg)
-    geom = grid_geometry()
-    vstep = jax.vmap(lambda s: model.step(s, geom))
+    if args.kernel == "pallas":
+        from fib_tf_tpu.ops.pallas_step import make_pallas_step
+
+        vstep = jax.vmap(make_pallas_step(model))
+    else:
+        geom = grid_geometry()
+        vstep = jax.vmap(lambda s: model.step(s, geom))
 
     def make_run(length):
         @jax.jit
@@ -65,7 +73,7 @@ def main():
     substeps = args.outer * model.dt_per_step
     us_member = (t2 - t1) / substeps / args.members * 1e6
     cups = args.size * args.size * args.members * substeps / (t2 - t1) / 1e9
-    print(f"{args.model} ensemble x{args.members} @ {args.size}^2: "
+    print(f"{args.model} ensemble[{args.kernel}] x{args.members} @ {args.size}^2: "
           f"{us_member:.2f} us/substep/member, "
           f"{cups:.1f} G cell-updates/s "
           f"(t1={t1*1e3:.1f} ms, t2={t2*1e3:.1f} ms)")
