@@ -61,7 +61,8 @@ class EnsembleEvent:
         )
 
 
-def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool) -> bool:
+def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool,
+                         mesh=None) -> bool:
     """Member-wise whole-grid Pallas kernel under vmap (members become a
     Mosaic grid axis, each member's planes VMEM-resident for the whole
     substep group).  Measured v5e, fenton 16 x 128**2:
@@ -85,6 +86,11 @@ def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool) -> bool:
         return True
     if kernel != "auto":
         raise ValueError(f"unknown ensemble kernel {kernel!r}")
+    if mesh is not None:
+        # GSPMD cannot partition an opaque pallas_call along the sharded
+        # member axis; meshed ensembles stay on vmapped XLA unless the
+        # caller forces 'pallas' (e.g. on a 1-device mesh)
+        return False
     if jax.default_backend() != "tpu":
         return False
     if model.name not in ("fenton", "br", "court", "court_ultra"):
@@ -146,7 +152,7 @@ def run_ensemble(
     ]
     pot_key = model.pot_key
 
-    use_kernel = _ensemble_use_kernel(model, kernel, per_member_phase)
+    use_kernel = _ensemble_use_kernel(model, kernel, per_member_phase, mesh)
     h, w = model.cfg.height, model.cfg.width
     pad_hw = None
     if per_member_phase:
