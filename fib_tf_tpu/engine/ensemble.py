@@ -154,6 +154,14 @@ def run_ensemble(
 
     use_kernel = _ensemble_use_kernel(model, kernel, per_member_phase, mesh)
     h, w = model.cfg.height, model.cfg.width
+    if use_kernel and kernel == "auto" and probe is not model.probe:
+        from fib_tf_tpu.ops.pallas_step import padded_shape
+
+        if padded_shape(h, w) is not None:
+            # a custom probe may reduce over whole planes; on a padded
+            # grid it would silently see the evolving pad region — keep
+            # 'auto' safe and let kernel='pallas' opt back in
+            use_kernel = False
     pad_hw = None
     if per_member_phase:
         # grid_geometry precomputes the padded phase on the host, which a

@@ -525,6 +525,27 @@ class TestEnsemble:
             f_k["u"], f_xla["u"], rtol=1e-5, atol=1e-6
         )
 
+    def test_auto_kernel_falls_back_for_custom_probe_on_padded_grid(
+            self, monkeypatch):
+        """48x48 needs padding; a custom (possibly full-plane) probe under
+        'auto' must fall back to XLA rather than expose the pad region —
+        on this CPU host the run only completes BECAUSE the fallback
+        engaged (the kernel path would try a real Mosaic lowering once
+        default_backend claims tpu)."""
+        import jax
+
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = small_cfg(duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+        final, probes = run_ensemble(
+            model, stacked, 3, probe=lambda s: s["u"].max()
+        )
+        assert probes.shape == (2, 3)
+        assert np.isfinite(final["u"]).all()
+
     def test_kernel_rejects_per_member_phase(self):
         import pytest
 

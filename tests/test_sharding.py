@@ -423,8 +423,6 @@ class TestSpmdAutoKernel:
     tools/spmd_bench.py — VERDICT r2 #1)."""
 
     def _sim(self, monkeypatch, backend="tpu", **kw):
-        import pytest as _pytest  # noqa: F401
-
         monkeypatch.setattr(jax, "default_backend", lambda: backend)
         c = cfg(width=128, height=128, **kw)
         return Simulation(Fenton4v(c), mesh=make_mesh(), wide_halo=True)

@@ -16,7 +16,6 @@ less than the rate math it replaces.
 """
 
 import argparse
-import functools
 import os as _os
 import sys as _sys
 
