@@ -9,6 +9,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu bench            # the reference Table-1 matrix
   python -m fib_tf_tpu table            # native lookup-table generation
   python -m fib_tf_tpu replay cube.npy
+  python -m fib_tf_tpu s2scan --members 16   # vulnerable-window ensemble
 """
 
 from __future__ import annotations
@@ -92,6 +93,26 @@ def build_parser() -> argparse.ArgumentParser:
     rp = sub.add_parser("replay", help="replay a cube.npy movie")
     rp.add_argument("path")
     rp.add_argument("--fps", type=float, default=40)
+
+    s2 = sub.add_parser(
+        "s2scan",
+        help="S2-timing vulnerable-window scan as one batched ensemble",
+    )
+    s2.add_argument("--model", choices=sorted(MODEL_REGISTRY),
+                    default="fenton")
+    s2.add_argument("--width", type=int, default=512)
+    s2.add_argument("--height", type=int, default=512)
+    s2.add_argument("--dt", type=float, default=0.1)
+    s2.add_argument("--diff", type=float, default=None)
+    s2.add_argument("--members", type=int, default=16)
+    s2.add_argument("--s2-from", type=float, default=150.0)
+    s2.add_argument("--s2-to", type=float, default=300.0)
+    s2.add_argument("--s2-loc", default="luq")
+    s2.add_argument("--duration", type=float, default=700.0)
+    s2.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    s2.add_argument("--json", action="store_true",
+                    help="print one JSON line instead of the table")
     return p
 
 
@@ -224,6 +245,50 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_s2scan(args) -> int:
+    """The vulnerable-window experiment as one batched device program
+    (engine/ensemble.s2_scan; the reference needed one process per S2
+    time).  Measured on v5e: fenton 16 x 512^2 x 700 ms in one program,
+    window [180, 240] ms around the reference's hand-tuned 210."""
+    from fib_tf_tpu.engine.ensemble import s2_scan
+
+    model_cls = MODEL_REGISTRY[args.model]
+    cfg = SimConfig(
+        width=args.width, height=args.height, dt=args.dt,
+        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        duration=args.duration,
+        ultra_slow=(args.model == "court_ultra"),
+    )
+    model = model_cls(cfg)
+    ms_per_outer = cfg.dt * model.dt_per_step
+    s2_ms = np.linspace(args.s2_from, args.s2_to, args.members)
+    steps, sustained, _ = s2_scan(
+        model,
+        int(round(args.duration / ms_per_outer)),
+        np.round(s2_ms / ms_per_outer).astype(np.int32),
+        s2_loc=args.s2_loc,
+        kernel=args.kernel,
+    )
+    window = s2_ms[sustained]
+    if args.json:
+        print(json.dumps({
+            "model": args.model,
+            "s2_ms": [float(t) for t in s2_ms],
+            "sustained": [bool(s) for s in sustained],
+            "window_ms": ([float(window.min()), float(window.max())]
+                          if len(window) else None),
+        }))
+        return 0
+    for t, hit in zip(s2_ms, sustained):
+        print(f"S2 @ {t:6.1f} ms -> {'REENTRY' if hit else 'died out'}")
+    if len(window):
+        print(f"vulnerable window: [{window.min():.1f}, "
+              f"{window.max():.1f}] ms")
+    else:
+        print("no reentry induced in the scanned range")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -235,6 +300,7 @@ def main(argv=None) -> int:
         "bench": cmd_bench,
         "table": cmd_table,
         "replay": cmd_replay,
+        "s2scan": cmd_s2scan,
     }[args.cmd](args)
 
 

@@ -255,6 +255,7 @@ def s2_scan(
     phase: Optional[np.ndarray] = None,
     mesh=None,
     activity_threshold: float = 0.1,
+    kernel: str = "auto",
 ):
     """Vulnerable-window scan: one S1 wave (model.initial_state(s1=True)),
     then one S2 stimulus per member at `s2_steps[i]` (outer steps), run to
@@ -269,7 +270,8 @@ def s2_scan(
     stacked = stack_states([model.initial_state(s1=True)] * n)
     ev = EnsembleEvent(step=s2_steps, loc=s2_loc)
     final, probes = run_ensemble(
-        model, stacked, n_outer, phase=phase, mesh=mesh, events=[ev]
+        model, stacked, n_outer, phase=phase, mesh=mesh, events=[ev],
+        kernel=kernel,
     )
     img = (final[model.pot_key] - model.min_v) / (model.max_v - model.min_v)
     if phase is not None:

@@ -87,3 +87,27 @@ class TestReplay:
         p = str(tmp_path / "cube.npy")
         np.save(p, cube)
         assert cli.main(["replay", p]) == 0
+
+
+class TestS2Scan:
+    def test_scan_json(self, capsys):
+        rc = cli.main([
+            "s2scan", "--model", "fenton", "--width", "48", "--height",
+            "48", "--members", "3", "--s2-from", "30", "--s2-to", "60",
+            "--duration", "80", "--json",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["model"] == "fenton"
+        assert len(rec["s2_ms"]) == 3
+        assert len(rec["sustained"]) == 3
+
+    def test_scan_table_output(self, capsys):
+        rc = cli.main([
+            "s2scan", "--model", "fenton", "--width", "48", "--height",
+            "48", "--members", "2", "--s2-from", "30", "--s2-to", "50",
+            "--duration", "60",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.count("S2 @") == 2
