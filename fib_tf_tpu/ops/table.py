@@ -98,7 +98,8 @@ def lookup_onehot_iota(
 
     rows, n_cols = table.shape
     h, w = v.shape
-    block = max(1, 4096 // w)          # ~4096 cells per MXU call
+    block = max(1, 16384 // w)         # ~16k cells per MXU call (the
+                                       # one-hot block is ~10 MB of VMEM)
     while h % block:
         block -= 1
     n = block * w
@@ -106,11 +107,12 @@ def lookup_onehot_iota(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 1)
 
-    def one_block(i):
-        oh = (idx[i][:, None] == col).astype(table.dtype)  # [n, rows]
-        return jnp.dot(oh, table, preferred_element_type=jnp.float32)
-
-    picked = jax.lax.map(one_block, jnp.arange(h // block))
+    # static Python loop: lax.map/scan don't lower inside Mosaic kernels
+    picked = jnp.concatenate([
+        jnp.dot((idx[i][:, None] == col).astype(table.dtype), table,
+                preferred_element_type=jnp.float32)
+        for i in range(h // block)
+    ])
     picked = picked.reshape(h, w, n_cols)
     return {k: picked[..., j] for j, k in enumerate(keys)}
 
