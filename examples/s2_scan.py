@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--duration", type=float, default=700.0,
                     help="total simulated ms; must leave time after the "
                          "latest S2 for failed inductions to die out")
+    ap.add_argument("--save-plot", default=None, metavar="PATH",
+                    help="save a member x time heatmap of the probe "
+                         "voltage with per-member outcomes (PNG)")
     args = ap.parse_args()
 
     n = args.size
@@ -67,6 +70,54 @@ def main():
         print(f"vulnerable window: [{window.min():.1f}, {window.max():.1f}] ms")
     else:
         print("no reentry induced in the scanned range")
+
+    if args.save_plot:
+        save_plot(args.save_plot, s2_ms, sustained, probes, ms_per_outer)
+        print(f"saved {args.save_plot}")
+
+
+def save_plot(path, s2_ms, sustained, probes, ms_per_outer):
+    """Member x time heatmap of the normalized probe voltage.
+
+    One row per S2 time; a white tick marks each member's S2 delivery;
+    outcomes are written as text at the right edge (identity is never
+    color-alone).  Sequential single-hue colormap for the magnitude."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n, n_outer = probes.shape
+    t_max = n_outer * ms_per_outer
+    fig, ax = plt.subplots(
+        figsize=(8.0, 0.28 * n + 1.2), constrained_layout=True
+    )
+    ax.imshow(
+        probes, aspect="auto", cmap="Blues", vmin=0.0, vmax=1.0,
+        extent=(0, t_max, n - 0.5, -0.5), interpolation="nearest",
+    )
+    for i, (t, hit) in enumerate(zip(s2_ms, sustained)):
+        ax.plot([t, t], [i - 0.38, i + 0.38], color="white", lw=1.6)
+        ax.text(
+            t_max * 1.01, i, "reentry" if hit else "died out",
+            va="center", fontsize=8,
+            color="#0b0b0b" if hit else "#52514e",
+            fontweight="bold" if hit else "normal",
+        )
+    ax.set_yticks(range(n))
+    ax.set_yticklabels([f"{t:.0f}" for t in s2_ms], fontsize=8)
+    ax.set_ylabel("S2 time (ms)")
+    ax.set_xlabel("simulated time (ms)")
+    ax.set_title(
+        "S2 vulnerable-window scan — probe voltage per member\n"
+        "(one batched TPU program; white tick = S2 delivery)",
+        fontsize=10,
+    )
+    ax.tick_params(length=0)
+    for s in ax.spines.values():
+        s.set_visible(False)
+    ax.set_xlim(0, t_max * 1.14)
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
 
 
 if __name__ == "__main__":
