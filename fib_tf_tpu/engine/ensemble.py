@@ -71,7 +71,10 @@ def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool,
     kernel's sustained rate.  'auto' picks it on TPU whenever the
     single-run engine would (aligned or padded grid, state within the
     whole-grid VMEM budget, no per-member phase — the kernel bakes the
-    phase in at trace time)."""
+    phase in at trace time).  With a mesh the scan runs inside shard_map
+    over the member axis (zero collectives — members are independent), so
+    the per-shard vmapped kernel still engages; run_ensemble pads the
+    batch to a shard multiple with dummy members, so any n works."""
     if kernel == "xla":
         return False
     if per_member_phase:
@@ -86,11 +89,6 @@ def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool,
         return True
     if kernel != "auto":
         raise ValueError(f"unknown ensemble kernel {kernel!r}")
-    if mesh is not None:
-        # GSPMD cannot partition an opaque pallas_call along the sharded
-        # member axis; meshed ensembles stay on vmapped XLA unless the
-        # caller forces 'pallas' (e.g. on a 1-device mesh)
-        return False
     if jax.default_backend() != "tpu":
         return False
     if model.name not in ("fenton", "br", "court", "court_ultra"):
@@ -136,7 +134,10 @@ def run_ensemble(
       pass kernel='xla'.
 
     Returns (final stacked state, probe streams [n, n_outer] or dict).
-    With `mesh`, the member axis is sharded over the mesh's first axis.
+    With `mesh`, the member axis is sharded over the mesh's first axis;
+    when the kernel engages the scan runs inside shard_map (per-shard
+    vmapped kernel, zero collectives), otherwise GSPMD partitions the
+    vmapped-XLA scan.
     """
     probe = probe or model.probe
     n_members = next(iter(stacked_state.values())).shape[0]
@@ -145,11 +146,36 @@ def run_ensemble(
     if phase is not None:
         phase = jnp.asarray(np.asarray(phase, np.float32))
 
+    # a mesh shards the member axis, which needs an even split: pad the
+    # batch to a shard multiple with copies of the last member (their
+    # results are computed and discarded — HBM/FLOP cost only, no
+    # semantic effect) and crop every output back to n_members below
+    pad_n = 0
+    if mesh is not None:
+        pad_n = (-n_members) % mesh.devices.shape[0]
+    n_total = n_members + pad_n
+
+    def _pad_members(a):
+        reps = (pad_n,) + (1,) * (np.asarray(a).ndim - 1)
+        return np.concatenate([a, np.tile(np.asarray(a)[-1:], reps)])
+
+    if pad_n:
+        stacked_state = {k: _pad_members(v) for k, v in stacked_state.items()}
+        if per_member_phase:
+            phase = jnp.asarray(_pad_members(phase))
+
     ev_masks = [jnp.asarray(e.resolve_mask(model)) for e in events]
+    if pad_n:
+        ev_masks = [
+            jnp.asarray(_pad_members(m)) if m.ndim == 3 else m
+            for m in ev_masks
+        ]
     ev_steps = [
-        jnp.broadcast_to(jnp.asarray(e.step, jnp.int32), (n_members,))
+        _pad_members(np.broadcast_to(np.asarray(e.step, np.int32),
+                                     (n_members,)))
         for e in events
     ]
+    ev_steps = [jnp.asarray(t) for t in ev_steps]
     pot_key = model.pot_key
 
     use_kernel = _ensemble_use_kernel(model, kernel, per_member_phase, mesh)
@@ -189,30 +215,31 @@ def run_ensemble(
         step_members = jax.vmap(lambda s: model.step(s, geom))
     vprobe = jax.vmap(probe)
 
-    def fire_events(state, i):
-        pot = state[pot_key]
-        for m, t in zip(ev_masks, ev_steps):
-            hit = (i == t)[:, None, None]
-            stim = jnp.maximum(pot, m if m.ndim == 3 else m[None])
-            pot = jnp.where(hit, stim, pot)
-        return {**state, pot_key: pot}
-
-    def body(carry, _):
-        s, i = carry
-        s = step_members(s)
-        if ev_masks:
-            s = fire_events(s, i)
-        return (s, i + 1), vprobe(s)
+    n_ev = len(ev_masks)
 
     def _transpose(p):
         return jnp.moveaxis(p, 0, 1)  # [n_outer, n] -> [n, n_outer]
 
-    # not donated: donation forces the scan result back into the input
-    # buffers, inserting a per-iteration state copy (engine/simulation.py
-    # _chunk_fn has the v5e measurements); the batch stays live one extra
-    # call, which is just HBM footprint
-    @jax.jit
-    def chunk(s):
+    # events are explicit args (not closure constants) so the shard_map
+    # path below can shard the per-member step/mask arrays with the batch
+    def scan_chunk(s, *ev_args):
+        steps, masks = ev_args[:n_ev], ev_args[n_ev:]
+
+        def fire_events(state, i):
+            pot = state[pot_key]
+            for t, m in zip(steps, masks):
+                hit = (i == t)[:, None, None]
+                stim = jnp.maximum(pot, m if m.ndim == 3 else m[None])
+                pot = jnp.where(hit, stim, pot)
+            return {**state, pot_key: pot}
+
+        def body(carry, _):
+            s, i = carry
+            s = step_members(s)
+            if n_ev:
+                s = fire_events(s, i)
+            return (s, i + 1), vprobe(s)
+
         (final, _), probes = jax.lax.scan(
             body, (s, jnp.int32(0)), None, length=n_outer
         )
@@ -235,16 +262,44 @@ def run_ensemble(
                     + ((0, hp - h), (0, wp - w)), mode="edge")
             for m in ev_masks
         ]
-    if mesh is not None:
+    # not donated: donation forces the scan result back into the input
+    # buffers, inserting a per-iteration state copy (engine/simulation.py
+    # _chunk_fn has the v5e measurements); the batch stays live one extra
+    # call, which is just HBM footprint
+    if mesh is not None and use_kernel:
+        # run the whole scan inside shard_map over the member axis: each
+        # shard advances its own members with the vmapped Pallas kernel
+        # (no collectives — ensemble members are independent), sidestepping
+        # GSPMD's inability to partition an opaque pallas_call
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        ax = mesh.axis_names[0]
+        member = P(ax)
+        mask_specs = tuple(
+            member if m.ndim == 3 else P() for m in ev_masks
+        )
+        fn = jax.shard_map(
+            scan_chunk,
+            mesh=mesh,
+            in_specs=(member, *(member,) * n_ev, *mask_specs),
+            out_specs=(member, member),
+            check_vma=False,
+        )
+        sh = NamedSharding(mesh, member)
         state = {k: jax.device_put(v, sh) for k, v in state.items()}
-    final, probes = chunk(state)
-    final = {k: np.asarray(v)[:, :h, :w] for k, v in final.items()}
+        chunk = jax.jit(fn)
+    else:
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            state = {k: jax.device_put(v, sh) for k, v in state.items()}
+        chunk = jax.jit(scan_chunk)
+    final, probes = chunk(state, *ev_steps, *ev_masks)
+    final = {k: np.asarray(v)[:n_members, :h, :w] for k, v in final.items()}
     if isinstance(probes, dict):
-        return final, {k: np.asarray(v) for k, v in probes.items()}
-    return final, np.asarray(probes)
+        return final, {k: np.asarray(v)[:n_members] for k, v in probes.items()}
+    return final, np.asarray(probes)[:n_members]
 
 
 def s2_scan(

@@ -425,6 +425,61 @@ class TestEnsemble:
         for i in range(1, 8):
             np.testing.assert_array_equal(final["u"][0], final["u"][i])
 
+    def test_sharded_kernel_matches_unmeshed_xla(self):
+        """mesh + kernel='pallas' runs the vmapped kernel inside
+        shard_map over the member axis (GSPMD can't partition
+        pallas_call); results match the unmeshed XLA path."""
+        from fib_tf_tpu.engine.ensemble import (
+            EnsembleEvent, run_ensemble, stack_states,
+        )
+        from fib_tf_tpu.parallel import make_mesh
+
+        cfg = small_cfg(width=128, height=16, duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states([model.initial_state(s1=True)] * 8)
+        ev = EnsembleEvent(
+            step=np.array([1, 2, 3, 4, 5, 99, 99, 99]), loc="luq", v=1.0
+        )
+        f_ref, p_ref = run_ensemble(
+            model, stacked, 6, events=[ev], kernel="xla"
+        )
+        f_mesh, p_mesh = run_ensemble(
+            model, stacked, 6, events=[ev], kernel="pallas",
+            mesh=make_mesh(),
+        )
+        for k in f_ref:
+            np.testing.assert_allclose(
+                f_mesh[k], f_ref[k], rtol=1e-5, atol=1e-6, err_msg=k
+            )
+        np.testing.assert_allclose(p_mesh, p_ref, rtol=1e-5, atol=1e-6)
+
+    def test_mesh_pads_uneven_batch(self):
+        """n=5 members on an 8-device mesh: the batch is padded to the
+        shard multiple with dummy members and every output is cropped
+        back — both the GSPMD-XLA and shard_map-kernel paths."""
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+        from fib_tf_tpu.parallel import make_mesh
+
+        cfg = small_cfg(width=128, height=16, duration=5)
+        model = Fenton4v(cfg)
+        stacked = stack_states(
+            [model.initial_state(s1=(i % 2 == 0)) for i in range(5)]
+        )
+        f_ref, p_ref = run_ensemble(model, stacked, 4, kernel="xla")
+        mesh = make_mesh()
+        for kern in ("xla", "pallas"):
+            f, p = run_ensemble(
+                model, stacked, 4, mesh=mesh, kernel=kern
+            )
+            assert f["u"].shape == (5, cfg.height, cfg.width)
+            assert p.shape == (5, 4)
+            np.testing.assert_allclose(
+                f["u"], f_ref["u"], rtol=1e-5, atol=1e-6, err_msg=kern
+            )
+            np.testing.assert_allclose(
+                p, p_ref, rtol=1e-5, atol=1e-6, err_msg=kern
+            )
+
     def test_event_fires_at_per_member_step(self):
         from fib_tf_tpu.engine.ensemble import (
             EnsembleEvent, run_ensemble, stack_states,
