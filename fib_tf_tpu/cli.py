@@ -10,6 +10,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu table            # native lookup-table generation
   python -m fib_tf_tpu replay cube.npy
   python -m fib_tf_tpu s2scan --members 16   # vulnerable-window ensemble
+  python -m fib_tf_tpu restitution --model br   # APD restitution curve
 """
 
 from __future__ import annotations
@@ -112,6 +113,30 @@ def build_parser() -> argparse.ArgumentParser:
     s2.add_argument("--kernel", choices=["auto", "xla", "pallas"],
                     default="auto")
     s2.add_argument("--json", action="store_true",
+                    help="print one JSON line instead of the table")
+
+    rs = sub.add_parser(
+        "restitution",
+        help="S1-S2 APD restitution curve as one batched ensemble",
+    )
+    rs.add_argument("--model", choices=sorted(MODEL_REGISTRY),
+                    default="fenton")
+    rs.add_argument("--size", type=int, default=16,
+                    help="sheet edge; uniform stimulation makes any "
+                         "small sheet behave as a single cell")
+    rs.add_argument("--dt", type=float, default=0.1)
+    rs.add_argument("--diff", type=float, default=None)
+    rs.add_argument("--members", type=int, default=24)
+    rs.add_argument("--ci-from", type=float, default=120.0,
+                    help="shortest S2 coupling interval (ms)")
+    rs.add_argument("--ci-to", type=float, default=500.0,
+                    help="longest S2 coupling interval (ms)")
+    rs.add_argument("--bcl", type=float, default=400.0,
+                    help="S1 basic cycle length (ms)")
+    rs.add_argument("--n-s1", type=int, default=2)
+    rs.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    rs.add_argument("--json", action="store_true",
                     help="print one JSON line instead of the table")
     return p
 
@@ -289,6 +314,54 @@ def cmd_s2scan(args) -> int:
     return 0
 
 
+def cmd_restitution(args) -> int:
+    """APD-restitution curve as one batched device program
+    (engine/restitution.restitution_scan): every S2 coupling interval is
+    an ensemble member; APD/DI are extracted host-side from the probe
+    streams.  No reference equivalent — its only sweep mechanism was one
+    process per run."""
+    from fib_tf_tpu.engine.restitution import restitution_scan
+
+    model_cls = MODEL_REGISTRY[args.model]
+    cfg = SimConfig(
+        width=args.size, height=args.size, dt=args.dt,
+        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        duration=10,
+        ultra_slow=(args.model == "court_ultra"),
+    )
+    model = model_cls(cfg)
+    coupling = np.linspace(args.ci_from, args.ci_to, args.members)
+    r = restitution_scan(
+        model, coupling_ms=coupling, bcl_ms=args.bcl, n_s1=args.n_s1,
+        tail_ms=max(600.0, args.bcl), kernel=args.kernel,
+    )
+    s = r.slope()
+    if args.json:
+        print(json.dumps({
+            "model": args.model,
+            "apd_s1_ms": float(r.apd_s1_ms),
+            "coupling_ms": [float(c) for c in r.coupling_ms],
+            "di_ms": [None if not np.isfinite(d) else float(d)
+                      for d in r.di_ms],
+            "apd_ms": [None if not np.isfinite(a) else float(a)
+                       for a in r.apd_ms],
+            "captured": [bool(c) for c in r.captured],
+            "max_slope": None if s is None else float(s),
+        }))
+        return 0
+    print(f"S1 APD90: {r.apd_s1_ms:.1f} ms")
+    print(f"{'CI (ms)':>8} {'DI (ms)':>8} {'APD90 (ms)':>10}")
+    for ci, di, apd, cap in zip(r.coupling_ms, r.di_ms, r.apd_ms,
+                                r.captured):
+        if cap:
+            print(f"{ci:8.1f} {di:8.1f} {apd:10.1f}")
+        else:
+            print(f"{ci:8.1f} {'—':>8} {'no capture':>10}")
+    if s is not None:
+        print(f"max slope dAPD/dDI: {s:.2f}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -301,6 +374,7 @@ def main(argv=None) -> int:
         "table": cmd_table,
         "replay": cmd_replay,
         "s2scan": cmd_s2scan,
+        "restitution": cmd_restitution,
     }[args.cmd](args)
 
 

@@ -1,0 +1,199 @@
+"""S1-S2 APD restitution as ONE batched ensemble program.
+
+The restitution curve — action-potential duration vs the preceding
+diastolic interval (DI) — is the standard dynamic characterization of a
+cardiac model (steep slope > 1 predicts alternans/breakup).  The
+reference had no restitution tooling; measuring a curve meant one
+process per S2 coupling interval, like its serial vulnerable-window
+scans.  Here every coupling interval is an ensemble member: an S1 pacing
+train is fired at shared steps, the S2 at a per-member step
+(`EnsembleEvent`), and the whole protocol is a single compiled scan
+(vmapped whole-grid Pallas kernel on TPU — see engine/ensemble.py).
+
+APD/DI extraction is host-side post-processing of the per-member probe
+streams, reusing the APD-at-level convention of the published-physiology
+pins (tests/test_physiology.py::apd90).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fib_tf_tpu.engine.ensemble import (
+    EnsembleEvent, run_ensemble, stack_states,
+)
+from fib_tf_tpu.models.base import IonicModel
+
+# suprathreshold uniform-stimulus level per model family: the potential
+# plane is lifted to max(pot, v) everywhere, so diastolic tissue fires
+# while refractory tissue (already above v) is unaffected — the pacing
+# semantics of reference ionic.py:144-163 applied full-field
+STIM_V = {"fenton": 1.0, "br": 0.0, "court": 0.0, "court_ultra": 0.0}
+
+
+def apd_at_level(
+    trace: np.ndarray,
+    rest: float,
+    dt_ms: float,
+    start: int = 0,
+    level: float = 0.9,
+) -> Tuple[float, float]:
+    """APD at `level` repolarization for the first AP in trace[start:].
+
+    Returns (t_up_ms, apd_ms) with t_up measured from trace[0]; both NaN
+    if no AP is found (no crossing, or no repolarization in the window).
+    The threshold convention matches tests/test_physiology.py::apd90:
+    peak - level*(peak - rest), upstroke = first up-crossing, end = first
+    down-crossing after the peak.
+    """
+    tr = trace[start:]
+    peak = tr.max()
+    if peak <= rest:
+        return float("nan"), float("nan")
+    thr = peak - level * (peak - rest)
+    i_up = int(np.argmax(tr >= thr))
+    i_peak = i_up + int(tr[i_up:].argmax())
+    below = np.where(tr[i_peak:] < thr)[0]
+    if not len(below):
+        return float((start + i_up) * dt_ms), float("nan")
+    return (
+        float((start + i_up) * dt_ms),
+        float((i_peak + below[0] - i_up) * dt_ms),
+    )
+
+
+@dataclass
+class RestitutionResult:
+    coupling_ms: np.ndarray  # [n] S2 coupling interval (last S1 -> S2)
+    di_ms: np.ndarray        # [n] diastolic interval preceding the S2 AP
+    apd_ms: np.ndarray       # [n] APD of the S2 response (NaN = no capture)
+    apd_s1_ms: float         # APD of the last S1 beat (shared pre-S2)
+    captured: np.ndarray     # [n] bool, S2 elicited an AP that repolarized
+    traces: np.ndarray       # [n, n_outer] probe-pixel potential
+    dt_ms: float             # ms per trace sample (= outer step)
+
+    def slope(self) -> Optional[float]:
+        """Max restitution slope dAPD/dDI over captured points (finite
+        differences on the DI-sorted curve); None if < 2 points."""
+        m = self.captured & np.isfinite(self.apd_ms) & np.isfinite(self.di_ms)
+        if m.sum() < 2:
+            return None
+        order = np.argsort(self.di_ms[m])
+        di, apd = self.di_ms[m][order], self.apd_ms[m][order]
+        d_di = np.diff(di)
+        ok = d_di > 0
+        if not ok.any():
+            return None
+        return float((np.diff(apd)[ok] / d_di[ok]).max())
+
+
+def restitution_scan(
+    model: IonicModel,
+    coupling_ms: np.ndarray,
+    bcl_ms: float = 400.0,
+    n_s1: int = 2,
+    tail_ms: float = 400.0,
+    stim_v: Optional[float] = None,
+    pixel: Optional[Tuple[int, int]] = None,
+    level: float = 0.9,
+    min_apd_ms: float = 20.0,
+    kernel: str = "auto",
+    mesh=None,
+) -> RestitutionResult:
+    """Run the S1-S2 restitution protocol, one member per S2 coupling.
+
+    Protocol: from quiescent tissue, `n_s1` uniform suprathreshold
+    stimuli at basic cycle length `bcl_ms`, then one S2 per member at
+    `coupling_ms[i]` after the last S1, then `tail_ms` to let the S2
+    response repolarize.  Uniform stimulation makes a small sheet behave
+    as a single cell (no propagation), which is the standard cell-level
+    restitution setup — use a 4x4..16x16 grid for speed.
+
+    `coupling_ms` values must be multiples of the outer-step interval
+    (model.dt_per_step * cfg.dt ms); they are snapped with a warning
+    otherwise.  Returns a RestitutionResult; members whose S2 falls in
+    the refractory period simply fail to capture (NaN APD), tracing the
+    refractory edge of the curve.
+    """
+    import warnings
+
+    cfg = model.cfg
+    dt_ms = model.dt_per_step * cfg.dt
+    if stim_v is None:
+        stim_v = STIM_V.get(model.name, model.max_v)
+    coupling_ms = np.atleast_1d(np.asarray(coupling_ms, np.float64))
+    n = len(coupling_ms)
+
+    def to_steps(t_ms):
+        return np.asarray(np.round(np.asarray(t_ms) / dt_ms), np.int32)
+
+    snapped = to_steps(coupling_ms) * dt_ms
+    if not np.allclose(snapped, coupling_ms):
+        warnings.warn(
+            f"coupling_ms snapped to the {dt_ms} ms outer-step interval"
+        )
+        coupling_ms = snapped
+
+    h, w = cfg.height, cfg.width
+    stim_mask = np.full((h, w), stim_v, np.float32)
+    # a short pre-stim baseline so rest is read off each member's trace
+    pre = max(int(round(10.0 / dt_ms)), 1)
+    s1_steps = pre + to_steps(bcl_ms) * np.arange(n_s1, dtype=np.int32)
+    last_s1 = int(s1_steps[-1])
+    s2_steps = last_s1 + to_steps(coupling_ms)
+    n_outer = int(s2_steps.max()) + to_steps(tail_ms) + 1
+
+    # one extra CONTROL member whose S2 never fires: its trace gives the
+    # uncontaminated last-S1 APD (a short coupling would otherwise
+    # truncate the S1 beat on every scan member)
+    all_s2 = np.concatenate([s2_steps, [n_outer + 1]]).astype(np.int32)
+    events = [
+        EnsembleEvent(step=int(s), mask=stim_mask) for s in s1_steps
+    ] + [EnsembleEvent(step=all_s2, mask=stim_mask)]
+
+    if pixel is None:
+        pixel = (h // 2, w // 2)
+    py, px = pixel
+    pot_key = model.pot_key
+
+    stacked = stack_states([model.initial_state(s1=False)] * (n + 1))
+    _, traces = run_ensemble(
+        model, stacked, int(n_outer),
+        events=events,
+        probe=lambda s: s[pot_key][py, px],
+        kernel=kernel, mesh=mesh,
+    )
+    traces, control = np.asarray(traces[:n]), np.asarray(traces[n])
+
+    # host-side curve extraction, per member
+    di = np.full(n, np.nan)
+    apd = np.full(n, np.nan)
+    captured = np.zeros(n, bool)
+    rest = float(control[pre - 1]) if pre > 0 else float(model.min_v)
+    t_up_s1, apd_s1 = apd_at_level(
+        control, rest, dt_ms, start=last_s1, level=level
+    )
+    for i in range(n):
+        s2 = int(s2_steps[i])
+        t_up, a = apd_at_level(traces[i], rest, dt_ms, start=s2, level=level)
+        if not np.isfinite(a):
+            continue
+        # genuine capture: upstroke AT the S2 (not a later beat), tissue
+        # sub-threshold just before the stimulus (otherwise the "AP" is
+        # the last S1's plateau tail), and a real AP duration (a failed
+        # stimulus decays in a few ms)
+        win = traces[i][s2:]
+        thr = win.max() - level * (win.max() - rest)
+        pre_ok = s2 == 0 or traces[i][s2 - 1] < thr
+        if t_up <= s2 * dt_ms + 2 * dt_ms and pre_ok and a >= min_apd_ms:
+            apd[i] = a
+            captured[i] = True
+            if np.isfinite(apd_s1):
+                di[i] = s2 * dt_ms - (t_up_s1 + apd_s1)
+    return RestitutionResult(
+        coupling_ms=coupling_ms, di_ms=di, apd_ms=apd,
+        apd_s1_ms=apd_s1, captured=captured, traces=traces, dt_ms=dt_ms,
+    )

@@ -111,3 +111,18 @@ class TestS2Scan:
         assert rc == 0
         out = capsys.readouterr().out
         assert out.count("S2 @") == 2
+
+
+class TestRestitution:
+    def test_restitution_json(self, capsys):
+        rc = cli.main([
+            "restitution", "--model", "fenton", "--size", "8",
+            "--members", "2", "--ci-from", "240", "--ci-to", "320",
+            "--bcl", "350", "--n-s1", "1", "--json",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["model"] == "fenton"
+        assert len(rec["apd_ms"]) == 2
+        assert all(rec["captured"])
+        assert 150.0 <= rec["apd_s1_ms"] <= 230.0

@@ -77,6 +77,16 @@ class TestExamples:
         assert "S2 scan: 3 members" in out
         assert out.count("S2 @") == 3
 
+    def test_restitution(self, tmp_path):
+        out = run_example(tmp_path, "restitution.py",
+                          "--size", "8", "--members", "3",
+                          "--ci-from", "240", "--ci-to", "340",
+                          "--bcl", "350", "--n-s1", "1",
+                          "--save-plot", "rest.png")
+        assert "restitution: 3 couplings" in out
+        assert "S1 APD90" in out
+        assert os.path.exists(tmp_path / "rest.png")
+
     def test_fenton_simple_timeline(self, tmp_path):
         # the reference's per-stage Chrome-trace evidence
         # (fenton_simple.py:207-215 / fenton_jit.py:210-218)

@@ -1,0 +1,82 @@
+"""S1-S2 APD restitution protocol (engine/restitution.py).
+
+The reference had no restitution tooling (serial one-process-per-run
+scans were its only parameter-sweep mechanism); this is a beyond-parity
+component built on the batched ensemble axis.
+"""
+
+import numpy as np
+import pytest
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.engine.restitution import (
+    RestitutionResult, apd_at_level, restitution_scan,
+)
+from fib_tf_tpu.models import Fenton4v
+
+
+class TestApdAtLevel:
+    def test_square_pulse(self):
+        tr = np.zeros(100, np.float32)
+        tr[10:50] = 1.0  # 40-sample AP at 2 ms/sample
+        t_up, apd = apd_at_level(tr, rest=0.0, dt_ms=2.0)
+        assert t_up == 20.0
+        assert apd == 80.0
+
+    def test_windowed_start(self):
+        tr = np.zeros(100, np.float32)
+        tr[10:30] = 1.0  # earlier beat, outside the window
+        tr[60:80] = 1.0
+        t_up, apd = apd_at_level(tr, rest=0.0, dt_ms=1.0, start=40)
+        assert t_up == 60.0
+        assert apd == 20.0
+
+    def test_flat_trace_nan(self):
+        t_up, apd = apd_at_level(np.zeros(50, np.float32), 0.0, 1.0)
+        assert np.isnan(t_up) and np.isnan(apd)
+
+    def test_no_repolarization_nan_apd(self):
+        tr = np.zeros(50, np.float32)
+        tr[10:] = 1.0
+        t_up, apd = apd_at_level(tr, 0.0, 1.0)
+        assert t_up == 10.0 and np.isnan(apd)
+
+
+class TestRestitutionScan:
+    @pytest.fixture(scope="class")
+    def result(self) -> RestitutionResult:
+        cfg = SimConfig(width=8, height=8, dt=0.1, duration=10, diff=1.5)
+        model = Fenton4v(cfg)
+        return restitution_scan(
+            model, coupling_ms=np.array([120.0, 240.0, 320.0]),
+            bcl_ms=350.0, n_s1=1, tail_ms=350.0,
+        )
+
+    def test_refractory_coupling_fails_to_capture(self, result):
+        # fenton APD ~ 190 ms: an S2 at 120 ms is inside the AP
+        assert not result.captured[0]
+        assert np.isnan(result.apd_ms[0])
+
+    def test_diastolic_couplings_capture(self, result):
+        assert result.captured[1] and result.captured[2]
+        assert np.isfinite(result.apd_ms[1:]).all()
+        assert np.isfinite(result.di_ms[1:]).all()
+
+    def test_s1_apd_physiological(self, result):
+        # fenton 4v APD90 from rest is ~190 ms (tests/test_physiology.py
+        # pins the paced value; the single-S1 beat is close)
+        assert 150.0 <= result.apd_s1_ms <= 230.0
+
+    def test_apd_shortens_at_short_di(self, result):
+        # the defining restitution property: APD monotone in DI here
+        assert result.di_ms[1] < result.di_ms[2]
+        assert result.apd_ms[1] < result.apd_ms[2]
+        assert result.apd_ms[2] <= result.apd_s1_ms + 5.0
+
+    def test_slope_positive(self, result):
+        s = result.slope()
+        assert s is not None and 0.0 < s < 2.0
+
+    def test_traces_shape(self, result):
+        assert result.traces.shape[0] == 3
+        assert result.dt_ms == 1.0
