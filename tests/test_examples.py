@@ -87,6 +87,18 @@ class TestExamples:
         assert "S1 APD90" in out
         assert os.path.exists(tmp_path / "rest.png")
 
+    def test_tip_trajectory(self, tmp_path):
+        # synthetic one-rotor movie: cos(theta0 - omega t)
+        y, x = np.mgrid[0:32, 0:32]
+        th0 = np.arctan2(y - 15.5, x - 15.5)
+        t = np.arange(30)[:, None, None]
+        cube = np.cos(th0[None] - (np.pi / 4) * t).astype(np.float32)
+        np.save(tmp_path / "cube.npy", cube)
+        out = run_example(tmp_path, "tip_trajectory.py", "cube.npy",
+                          "--save-plot", "tips.png")
+        assert "tip 0: charge +1" in out
+        assert os.path.exists(tmp_path / "tips.png")
+
     def test_fenton_simple_timeline(self, tmp_path):
         # the reference's per-stage Chrome-trace evidence
         # (fenton_simple.py:207-215 / fenton_jit.py:210-218)

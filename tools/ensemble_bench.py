@@ -31,6 +31,12 @@ def main():
     p.add_argument("--kernel", default="xla", choices=["xla", "pallas"],
                    help="xla = vmapped model.step; pallas = vmapped "
                         "whole-grid kernel (the run_ensemble TPU default)")
+    p.add_argument("--mesh", action="store_true",
+                   help="run the scan inside shard_map over the member "
+                        "axis on a mesh of all devices (run_ensemble's "
+                        "meshed path; on 1 device this measures the "
+                        "shard_map wrapper overhead — members must "
+                        "divide the device count)")
     args = p.parse_args()
 
     from fib_tf_tpu.config import SimConfig
@@ -52,19 +58,41 @@ def main():
         geom = grid_geometry()
         vstep = jax.vmap(lambda s: model.step(s, geom))
 
+    mesh = None
+    if args.mesh:
+        from fib_tf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        if args.members % mesh.devices.size:
+            raise SystemExit(
+                f"--members {args.members} must divide the "
+                f"{mesh.devices.size}-device mesh"
+            )
+
     def make_run(length):
-        @jax.jit
         def run(s):
             return jax.lax.scan(
                 lambda st, _: (vstep(st), None), s, None, length=length
             )[0]
-        return run
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            member = P(mesh.axis_names[0])
+            run = jax.shard_map(run, mesh=mesh, in_specs=member,
+                                out_specs=member, check_vma=False)
+        return jax.jit(run)
 
     run1, run2 = make_run(args.outer), make_run(2 * args.outer)
     stacked = stack_states(
         [model.initial_state(s1=True)] * args.members
     )
     state = {k: jnp.asarray(v) for k, v in stacked.items()}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        state = {k: jax.device_put(v, sh) for k, v in state.items()}
     print("compiling...", flush=True)
     sync(run1(state))
     sync(run2(state))
@@ -73,7 +101,8 @@ def main():
     substeps = args.outer * model.dt_per_step
     us_member = (t2 - t1) / substeps / args.members * 1e6
     cups = args.size * args.size * args.members * substeps / (t2 - t1) / 1e9
-    print(f"{args.model} ensemble[{args.kernel}] x{args.members} @ {args.size}^2: "
+    tag = args.kernel + ("+mesh" if mesh is not None else "")
+    print(f"{args.model} ensemble[{tag}] x{args.members} @ {args.size}^2: "
           f"{us_member:.2f} us/substep/member, "
           f"{cups:.1f} G cell-updates/s "
           f"(t1={t1*1e3:.1f} ms, t2={t2*1e3:.1f} ms)")
