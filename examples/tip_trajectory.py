@@ -22,7 +22,7 @@ import json
 
 import numpy as np
 
-from fib_tf_tpu.utils.tips import singularity_count, track_tips
+from fib_tf_tpu.utils.tips import plot_tracks, singularity_count, track_tips
 
 
 def main():
@@ -73,34 +73,8 @@ def main():
                   f"cells around ({np.mean(tr.ys):.0f}, {np.mean(tr.xs):.0f})")
 
     if args.save_plot:
-        save_plot(args.save_plot, cube, tracks)
+        plot_tracks(args.save_plot, cube, tracks)
         print(f"saved {args.save_plot}")
-
-
-def save_plot(path, cube, tracks):
-    """Final voltage frame with each tip path overlaid; start marked
-    with a circle, end with a square (direction without color-only
-    coding)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(5.4, 5.0), constrained_layout=True)
-    ax.imshow(cube[-1], cmap="Greys_r", interpolation="nearest")
-    colors = ["#3d6fd6", "#d65f3d", "#3da95c", "#9a5fd6", "#d6a23d"]
-    for i, tr in enumerate(tracks[:5]):
-        c = colors[i % len(colors)]
-        ax.plot(tr.xs, tr.ys, color=c, lw=1.3,
-                label=f"tip {i} ({tr.charge:+d}, {len(tr)} fr)")
-        ax.plot(tr.xs[0], tr.ys[0], "o", color=c, ms=5)
-        ax.plot(tr.xs[-1], tr.ys[-1], "s", color=c, ms=5)
-    if tracks:
-        ax.legend(loc="upper right", fontsize=7, framealpha=0.85)
-    ax.set_title("spiral-tip trajectories (phase singularities)",
-                 fontsize=10)
-    ax.set_xticks([]), ax.set_yticks([])
-    fig.savefig(path, dpi=150)
-    plt.close(fig)
 
 
 if __name__ == "__main__":

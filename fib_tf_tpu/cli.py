@@ -9,6 +9,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu bench            # the reference Table-1 matrix
   python -m fib_tf_tpu table            # native lookup-table generation
   python -m fib_tf_tpu replay cube.npy
+  python -m fib_tf_tpu tips cube.npy    # spiral-tip trajectories
   python -m fib_tf_tpu s2scan --members 16   # vulnerable-window ensemble
   python -m fib_tf_tpu restitution --model br   # APD restitution curve
 """
@@ -81,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--save-graph", action="store_true")
     r.add_argument("--electrode", action="append", default=[],
                    help="x,y,radius — may repeat; enables EGM probes")
+    r.add_argument("--rotor", action="store_true",
+                   help="emit the live rotor census [count, net charge] "
+                        "per outer step from inside the compiled scan")
+    r.add_argument("--rotor-tau", type=float, default=10.0,
+                   help="rotor-probe embedding delay (ms)")
 
     b = sub.add_parser("bench", help="reference Table-1 benchmark matrix")
     b.add_argument("--duration", type=float, default=1000)
@@ -94,6 +100,24 @@ def build_parser() -> argparse.ArgumentParser:
     rp = sub.add_parser("replay", help="replay a cube.npy movie")
     rp.add_argument("path")
     rp.add_argument("--fps", type=float, default=40)
+
+    tp = sub.add_parser(
+        "tips",
+        help="spiral-tip (phase-singularity) trajectories from a saved "
+             "cube.npy movie",
+    )
+    tp.add_argument("path")
+    tp.add_argument("--tau", type=int, default=2,
+                    help="phase-embedding delay in frames")
+    tp.add_argument("--max-jump", type=float, default=75.0,
+                    help="max tip movement per frame when linking (cells; "
+                         "default sized for 10 ms/frame cubes)")
+    tp.add_argument("--max-gap", type=int, default=3,
+                    help="missed frames a track may coast over")
+    tp.add_argument("--min-length", type=int, default=5,
+                    help="drop tracks shorter than this many detections")
+    tp.add_argument("--json", action="store_true")
+    tp.add_argument("--save-plot", default=None, metavar="PATH")
 
     s2 = sub.add_parser(
         "s2scan",
@@ -160,6 +184,7 @@ def cmd_run(args) -> int:
         ab2=args.ab2, table=args.table, chronic=args.chronic,
         kernel=args.kernel, dv_max=args.dv_max,
         timeline=args.timeline, save_graph=args.save_graph,
+        rotor_probe=args.rotor, rotor_tau_ms=args.rotor_tau,
         ultra_slow=(args.model == "court_ultra"),
     )
     model = MODEL_REGISTRY[args.model](cfg)
@@ -186,14 +211,22 @@ def cmd_run(args) -> int:
 
     res = sim.simulate(schedule=schedule,
                        record_frames_every_ms=args.frames)
-    print(json.dumps({
+    summary = {
         "model": args.model,
         "elapsed_s": round(res.elapsed, 4),
         "outer_steps": res.steps,
         "cell_updates_per_sec": round(res.cell_updates_per_sec),
         "realtime_factor": round(res.sim_seconds_per_wall_second, 3),
         "cycle_lengths": res.cycle_lengths[-5:],
-    }))
+    }
+    if args.rotor:
+        r = res.probes["rotors"]
+        summary["rotors"] = {
+            "mean_count": round(float(r[:, 0].mean()), 3),
+            "max_count": int(r[:, 0].max()),
+            "final_net_charge": int(r[-1, 1]),
+        }
+    print(json.dumps(summary))
     if args.save_cube and res.frames is not None:
         viz.save_cube(args.save_cube, res.frames)
     if args.save_state:
@@ -267,6 +300,46 @@ def cmd_replay(args) -> int:
     play_cube(cube, im=im, fps=args.fps)
     if im.backend_name != "headless":
         im.wait()
+    return 0
+
+
+def cmd_tips(args) -> int:
+    """Post-hoc spiral-tip quantification of a saved movie (utils/tips.py;
+    the reference judged its spiral runs by eye from Screen frames).  For
+    a LIVE count during a run, see `run --rotor`."""
+    from fib_tf_tpu.utils.tips import plot_tracks, singularity_count, track_tips
+
+    cube = np.load(args.path)
+    tracks = track_tips(cube, tau=args.tau, max_jump=args.max_jump,
+                        max_gap=args.max_gap, min_length=args.min_length)
+    counts = singularity_count(cube, tau=args.tau)
+    if args.json:
+        print(json.dumps({
+            "frames": int(cube.shape[0]),
+            "n_tracks": len(tracks),
+            "mean_singularities": float(counts.mean()),
+            "max_singularities": int(counts.max()) if len(counts) else 0,
+            "tracks": [{
+                "charge": tr.charge,
+                "length": len(tr),
+                "start_frame": tr.frames[0],
+                "meander_extent": list(tr.meander_extent()),
+            } for tr in tracks[:16]],
+        }))
+    else:
+        print(f"{args.path}: {cube.shape[0]} frames {cube.shape[1]}x"
+              f"{cube.shape[2]}, mean rotors/frame {counts.mean():.2f}")
+        if not tracks:
+            print("no sustained tips (plane wave or quiescent)")
+        for i, tr in enumerate(tracks[:8]):
+            ey, ex = tr.meander_extent()
+            print(f"  tip {i}: charge {tr.charge:+d}, {len(tr)} frames "
+                  f"from frame {tr.frames[0]}, meander {ey:.1f}x{ex:.1f} "
+                  f"cells around ({np.mean(tr.ys):.0f}, "
+                  f"{np.mean(tr.xs):.0f})")
+    if args.save_plot:
+        plot_tracks(args.save_plot, cube, tracks)
+        print(f"saved {args.save_plot}")
     return 0
 
 
@@ -373,6 +446,7 @@ def main(argv=None) -> int:
         "bench": cmd_bench,
         "table": cmd_table,
         "replay": cmd_replay,
+        "tips": cmd_tips,
         "s2scan": cmd_s2scan,
         "restitution": cmd_restitution,
     }[args.cmd](args)

@@ -88,6 +88,16 @@ class SimConfig:
     timeline_name: str = "timeline.json"
     save_graph: bool = False    # dump compiled HLO instead of a TF graph
 
+    # Live rotor census (new; no reference equivalent — the reference
+    # judged rotor content by eye from Screen frames): emit per-outer-step
+    # [count, net-charge] of phase singularities from INSIDE the compiled
+    # scan (ops/stencil.rotor_metrics), via a time-delay-embedding ring
+    # buffer of `rotor_tau_ms` of normalized-potential history carried
+    # through the chunk.  Probe key: 'rotors'.  Single-chip feature.
+    rotor_probe: bool = False
+    rotor_tau_ms: float = 10.0  # embedding delay (ms of sim time)
+    rotor_v_star: float = 0.5   # embedding origin in normalized [0,1] V
+
     # -- engine tuning (new; no reference equivalent) --------------------------
     chunk_ms: Optional[float] = None  # host-loop granularity; default = dt_per_plot*dt
     # step implementation: 'auto' picks the fused Pallas kernel where it is
@@ -125,6 +135,15 @@ class SimConfig:
                 "fiber_ratio != 1.0 requires fiber_angle (the fiber "
                 "direction)"
             )
+        if self.rotor_probe:
+            if self.rotor_tau_ms <= 0:
+                raise ValueError("rotor_tau_ms must be positive")
+            if self.mesh_shape is not None:
+                raise ValueError(
+                    "rotor_probe is a single-chip feature (the delay ring "
+                    "buffer is not sharded); drop mesh_shape or compute "
+                    "rotors post-hoc with utils.tips on a saved cube"
+                )
 
     # -- reference-dict interop ------------------------------------------------
 

@@ -225,6 +225,64 @@ class Simulation:
             )
         return p
 
+    # -- live rotor census (SimConfig.rotor_probe) -----------------------------
+    # The time-delay-embedding history rides the state dict under these
+    # reserved keys; the chunk bodies split them off before the model/kernel
+    # step (models rebuild their dict from scratch, and the Pallas builders
+    # map planes by state_keys), so neither ever sees them.
+    ROTOR_BUF = "_rotor_buf_"    # [tau, H, W] ring of normalized potential
+    ROTOR_IDX = "_rotor_idx_"    # int32 scalar: slot holding V(t - tau)
+
+    def _rotor_tau_steps(self) -> int:
+        """Embedding delay in outer steps (>= 1)."""
+        return max(1, int(round(
+            self.cfg.rotor_tau_ms / (self.model.dt_per_step * self.cfg.dt)
+        )))
+
+    def _seed_rotor(self, dev_state: Dict) -> Dict:
+        """Attach the delay ring buffer (tiled with the current image, so
+        early counts use V(0) as the delayed sample) to a device state."""
+        if self._sharding is not None or self._mesh is not None:
+            raise ValueError(
+                "rotor_probe is a single-chip feature; compute rotors "
+                "post-hoc with utils.tips on a saved cube instead"
+            )
+        if self.model.fast_slow_ratio:
+            raise ValueError(
+                "rotor_probe is not supported for fast_slow_ratio models "
+                "(the ratio-group chunk does not carry the delay buffer)"
+            )
+        img = self.model.image(dev_state)
+        tau = self._rotor_tau_steps()
+        return {
+            **dev_state,
+            self.ROTOR_BUF: jnp.tile(img[None], (tau, 1, 1)),
+            self.ROTOR_IDX: jnp.zeros((), jnp.int32),
+        }
+
+    def _split_rotor(self, state: Dict):
+        """(model_state, buf, idx) — buf/idx None when not riding."""
+        if self.ROTOR_BUF not in state:
+            return state, None, None
+        core = {k: v for k, v in state.items()
+                if k not in (self.ROTOR_BUF, self.ROTOR_IDX)}
+        return core, state[self.ROTOR_BUF], state[self.ROTOR_IDX]
+
+    def _rotor_step(self, state: Dict, buf, idx):
+        """One ring-buffer turn: emit [count, net] vs the sample tau steps
+        ago, overwrite that slot with the current image.  `state` is the
+        TRUE-grid (cropped) model state."""
+        tau = self._rotor_tau_steps()
+        img = self.model.image(state)
+        old = jax.lax.dynamic_index_in_dim(buf, idx, 0, keepdims=False)
+        phase = (jnp.asarray(self.phase)
+                 if self.phase is not None else None)
+        metrics = stencil.rotor_metrics(
+            img, old, v_star=self.cfg.rotor_v_star, phase=phase
+        )
+        buf = jax.lax.dynamic_update_index_in_dim(buf, img, idx, 0)
+        return metrics, buf, (idx + 1) % tau
+
     def _use_pallas(self) -> bool:
         """Kernel selection: 'pallas' forces the fused kernel; 'auto' picks
         it where measured profitable on a real TPU.  GSPMD-sharded runs
@@ -434,26 +492,41 @@ class Simulation:
             h, w = self.cfg.height, self.cfg.width
             hp, wp = pad_shape
 
-            def body_padded(sp, _):
+            def body_padded(carry, _):
+                sp, buf, idx = carry
                 sp = step(sp)
-                return sp, self._probes(crop_state(sp, h, w))
+                cropped = crop_state(sp, h, w)
+                p = self._probes(cropped)
+                if buf is not None:
+                    p["rotors"], buf, idx = self._rotor_step(
+                        cropped, buf, idx
+                    )
+                return (sp, buf, idx), p
 
             @jax.jit
             def chunk_padded(state):
+                state, buf, idx = self._split_rotor(state)
                 sp = pad_state(state, h, w, hp, wp)
-                sp, out = jax.lax.scan(
-                    body_padded, sp, None, length=length
+                (sp, buf, idx), out = jax.lax.scan(
+                    body_padded, (sp, buf, idx), None, length=length
                 )
                 state = crop_state(sp, h, w)
                 finite = jnp.isfinite(state[model.pot_key]).all()
+                if buf is not None:
+                    state = {**state, self.ROTOR_BUF: buf,
+                             self.ROTOR_IDX: idx}
                 return state, out, finite
 
             self._chunk_cache[key] = chunk_padded
             return chunk_padded
 
-        def body(state, _):
+        def body(carry, _):
+            state, buf, idx = carry
             state = step(state)
-            return state, self._probes(state)
+            p = self._probes(state)
+            if buf is not None:
+                p["rotors"], buf, idx = self._rotor_step(state, buf, idx)
+            return (state, buf, idx), p
 
         # NOT donated: donating the state forces XLA to land the scan
         # result back in the caller's buffers, which inserts a full
@@ -464,10 +537,15 @@ class Simulation:
         # one extra chunk costs only its HBM footprint.
         @jax.jit
         def chunk(state):
-            state, out = jax.lax.scan(body, state, None, length=length)
+            state, buf, idx = self._split_rotor(state)
+            (state, buf, idx), out = jax.lax.scan(
+                body, (state, buf, idx), None, length=length
+            )
             # cheap per-chunk failure detection (the reference's NaN check
             # existed but was commented out, ionic.py:208-212)
             finite = jnp.isfinite(state[model.pot_key]).all()
+            if buf is not None:
+                state = {**state, self.ROTOR_BUF: buf, self.ROTOR_IDX: idx}
             return state, out, finite
 
         self._chunk_cache[key] = chunk
@@ -694,6 +772,8 @@ class Simulation:
             )
 
         dev_state = self._device_state(state)
+        if cfg.rotor_probe:
+            dev_state = self._seed_rotor(dev_state)
         detector = CycleLengthDetector(
             cfg.dt, model.dt_per_step, plot_interval, self.cl_observer
         )
@@ -757,6 +837,8 @@ class Simulation:
             for l in lengths:
                 chunk = get_chunk(l)
                 scratch = self._device_state(state)
+                if cfg.rotor_probe:
+                    scratch = self._seed_rotor(scratch)
                 s_out, out, fin = chunk(scratch)
                 jax.device_get(out["v"][-1:])
                 del s_out
@@ -803,7 +885,10 @@ class Simulation:
         cups = cfg.height * cfg.width * total_substeps / max(elapsed, 1e-9)
         sim_s = total_substeps * cfg.dt / 1000.0
 
-        final_state = {k: np.asarray(v) for k, v in dev_state.items()}
+        final_state = {
+            k: np.asarray(v) for k, v in dev_state.items()
+            if k not in (self.ROTOR_BUF, self.ROTOR_IDX)
+        }
         self.state = final_state
 
         if cfg.timeline and not self._timeline_done:
@@ -855,6 +940,8 @@ class Simulation:
             def step_fn_of(i):
                 return base
         self._dev_state = self._device_state()
+        if cfg.rotor_probe:
+            self._dev_state = self._seed_rotor(self._dev_state)
         detector = CycleLengthDetector(
             cfg.dt, model.dt_per_step, plot_interval, self.cl_observer
         )
@@ -872,6 +959,7 @@ class Simulation:
         if keep_state:
             self.state = {
                 k: np.asarray(v) for k, v in self._dev_state.items()
+                if k not in (self.ROTOR_BUF, self.ROTOR_IDX)
             }
         print("elapsed: %f sec" % (time.time() - then))
         if block and im is not None and hasattr(im, "wait"):

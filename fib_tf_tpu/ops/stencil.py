@@ -280,3 +280,50 @@ def electrogram_sample(image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """One electrode sample: mean(image * mask), computed on-device
     (the reference did this on the host, egm.py:45-47)."""
     return jnp.mean(image * mask)
+
+
+_TWO_PI = 2.0 * np.pi
+
+
+def rotor_metrics(
+    img_now: jnp.ndarray,
+    img_old: jnp.ndarray,
+    v_star: float = 0.5,
+    phase: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """On-device phase-singularity census of one frame: `[count, net]`.
+
+    `img_now`/`img_old` are the normalized potential now and `tau` ago
+    (time-delay embedding, same construction as the host-side
+    utils/tips.phase_movie); the winding of
+    theta = atan2(img_now - v_star, img_old - v_star) around each 2x2
+    plaquette is the topological charge.  Returns a float32 [2] vector:
+    `count` = number of singularities (the rotor count, the standard
+    fibrillation-complexity metric) and `net` = total signed charge
+    (immune to the tight +-1 noise pairs host-side `cancel_pairs`
+    removes, which inflate only `count`).  Plaquettes touching
+    `phase` < 0.5 (obstacles/boundary) are excluded.
+
+    Pure jnp so it rides the compiled scan — the reference could only
+    judge rotor content by eye from host-side Screen frames."""
+    theta = jnp.arctan2(img_now - v_star, img_old - v_star)
+    t00 = theta[:-1, :-1]
+    t01 = theta[:-1, 1:]
+    t11 = theta[1:, 1:]
+    t10 = theta[1:, :-1]
+
+    def wrap(x):
+        return x - _TWO_PI * jnp.round(x / _TWO_PI)
+
+    circ = (
+        wrap(t01 - t00) + wrap(t11 - t01)
+        + wrap(t10 - t11) + wrap(t00 - t10)
+    )
+    q = jnp.round(circ / _TWO_PI)
+    if phase is not None:
+        tissue = (
+            (phase[:-1, :-1] >= 0.5) & (phase[:-1, 1:] >= 0.5)
+            & (phase[1:, 1:] >= 0.5) & (phase[1:, :-1] >= 0.5)
+        )
+        q = jnp.where(tissue, q, 0.0)
+    return jnp.stack([jnp.sum(jnp.abs(q)), jnp.sum(q)])

@@ -89,6 +89,37 @@ class TestReplay:
         assert cli.main(["replay", p]) == 0
 
 
+class TestRotorFlag:
+    def test_run_rotor_summary(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "run", "--model", "fenton", "--width", "48", "--height", "48",
+            "--duration", "10", "--rotor", "--rotor-tau", "2",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["rotors"]["mean_count"] == 0.0  # plane wave
+        assert rec["rotors"]["final_net_charge"] == 0
+
+
+class TestTips:
+    def test_tips_json_synthetic_rotor(self, tmp_path, capsys):
+        y, x = np.mgrid[0:32, 0:32]
+        th0 = np.arctan2(y - 15.5, x - 15.5)
+        t = np.arange(30)[:, None, None]
+        cube = np.cos(th0[None] - (np.pi / 4) * t).astype(np.float32)
+        p = str(tmp_path / "cube.npy")
+        np.save(p, cube)
+        rc = cli.main(["tips", p, "--json",
+                       "--save-plot", str(tmp_path / "tips.png")])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        rec = json.loads(next(l for l in lines if l.startswith("{")))
+        assert rec["n_tracks"] == 1
+        assert rec["tracks"][0]["charge"] == 1
+        assert os.path.exists(tmp_path / "tips.png")
+
+
 class TestS2Scan:
     def test_scan_json(self, capsys):
         rc = cli.main([
