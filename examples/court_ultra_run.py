@@ -54,9 +54,24 @@ def run_small(cfg, cyclelengths, radius=50, i0=0):
     )
     rho = fibrillation_density(img, sim.phase)
     print("rho = %.4f" % rho)
+    report_rotors(res)
 
     checkpoint.save_state("state_small.npz", res.state, cfg)
     return res.state
+
+
+def report_rotors(res):
+    """Fibrillation complexity from the live on-device census
+    (SimConfig.rotor_probe): rotor count complements rho, which only
+    measures depolarized AREA — one stable rotor and a five-wavelet
+    fibrillatory state can have the same rho."""
+    if "rotors" not in res.probes:
+        return
+    r = res.probes["rotors"]
+    tail = r[len(r) // 2:]
+    print("rotors: mean %.2f  max %d  (last-half mean %.2f, net %+d)"
+          % (r[:, 0].mean(), int(r[:, 0].max()),
+             tail[:, 0].mean(), int(r[-1, 1])))
 
 
 def run_large(cfg, cyclelengths, radius, i0=0):
@@ -67,6 +82,7 @@ def run_large(cfg, cyclelengths, radius, i0=0):
     sim.cl_observer = partial(cl_observer, sim, cyclelengths, i0)
 
     res = sim.simulate()
+    report_rotors(res)
     checkpoint.save_state("state_large.npz", res.state, cfg)
     return res.state
 
@@ -78,10 +94,16 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--duration", type=float, default=1000.0,
                     help="per-phase duration (reference used 10000)")
+    ap.add_argument("--rotor", action="store_true",
+                    help="live on-device rotor census (count + net "
+                         "charge per outer step)")
+    ap.add_argument("--kernel", default="auto",
+                    choices=["auto", "xla", "pallas"])
     args = ap.parse_args()
     cfg = SimConfig(
         width=args.size, height=args.size, dt=0.1, dt_per_plot=10,
         diff=1.5, duration=args.duration, ultra_slow=True,
+        rotor_probe=args.rotor, kernel=args.kernel,
     )
     cyclelengths = []
     run_small(cfg, cyclelengths, radius=max(args.size // 50, 3))

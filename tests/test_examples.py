@@ -48,8 +48,9 @@ class TestExamples:
 
     def test_court_ultra_protocol(self, tmp_path):
         out = run_example(tmp_path, "court_ultra_run.py",
-                          "--size", "48", "--duration", "20")
+                          "--size", "48", "--duration", "20", "--rotor")
         assert "rho =" in out
+        assert "rotors: mean" in out
         assert os.path.exists(tmp_path / "state_small.npz")
         assert os.path.exists(tmp_path / "state_large.npz")
 
