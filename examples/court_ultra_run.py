@@ -74,16 +74,22 @@ def report_rotors(res):
              tail[:, 0].mean(), int(r[-1, 1])))
 
 
-def run_large(cfg, cyclelengths, radius, i0=0):
+def run_large(cfg, cyclelengths, radius, i0=0, frames_ms=None):
     sim = Simulation(CourtemancheUltra(cfg))
     sim.add_hole_to_phase_field(cfg.width // 2, cfg.height // 2, radius)
     state, _ = checkpoint.load_state("state_small.npz")
     sim.define(state=state)
     sim.cl_observer = partial(cl_observer, sim, cyclelengths, i0)
 
-    res = sim.simulate()
+    res = sim.simulate(record_frames_every_ms=frames_ms)
     report_rotors(res)
     checkpoint.save_state("state_large.npz", res.state, cfg)
+    if res.frames is not None:
+        from fib_tf_tpu.utils import viz
+
+        viz.save_cube("cube_large", res.frames)
+        print("saved cube_large.npy (quantify with: python -m fib_tf_tpu "
+              "tips/dfmap cube_large.npy)")
     return res.state
 
 
@@ -99,6 +105,9 @@ def main():
                          "charge per outer step)")
     ap.add_argument("--kernel", default="auto",
                     choices=["auto", "xla", "pallas"])
+    ap.add_argument("--frames", type=float, default=None,
+                    help="record the large phase every N ms to "
+                         "cube_large.npy for tips/dfmap quantification")
     args = ap.parse_args()
     cfg = SimConfig(
         width=args.size, height=args.size, dt=0.1, dt_per_plot=10,
@@ -108,7 +117,8 @@ def main():
     cyclelengths = []
     run_small(cfg, cyclelengths, radius=max(args.size // 50, 3))
     i0 = int(cfg.duration / cfg.dt)
-    run_large(cfg, cyclelengths, radius=max(args.size // 5, 8), i0=i0)
+    run_large(cfg, cyclelengths, radius=max(args.size // 5, 8), i0=i0,
+              frames_ms=args.frames)
     if cyclelengths:
         np.savetxt("cyclelengths.dat", np.asarray(cyclelengths))
 

@@ -10,6 +10,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu table            # native lookup-table generation
   python -m fib_tf_tpu replay cube.npy
   python -m fib_tf_tpu tips cube.npy    # spiral-tip trajectories
+  python -m fib_tf_tpu dfmap cube.npy   # dominant-frequency map
   python -m fib_tf_tpu s2scan --members 16   # vulnerable-window ensemble
   python -m fib_tf_tpu restitution --model br   # APD restitution curve
 """
@@ -118,6 +119,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop tracks shorter than this many detections")
     tp.add_argument("--json", action="store_true")
     tp.add_argument("--save-plot", default=None, metavar="PATH")
+
+    df = sub.add_parser(
+        "dfmap",
+        help="dominant-frequency + organization-index maps from a saved "
+             "cube.npy movie",
+    )
+    df.add_argument("path")
+    df.add_argument("--frame-ms", type=float, default=10.0,
+                    help="movie cadence (ms/frame)")
+    df.add_argument("--f-min", type=float, default=1.0)
+    df.add_argument("--f-max", type=float, default=None,
+                    help="band top (default Nyquist)")
+    df.add_argument("--json", action="store_true")
+    df.add_argument("--save-plot", default=None, metavar="PATH")
 
     s2 = sub.add_parser(
         "s2scan",
@@ -343,6 +358,34 @@ def cmd_tips(args) -> int:
     return 0
 
 
+def cmd_dfmap(args) -> int:
+    """Dominant-frequency mapping of a saved movie (utils/spectral.py) —
+    the frequency-domain fibrillation quantification; the reference's
+    only rate measurement was cycle length at one probe pixel
+    (ionic.py:216-224)."""
+    from fib_tf_tpu.utils.spectral import dominant_frequency_map, plot_df_map
+
+    cube = np.load(args.path)
+    m = dominant_frequency_map(cube, frame_ms=args.frame_ms,
+                               f_min_hz=args.f_min, f_max_hz=args.f_max)
+    if args.json:
+        print(json.dumps({
+            "frames": int(cube.shape[0]),
+            "median_df_hz": round(m.median_df(), 3),
+            "max_df_hz": float(m.df_hz.max()),
+            "median_oi": round(m.median_oi(), 3),
+            "active_fraction": round(float(m.active.mean()), 3),
+        }))
+    else:
+        print(f"{args.path}: median DF {m.median_df():.2f} Hz "
+              f"(peak {m.df_hz.max():.2f}), median OI {m.median_oi():.2f}, "
+              f"{m.active.mean() * 100:.0f}% of pixels active")
+    if args.save_plot:
+        plot_df_map(args.save_plot, m)
+        print(f"saved {args.save_plot}")
+    return 0
+
+
 def cmd_s2scan(args) -> int:
     """The vulnerable-window experiment as one batched device program
     (engine/ensemble.s2_scan; the reference needed one process per S2
@@ -447,6 +490,7 @@ def main(argv=None) -> int:
         "table": cmd_table,
         "replay": cmd_replay,
         "tips": cmd_tips,
+        "dfmap": cmd_dfmap,
         "s2scan": cmd_s2scan,
         "restitution": cmd_restitution,
     }[args.cmd](args)

@@ -120,6 +120,26 @@ class TestTips:
         assert os.path.exists(tmp_path / "tips.png")
 
 
+class TestDFMap:
+    def test_dfmap_json(self, tmp_path, capsys):
+        # 200 frames -> 0.5 Hz bins: the +-0.75 Hz OI band must span the
+        # Hann-window leakage into adjacent bins
+        t = np.arange(200) * 0.01
+        cube = np.tile(
+            np.sin(2 * np.pi * 8.0 * t)[:, None, None], (1, 16, 16)
+        ).astype(np.float32)
+        p = str(tmp_path / "cube.npy")
+        np.save(p, cube)
+        rc = cli.main(["dfmap", p, "--json",
+                       "--save-plot", str(tmp_path / "df.png")])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        rec = json.loads(next(l for l in lines if l.startswith("{")))
+        assert abs(rec["median_df_hz"] - 8.0) <= 1.0
+        assert rec["median_oi"] > 0.9
+        assert os.path.exists(tmp_path / "df.png")
+
+
 class TestS2Scan:
     def test_scan_json(self, capsys):
         rc = cli.main([
