@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dv-max", type=float, default=None,
                    help="stability guard: cap |dV| per substep in mV "
                         "(court; default off = reference behavior)")
+    r.add_argument("--adaptive-dv", type=float, default=None,
+                   help="adaptive dt: re-take any substep that moves V "
+                        "more than this many mV as two half-dt substeps "
+                        "(step-doubling; the correct alternative to "
+                        "--dv-max's clip; default off)")
+    r.add_argument("--adaptive-depth", type=int, default=2,
+                   help="max halvings for --adaptive-dv (dt/2**depth)")
     r.add_argument("--hole", action="append", default=[],
                    help="x,y,radius[,neg] — may repeat")
     r.add_argument("--s2", type=float, default=None,
@@ -198,6 +205,7 @@ def cmd_run(args) -> int:
         duration=args.duration, cheby=args.cheby, skip=args.skip,
         ab2=args.ab2, table=args.table, chronic=args.chronic,
         kernel=args.kernel, dv_max=args.dv_max,
+        adaptive_dv=args.adaptive_dv, adaptive_depth=args.adaptive_depth,
         timeline=args.timeline, save_graph=args.save_graph,
         rotor_probe=args.rotor, rotor_tau_ms=args.rotor_tau,
         ultra_slow=(args.model == "court_ultra"),

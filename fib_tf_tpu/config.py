@@ -80,6 +80,18 @@ class SimConfig:
     # move ~2-4 mV per 0.1 ms substep, so 25.0 only engages in genuine
     # instability.
     dv_max: Optional[float] = None
+    # Adaptive-dt step-doubling (ops/adaptive.py; beyond reference
+    # parity — the *correct* alternative to the dv_max clip): when a
+    # substep moves any cell's V by more than this many mV, re-take it
+    # as two half-dt substeps, recursively down to dt/2**adaptive_depth.
+    # The refinement is a lax.cond, so it only costs when triggered; an
+    # untriggered run computes the same substeps as the plain integrator
+    # (identical to within XLA fusion rounding, ≤1 ulp/step).  None
+    # (default) = fixed-dt reference behavior.  Mutually exclusive with
+    # dv_max (pick clip or refine) and ab2 (no consistent multi-dt
+    # history); single-chip (see ops/adaptive.py on halo staleness).
+    adaptive_dv: Optional[float] = None
+    adaptive_depth: int = 2
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
 
@@ -135,6 +147,28 @@ class SimConfig:
                 "fiber_ratio != 1.0 requires fiber_angle (the fiber "
                 "direction)"
             )
+        if self.adaptive_dv is not None:
+            if self.adaptive_dv <= 0:
+                raise ValueError("adaptive_dv must be positive (mV)")
+            if self.adaptive_depth < 1:
+                raise ValueError("adaptive_depth must be >= 1")
+            if self.dv_max is not None:
+                raise ValueError(
+                    "adaptive_dv and dv_max are mutually exclusive: pick "
+                    "step-doubling refinement or the clip guard"
+                )
+            if self.ab2:
+                raise ValueError(
+                    "adaptive_dv is incompatible with ab2: the AB2 "
+                    "derivative history has no consistent meaning across "
+                    "substeps of varying dt"
+                )
+            if self.mesh_shape is not None:
+                raise ValueError(
+                    "adaptive_dv is a single-chip feature: shard_map halos "
+                    "are exchanged once per committed substep, so a shard "
+                    "refining locally would read stale neighbor halos"
+                )
         if self.rotor_probe:
             if self.rotor_tau_ms <= 0:
                 raise ValueError("rotor_tau_ms must be positive")

@@ -290,6 +290,17 @@ class Simulation:
         multi-chip story is the shard_map chunk in parallel/spmd.py)."""
         if self._sharding is not None:
             return False
+        if self.cfg.adaptive_dv is not None:
+            # step-doubling refinement is a data-dependent lax.cond; the
+            # fused Mosaic kernels trace fixed-dt substep groups, so
+            # adaptive runs stay on the XLA path
+            if self.cfg.kernel == "pallas":
+                raise ValueError(
+                    "adaptive_dv runs on the XLA path (the fused kernels "
+                    "trace fixed-dt substeps); drop kernel='pallas' or "
+                    "adaptive_dv"
+                )
+            return False
         import jax as _jax
 
         aligned = (self.cfg.width % 128 == 0 and self.cfg.height % 8 == 0)

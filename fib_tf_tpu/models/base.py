@@ -159,8 +159,45 @@ class IonicModel:
         unroll — value-identical, but the traced program holds one body
         (the Pallas kernels use this; see repeat_substeps).
         """
+        if self.cfg.adaptive_dv is not None:
+            return repeat_substeps(
+                self.adaptive_substep(geom), state, self.dt_per_step,
+                unroll,
+            )
         return repeat_substeps(
             lambda s: self.solve(s, geom), state, self.dt_per_step, unroll
+        )
+
+    # -- adaptive-dt step-doubling (ops/adaptive.py) -----------------------------
+
+    def adaptive_clones(self):
+        """`[self, dt/2 clone, dt/4 clone, ...]` down to
+        dt / 2**adaptive_depth, cached on the instance.  Clones are built
+        through the subclass constructor from the scaled cfg, so every
+        dt-baked constant (Chebyshev-folded RL multipliers, multi-rate
+        dt_for schedules) is re-derived consistently."""
+        clones = getattr(self, "_adaptive_clones", None)
+        if clones is None:
+            clones = [self] + [
+                type(self)(self.cfg.replace(dt=self.cfg.dt / 2 ** k))
+                for k in range(1, self.cfg.adaptive_depth + 1)
+            ]
+            self._adaptive_clones = clones
+        return clones
+
+    def adaptive_substep(self, geom: Geometry, solve_fn=None,
+                         commit_keys=None):
+        """One substep with step-doubling refinement (SimConfig.adaptive_dv).
+        Subclass steps with non-trivial substep schedules (BR skip groups,
+        the Courtemanche fast/slow split) pass their own `solve_fn` /
+        `commit_keys`."""
+        from fib_tf_tpu.ops.adaptive import make_adaptive_substep
+
+        if solve_fn is None:
+            solve_fn = lambda m, s: m.solve(s, geom)
+        return make_adaptive_substep(
+            self.adaptive_clones(), self.cfg.adaptive_dv, solve_fn,
+            commit_keys,
         )
 
     def kernel_step(self, state: State, geom: Geometry) -> State:
@@ -185,6 +222,11 @@ class IonicModel:
     # models), none of the bundled models sets it; the engine's run()
     # generator honors it for user extensions.
     fast_slow_ratio: Optional[int] = None
+
+    # State planes that must stay strictly positive (ionic concentrations
+    # feeding Nernst logs); the adaptive-dt acceptance test rejects any
+    # substep attempt that drives one non-positive (ops/adaptive.py).
+    positive_states: tuple = ()
 
     def fast_step(self, state: State, geom: Geometry) -> State:
         """Outer step when tick % fast_slow_ratio != 0 (the _ode_fast_op

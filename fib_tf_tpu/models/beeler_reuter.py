@@ -101,6 +101,9 @@ class BeelerReuter(IonicModel):
     depol = -84.6
     dt_per_step = 5
     pot_key = "V"
+    # intracellular calcium feeds log(c) in e_ca — the adaptive-dt
+    # acceptance test keeps it strictly positive (ops/adaptive.py)
+    positive_states = ("C",)
 
     def __init__(self, cfg: SimConfig):
         super().__init__(cfg)
@@ -373,6 +376,23 @@ class BeelerReuter(IonicModel):
         lax.fori_loop (models/base.repeat_substeps)."""
         from fib_tf_tpu.models.base import repeat_substeps
 
+        if self.cfg.adaptive_dv is not None:
+            # step-doubling (SimConfig.adaptive_dv): each substep keeps
+            # its skip-group `n` — a refined n=5 substep becomes two
+            # half-dt n=5 solves, so the slow gates still advance
+            # 2 x 5 x dt/2 = 5 dt and the clone's folded Chebyshev
+            # multipliers (which bake 5 x dt/2) stay consistent
+            def sub(n):
+                return self.adaptive_substep(
+                    geom, lambda m, s: m.solve(s, geom, n=n)
+                )
+
+            if self.cfg.skip:
+                state = sub(5)(state)
+                state = repeat_substeps(sub(0), state, 4, unroll)
+            else:
+                state = repeat_substeps(sub(1), state, 5, unroll)
+            return state
         if self.cfg.skip:
             state = self.solve(state, geom, n=5)
             state = repeat_substeps(

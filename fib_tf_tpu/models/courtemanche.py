@@ -325,6 +325,11 @@ class Courtemanche(IonicModel):
     dt_per_step = SLOW_RATIO
     pot_key = "V"
     fast_states: Tuple[str, ...] = FAST_STATES
+    # concentrations feeding Nernst logs / sqrt — the adaptive-dt
+    # acceptance test keeps them strictly positive (ops/adaptive.py)
+    positive_states: Tuple[str, ...] = (
+        "Ca_i", "Ca_rel", "Ca_up", "Na_i", "K_i",
+    )
     ultra_slow = False
 
     INITIAL_VALUES = {
@@ -617,13 +622,31 @@ class Courtemanche(IonicModel):
         """
         slow = [k for k in state if k not in self.fast_states]
 
-        def fast_only(s):
-            s1 = self.solve(s, geom)
-            return {**s, **{k: s1[k] for k in self.fast_states}}
+        if self.cfg.adaptive_dv is not None:
+            # step-doubling on BOTH commit flavors.  Fast substeps refine
+            # on the ΔV bound; the slow commit (effective dt x10 for the
+            # Ca-release subsystem — exactly where long fibrillatory runs
+            # went stiff in the reference) refines on finiteness and
+            # concentration positivity, since V is not among its planes.
+            # A refined slow commit takes two half-dt solves whose
+            # dt_for(slow) is 5 x dt each, preserving the x10 total.
+            fast_only = self.adaptive_substep(
+                geom, commit_keys=self.fast_states
+            )
+            slow_commit = self.adaptive_substep(
+                geom, commit_keys=tuple(slow)
+            )
+        else:
+            def fast_only(s):
+                s1 = self.solve(s, geom)
+                return {**s, **{k: s1[k] for k in self.fast_states}}
+
+            def slow_commit(s):
+                s1 = self.solve(s, geom)
+                return {**s, **{k: s1[k] for k in slow}}
 
         state = fast_only(state)
-        s1 = self.solve(state, geom)
-        state = {**state, **{k: s1[k] for k in slow}}
+        state = slow_commit(state)
         if unroll:
             for _ in range(SLOW_RATIO - 1):
                 state = fast_only(state)
@@ -634,7 +657,7 @@ class Courtemanche(IonicModel):
         frozen = {k: state[k] for k in slow}
 
         def body(_, fast_s):
-            s1 = self.solve({**frozen, **fast_s}, geom)
+            s1 = fast_only({**frozen, **fast_s})
             return {k: s1[k] for k in self.fast_states}
 
         fast0 = {k: state[k] for k in self.fast_states}
@@ -671,6 +694,12 @@ class CourtemancheUltra(Courtemanche):
         # host-loop amortization (fori_loop form when unroll=False)
         from fib_tf_tpu.models.base import repeat_substeps
 
+        if self.cfg.adaptive_dv is not None:
+            # single-rate model: the generic full-commit step-doubling
+            # substep applies to all 22 planes
+            return repeat_substeps(
+                self.adaptive_substep(geom), state, SLOW_RATIO, unroll
+            )
         return repeat_substeps(
             lambda s: self.solve(s, geom), state, SLOW_RATIO, unroll
         )
