@@ -28,16 +28,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--duration", type=float, default=1000.0)
+    ap.add_argument("--adaptive-dv", type=float, default=None,
+                    help="adaptive-dt step-doubling threshold in mV "
+                         "(e.g. 25): lets long fibrillatory runs "
+                         "integrate through the explicit-Euler stiffness "
+                         "instead of raising (forces the XLA path)")
     args = ap.parse_args()
     n = args.size
     # note: the reference ran 20000 ms; this demo trims to 1000 ms per
     # model.  Long fibrillatory runs against the 1e-5 phase-field floor can
     # eventually hit explicit-Euler stiffness; unlike the reference (whose
     # NaN guard was commented out, ionic.py:208-212) the engine raises
-    # FloatingPointError instead of silently integrating NaNs.
+    # FloatingPointError instead of silently integrating NaNs —
+    # --adaptive-dv 25 re-takes the offending substeps at refined dt
+    # instead (ops/adaptive.py).
     cfg = SimConfig(
         width=n, height=n, dt=0.1, dt_per_plot=10, diff=0.809,
-        duration=args.duration,
+        duration=args.duration, adaptive_dv=args.adaptive_dv,
     )
 
     sim1 = Simulation(Courtemanche(cfg))

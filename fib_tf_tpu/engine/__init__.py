@@ -8,6 +8,7 @@ from fib_tf_tpu.engine.observers import (
     ElectrogramRecorder,
     fibrillation_density,
 )
+from fib_tf_tpu.engine.volume import VolumeEvent, run_volume, volume_state
 
 __all__ = [
     "Simulation",
@@ -15,4 +16,7 @@ __all__ = [
     "CycleLengthDetector",
     "ElectrogramRecorder",
     "fibrillation_density",
+    "VolumeEvent",
+    "run_volume",
+    "volume_state",
 ]

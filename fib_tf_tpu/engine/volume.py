@@ -1,0 +1,209 @@
+"""3D (volume) simulation — scroll waves, beyond reference parity.
+
+The reference is strictly 2D; its spiral-reentry experiments
+(fenton.py:155-187, br.py S2 protocols) have a 3D generalization — the
+scroll wave — that this runner makes a one-call experiment.  The design
+mirrors `engine/ensemble.py`: a standalone jitted-scan driver (the full
+`Simulation` engine's events/observers/viz are sheet-shaped), with the
+model zoo reused UNCHANGED — ionic math is elementwise, and the two
+spatial operators come from the injected 3D `Geometry`
+(models/base.volume_geometry, ops/stencil3d).
+
+Scaling: with a `mesh`, the z axis is sharded via GSPMD — the z-coupling
+term is one slice of halo each way, which XLA turns into neighbor
+collectives, and the in-plane stencil is z-elementwise.  The Pallas
+kernels are sheet-shaped (2D), so volumes run the XLA path; at volume
+sizes the step is HBM-streaming, which is exactly the regime where the
+XLA path's fusion already does well (docs/OPTIMIZATIONS.md §8c).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.models.base import IonicModel, volume_geometry
+from fib_tf_tpu.ops import stencil3d
+
+State = Dict[str, jnp.ndarray]
+
+
+def volume_state(
+    model: IonicModel, depth: int, s1: bool = True
+) -> Dict[str, np.ndarray]:
+    """Extrude the model's 2D initial state along z: `[D, H, W]` planes.
+    The S1 stimulus becomes a full-depth slab, so the first wave is
+    planar in 3D exactly as it is in 2D."""
+    st = model.initial_state(s1=s1)
+    return {
+        k: np.repeat(np.asarray(v, np.float32)[None], depth, axis=0)
+        for k, v in st.items()
+    }
+
+
+@dataclass
+class VolumeEvent:
+    """A stimulus fired at the END of outer step `step`: one of the 8
+    named 2D pace locations extruded over z-slices `[z0:z1)` (the
+    cross-field S2 that turns a planar wave into a scroll), or an
+    explicit `[D, H, W]` mask with background model.min_v."""
+
+    step: int
+    loc: Optional[str] = None
+    v: Optional[float] = None
+    mask: Optional[np.ndarray] = None
+    z0: int = 0
+    z1: Optional[int] = None
+
+    def resolve_mask(self, model: IonicModel, depth: int) -> np.ndarray:
+        if (self.loc is None) == (self.mask is None):
+            raise ValueError("VolumeEvent needs exactly one of loc/mask")
+        if self.mask is not None:
+            return np.asarray(self.mask, np.float32)
+        v = model.max_v if self.v is None else self.v
+        return stencil3d.pace_mask3d(
+            depth, model.cfg.height, model.cfg.width, self.loc, v,
+            model.min_v, self.z0, self.z1,
+        )
+
+
+def run_volume(
+    model: IonicModel,
+    depth: int,
+    n_outer: int,
+    state: Optional[Dict[str, np.ndarray]] = None,
+    phase: Optional[np.ndarray] = None,
+    dz_ratio: float = 1.0,
+    mesh=None,
+    events: Sequence[VolumeEvent] = (),
+    probe: Optional[Callable] = None,
+    frames_every: Optional[int] = None,
+    allow_unstable_dt: bool = False,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray, Optional[np.ndarray]]:
+    """Advance a `[depth, H, W]` volume `n_outer` outer steps.
+
+    - `state`: stacked `[D, H, W]` planes (default: `volume_state`).
+    - `phase`: optional 2D `[H, W]` field extruded along z.
+    - `dz_ratio`: transmural conduction fraction (1.0 = isotropic).
+    - `mesh`: shard the z axis over the mesh's first axis (GSPMD; the
+      halo is one z-slice each way).
+    - `events`: VolumeEvents fired inside the scan.
+    - `probe`: state -> scalar sampled every outer step; default = the
+      model's normalized potential at the mid-depth probe pixel (the 3D
+      analog of the engine's probe stream).
+    - `frames_every`: record the normalized `[D, H, W]` potential every
+      this many outer steps (host-side chunking, like the engine's
+      dt_per_plot frames).
+
+    Returns (final state, probes `[n_outer]`, frames
+    `[n_frames, D, H, W]` or None).
+
+    Stability: the symbol of the 3D operator bottoms out at
+    −(8 + 8·dz_ratio) (in-plane 9-point: −8 at the checkerboard mode,
+    ionic.py:49-53 normalization; z term: −8·dz_ratio), so explicit
+    Euler needs dt ≤ 2 / ((8 + 8·dz_ratio)·diff) — TIGHTER than 2D's
+    2/(8·diff): the reference's canonical dt=0.1 at diff=1.5 is fine on
+    a sheet (limit 0.167) but unstable in an isotropic volume (limit
+    0.083).  Violations raise up front unless `adaptive_dv` is set (the
+    step-doubling integrator re-takes the unstable substeps) or
+    `allow_unstable_dt=True` (e.g. a z-uniform volume never excites the
+    z modes).
+    """
+    lam = (8.0 + 8.0 * dz_ratio) * model.cfg.diff
+    dt_limit = 2.0 / lam
+    if (model.cfg.dt > dt_limit and model.cfg.adaptive_dv is None
+            and not allow_unstable_dt):
+        raise ValueError(
+            f"dt={model.cfg.dt} exceeds the 3D explicit stability limit "
+            f"2/((8 + 8*dz_ratio)*diff) = {dt_limit:.4f}; lower dt or "
+            f"dz_ratio, set adaptive_dv (step-doubling rescue), or pass "
+            f"allow_unstable_dt=True (e.g. for z-uniform fields)"
+        )
+    if state is None:
+        state = volume_state(model, depth)
+    geom = volume_geometry(phase, dz_ratio=dz_ratio)
+    pot_key = model.pot_key
+
+    if probe is None:
+        r, c = model.probe_pixel
+
+        def probe(s):
+            return (
+                s[pot_key][depth // 2, r, c] - model.min_v
+            ) / (model.max_v - model.min_v)
+
+    ev_masks = [jnp.asarray(e.resolve_mask(model, depth)) for e in events]
+    ev_steps = [int(e.step) for e in events]
+
+    _cache: Dict[tuple, Callable] = {}
+
+    def chunk_fn(length: int, start: int):
+        fire = [
+            (t - start, m)
+            for t, m in zip(ev_steps, ev_masks)
+            if start <= t < start + length
+        ]
+        key = (length, tuple((t, id(m)) for t, m in fire))
+        if key in _cache:
+            return _cache[key]
+
+        def body(carry, _):
+            s, i = carry
+            s = model.step(s, geom)
+            pot = s[pot_key]
+            for t, m in fire:
+                pot = jnp.where(i == t, jnp.maximum(pot, m), pot)
+            s = {**s, pot_key: pot}
+            return (s, i + 1), probe(s)
+
+        @jax.jit
+        def chunk(s):
+            (s, _), p = jax.lax.scan(
+                body, (s, jnp.int32(0)), None, length=length
+            )
+            return s, p
+
+        _cache[key] = chunk
+        return chunk
+
+    st = {k: jnp.asarray(v) for k, v in state.items()}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+        st = {k: jax.device_put(v, sh) for k, v in st.items()}
+
+    frames: Optional[List[np.ndarray]] = None
+    probes: List[np.ndarray] = []
+    if frames_every is None:
+        chunk = chunk_fn(n_outer, 0)
+        st, p = chunk(st)
+        probes.append(np.asarray(p))
+    else:
+        frames = []
+        done = 0
+        while done < n_outer:
+            length = min(frames_every, n_outer - done)
+            st, p = chunk_fn(length, done)(st)
+            probes.append(np.asarray(p))
+            done += length
+            img = (np.asarray(st[pot_key]) - model.min_v) / (
+                model.max_v - model.min_v
+            )
+            frames.append(img.astype(np.float32))
+
+    final = {k: np.asarray(v) for k, v in st.items()}
+    if not np.isfinite(final[pot_key]).all():
+        raise FloatingPointError(
+            "non-finite potential in run_volume (the reference's disabled "
+            "NaN check, ionic.py:208-212, would have integrated on)"
+        )
+    return (
+        final,
+        np.concatenate(probes),
+        np.stack(frames) if frames is not None else None,
+    )

@@ -87,6 +87,32 @@ def grid_geometry(
     )
 
 
+def volume_geometry(
+    phase: Optional[np.ndarray] = None,
+    dz_ratio: float = 1.0,
+) -> Geometry:
+    """3D `[D, H, W]` tissue geometry (beyond reference parity — the
+    reference is strictly 2D): per-slice 9-point stencil + 2x-scaled z
+    second difference (ops/stencil3d.laplace3d; planar waves conduct at
+    the same speed along z as in-plane) and the SYMMETRIC border rewrite
+    on all faces.  `phase` is an optional 2D `[H, W]` field extruded
+    along z (columnar obstacles; ∂zϕ = 0 exactly).  Models run in 3D
+    unchanged — their math is elementwise except these two operators."""
+    from fib_tf_tpu.ops import stencil3d
+
+    pp = None
+    if phase is not None:
+        pp = jnp.asarray(
+            np.pad(np.asarray(phase, np.float32), 1, mode="reflect")
+        )
+    return Geometry(
+        laplace=lambda x: stencil3d.laplace3d(
+            x, phase_padded=pp, dz_ratio=dz_ratio
+        ),
+        enforce_boundary=stencil3d.enforce_boundary3d,
+    )
+
+
 def cell_geometry() -> Geometry:
     """0D single-cell geometry: no diffusion, no boundary."""
     return Geometry(

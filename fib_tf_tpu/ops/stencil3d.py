@@ -1,0 +1,84 @@
+"""3D (volume) finite-difference operators — beyond reference parity.
+
+The reference is strictly 2D (its `laplace` is the 9-point sheet stencil,
+ionic.py:44-60; README line 1: "2D cardiac electrophysiology").  Scroll
+waves — the 3D generalization of the spiral reentry every reference
+experiment chases — need a volume operator.  This module lifts the
+quirk-faithful 2D operators to `[D, H, W]` volumes BY CONSTRUCTION rather
+than re-derivation:
+
+  * `laplace3d` = the existing 2D 9-point stencil applied per z-slice
+    (vmap) + a 2x-scaled second difference along z with REFLECT ends.
+    The x2 matches the reference stencil's normalization (its 9-point
+    form evaluates to 2x the analytic Laplacian: for a field varying
+    only along x it reduces to exactly 2*(W + E - 2C), ionic.py:49-53),
+    so planar waves conduct at the SAME speed along z as along x/y, and
+    a z-uniform volume reproduces the 2D operator exactly (the z term is
+    identically zero).
+  * `enforce_boundary3d` = the SYMMETRIC border rewrite in all three
+    axes (border voxels replaced by their interior neighbors, the 3D
+    analog of ionic.py:107-113).
+  * Phase fields stay 2D and are extruded along z (columnar obstacles);
+    ∂zϕ = 0 exactly, so the reference's no-flux correction term needs no
+    z component.
+
+Everything is pure jnp over `[D, H, W]`; models consume these through the
+same injected `Geometry` record they use in 2D and 0D (models/base.py),
+so the entire ionic zoo runs in 3D unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fib_tf_tpu.ops import stencil
+
+
+def laplace3d(
+    x: jnp.ndarray,
+    phase_padded: Optional[jnp.ndarray] = None,
+    dz_ratio: float = 1.0,
+) -> jnp.ndarray:
+    """9-point in-plane + 2x-scaled z second difference, REFLECT ends.
+
+    `x` is `[D, H, W]`; `phase_padded` an optional REFLECT-padded 2D
+    phase field `[H+2, W+2]` shared by every slice (extruded obstacles).
+    `dz_ratio` scales conduction along z relative to in-plane (the
+    transmural-anisotropy knob; 1.0 = isotropic).
+    """
+    planar = jax.vmap(
+        lambda s: stencil.laplace(s, phase_padded=phase_padded)
+    )(x)
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)), mode="reflect")
+    z = xp[:-2] - 2.0 * x + xp[2:]
+    return planar + (2.0 * dz_ratio) * z
+
+
+def enforce_boundary3d(x: jnp.ndarray) -> jnp.ndarray:
+    """No-flux border rewrite in all three axes: every face voxel is
+    replaced by its interior neighbor (SYMMETRIC pad of the interior,
+    the 3D analog of reference ionic.py:107-113)."""
+    return jnp.pad(x[1:-1, 1:-1, 1:-1], 1, mode="symmetric")
+
+
+def pace_mask3d(
+    depth: int,
+    height: int,
+    width: int,
+    loc: str,
+    v: float,
+    min_v: float,
+    z0: int = 0,
+    z1: Optional[int] = None,
+) -> np.ndarray:
+    """Extruded stimulus mask: the 2D `stencil.pace_mask` applied on
+    z-slices `[z0:z1)` (default: the full depth), `min_v` elsewhere, for
+    `max(pot, mask)` firing."""
+    m2 = stencil.pace_mask(height, width, loc, v, min_v)
+    m = np.full([depth, height, width], min_v, dtype=np.float32)
+    m[z0:z1 if z1 is not None else depth] = m2
+    return m
