@@ -121,3 +121,13 @@ class TestExamples:
         cube = np.random.rand(3, 16, 16).astype(np.float32)
         np.save(tmp_path / "cube.npy", cube)
         run_example(tmp_path, "playcube.py", "cube.npy")
+
+    def test_scroll_wave(self, tmp_path):
+        out = run_example(tmp_path, "scroll_wave.py",
+                          "--size", "40", "--depth", "6",
+                          "--duration", "60", "--s2-ms", "30",
+                          "--save-cube", "scroll.npy")
+        assert "activity fraction over time" in out
+        cube = np.load(tmp_path / "scroll.npy")
+        assert cube.ndim == 3 and cube.shape[1:] == (40, 40)
+        assert np.isfinite(cube).all()
