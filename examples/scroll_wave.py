@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--save-cube", default=None,
                     help="save the mid-depth slice movie (npy) for "
                          "examples/playcube.py")
+    ap.add_argument("--save-volume", default=None,
+                    help="save the full [T, D, H, W] movie (npy) for "
+                         "`python -m fib_tf_tpu filaments`")
     args = ap.parse_args()
 
     n = args.size
@@ -59,30 +62,30 @@ def main():
     print("activity fraction over time:",
           " ".join(f"{a:.2f}" for a in act))
 
-    # per-slice rotor census of the late phase: the filament shows up as
-    # spinning slices below the S2 boundary (utils/tips on each z-slice
-    # of the mid-depth movie would track the full filament)
-    from fib_tf_tpu.ops.stencil import rotor_metrics
-    import jax.numpy as jnp
+    # filament census over the movie (utils/filaments.py): the 3D rotor
+    # count — a stable scroll is one filament; breakup multiplies them.
+    # NOTE a genuine rotating core needs an in-plane domain comparable
+    # to the model wavelength (~hundreds of cells for fenton): at toy
+    # sizes the S2 only re-excites globally and the census reads 0.
+    from fib_tf_tpu.utils.filaments import census_movie
 
-    tau_frames = 2
-    # census the LAST ACTIVE frame (in a small domain the scroll can
-    # self-terminate on the boundary right before the run ends)
-    partial = [i for i, a in enumerate(act) if 0.1 < a < 0.9]
-    live = [i for i, a in enumerate(act) if a > 0.05]
-    last = (partial or live or [len(frames) - 1])[-1]
-    if last > tau_frames:
-        now, old = frames[last], frames[last - tau_frames]
-        for z in range(0, args.depth, max(1, args.depth // 8)):
-            count, net = np.asarray(
-                rotor_metrics(jnp.asarray(now[z]), jnp.asarray(old[z]))
-            )
-            print(f"z={z:3d}: rotors={int(count)} net_charge={int(net)}")
+    per_t = census_movie(frames, tau=2)
+    counts = [len(fs) for fs in per_t]
+    print("filaments/frame:", " ".join(str(c) for c in counts))
+    if max(counts, default=0) > 0:
+        peak = int(np.argmax(counts))
+        for f in per_t[peak][:8]:
+            z0, z1 = int(f.points[0, 0]), int(f.points[-1, 0])
+            print(f"  frame {peak + 2}: charge {f.charge:+d}, "
+                  f"z {z0}-{z1}, arc {f.arc_length:.1f} cells")
 
     if args.save_cube:
         mid = np.stack([f[args.depth // 2] for f in frames])
         np.save(args.save_cube, mid)
         print("saved mid-depth movie:", args.save_cube, mid.shape)
+    if args.save_volume:
+        np.save(args.save_volume, frames)
+        print("saved volume movie:", args.save_volume, frames.shape)
 
 
 if __name__ == "__main__":

@@ -127,6 +127,21 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--json", action="store_true")
     tp.add_argument("--save-plot", default=None, metavar="PATH")
 
+    fl = sub.add_parser(
+        "filaments",
+        help="scroll-wave filament census from a saved [T, D, H, W] "
+             "volume movie (utils/filaments.py)",
+    )
+    fl.add_argument("path")
+    fl.add_argument("--tau", type=int, default=2,
+                    help="phase-embedding delay in frames")
+    fl.add_argument("--link-dist", type=float, default=6.0,
+                    help="max in-plane jump between adjacent z-slices "
+                         "when linking (cells)")
+    fl.add_argument("--min-span", type=int, default=2,
+                    help="drop filaments threading fewer z-slices")
+    fl.add_argument("--json", action="store_true")
+
     df = sub.add_parser(
         "dfmap",
         help="dominant-frequency + organization-index maps from a saved "
@@ -366,6 +381,39 @@ def cmd_tips(args) -> int:
     return 0
 
 
+def cmd_filaments(args) -> int:
+    """Scroll-wave filament census of a saved [T, D, H, W] volume movie
+    (utils/filaments.py) — the 3D rotor census; no reference equivalent
+    (the reference is strictly 2D)."""
+    from fib_tf_tpu.utils.filaments import census_movie
+
+    movie = np.load(args.path)
+    per_t = census_movie(movie, tau=args.tau, link_dist=args.link_dist,
+                         min_span=args.min_span)
+    counts = [len(fs) for fs in per_t]
+    lengths = [sum(f.arc_length for f in fs) for fs in per_t]
+    if args.json:
+        print(json.dumps({
+            "frames": int(movie.shape[0]),
+            "depth": int(movie.shape[1]),
+            "mean_filaments": float(np.mean(counts)) if counts else 0.0,
+            "max_filaments": int(max(counts)) if counts else 0,
+            "mean_total_length": float(np.mean(lengths)) if lengths else 0.0,
+        }))
+    else:
+        print(f"{args.path}: {movie.shape[0]} frames, "
+              f"{movie.shape[1]} slices of {movie.shape[2]}x{movie.shape[3]}")
+        print(f"filaments/frame: mean {np.mean(counts):.2f} "
+              f"max {max(counts) if counts else 0}; total arc length/frame: "
+              f"mean {np.mean(lengths):.1f} cells")
+        peak = int(np.argmax(counts)) if counts else 0
+        for f in (per_t[peak] if counts else [])[:8]:
+            z0, z1 = int(f.points[0, 0]), int(f.points[-1, 0])
+            print(f"  frame {peak + args.tau}: charge {f.charge:+d}, "
+                  f"z {z0}-{z1}, arc {f.arc_length:.1f} cells")
+    return 0
+
+
 def cmd_dfmap(args) -> int:
     """Dominant-frequency mapping of a saved movie (utils/spectral.py) —
     the frequency-domain fibrillation quantification; the reference's
@@ -499,6 +547,7 @@ def main(argv=None) -> int:
         "replay": cmd_replay,
         "tips": cmd_tips,
         "dfmap": cmd_dfmap,
+        "filaments": cmd_filaments,
         "s2scan": cmd_s2scan,
         "restitution": cmd_restitution,
     }[args.cmd](args)

@@ -119,6 +119,24 @@ class TestTips:
         assert rec["tracks"][0]["charge"] == 1
         assert os.path.exists(tmp_path / "tips.png")
 
+    def test_filaments_json_synthetic_scroll(self, tmp_path, capsys):
+        # rotating spiral extruded over 6 z-slices: one transmural
+        # filament per frame pair
+        y, x = np.mgrid[0:32, 0:32]
+        th0 = np.arctan2(y - 15.5, x - 15.5)
+        t = np.arange(12)[:, None, None]
+        sheet = np.cos(th0[None] - (np.pi / 4) * t).astype(np.float32)
+        movie = np.repeat(sheet[:, None], 6, axis=1)  # [T, 6, 32, 32]
+        p = str(tmp_path / "vol.npy")
+        np.save(p, movie)
+        rc = cli.main(["filaments", p, "--json"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        rec = json.loads(next(l for l in lines if l.startswith("{")))
+        assert rec["depth"] == 6
+        assert rec["max_filaments"] >= 1
+        assert rec["mean_filaments"] >= 0.5
+
 
 class TestDFMap:
     def test_dfmap_json(self, tmp_path, capsys):
