@@ -11,6 +11,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu replay cube.npy
   python -m fib_tf_tpu tips cube.npy    # spiral-tip trajectories
   python -m fib_tf_tpu dfmap cube.npy   # dominant-frequency map
+  python -m fib_tf_tpu filaments vol.npy  # 3D scroll filament census
   python -m fib_tf_tpu s2scan --members 16   # vulnerable-window ensemble
   python -m fib_tf_tpu restitution --model br   # APD restitution curve
 """
@@ -141,6 +142,8 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--min-span", type=int, default=2,
                     help="drop filaments threading fewer z-slices")
     fl.add_argument("--json", action="store_true")
+    fl.add_argument("--save-plot", default=None, metavar="PATH",
+                    help="save the peak frame's filament figure")
 
     df = sub.add_parser(
         "dfmap",
@@ -411,6 +414,13 @@ def cmd_filaments(args) -> int:
             z0, z1 = int(f.points[0, 0]), int(f.points[-1, 0])
             print(f"  frame {peak + args.tau}: charge {f.charge:+d}, "
                   f"z {z0}-{z1}, arc {f.arc_length:.1f} cells")
+    if args.save_plot:
+        from fib_tf_tpu.utils.filaments import plot_filaments
+
+        peak = int(np.argmax(counts)) if counts else 0
+        plot_filaments(args.save_plot, movie[peak + args.tau],
+                       per_t[peak] if per_t else [])
+        print(f"saved {args.save_plot}")
     return 0
 
 

@@ -155,6 +155,49 @@ def filament_census(
     return [f for f in fils if f.z_span >= min_span]
 
 
+def plot_filaments(
+    path: str,
+    vol_now: np.ndarray,
+    fils: List[Filament],
+    mid_slice: Optional[int] = None,
+) -> None:
+    """Save a two-panel figure: the mid-depth potential slice with
+    filament pierce points, and the filaments in (x, y) colored by z
+    (the top-down filament projection)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    vol_now = np.asarray(vol_now)
+    d = vol_now.shape[0]
+    z_mid = d // 2 if mid_slice is None else mid_slice
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(11, 5))
+    ax0.imshow(vol_now[z_mid], cmap="magma", origin="lower")
+    ax0.set_title(f"potential, z={z_mid}")
+    for f in fils:
+        on = f.points[np.abs(f.points[:, 0] - z_mid) < 1.0]
+        if len(on):
+            ax0.plot(on[:, 2], on[:, 1], "o", mfc="none",
+                     mec="cyan" if f.charge > 0 else "lime", ms=12, mew=2)
+    for f in fils:
+        sc = ax1.scatter(f.points[:, 2], f.points[:, 1],
+                         c=f.points[:, 0], cmap="viridis", vmin=0,
+                         vmax=max(d - 1, 1), s=18,
+                         marker="o" if f.charge > 0 else "s")
+        ax1.plot(f.points[:, 2], f.points[:, 1], "-", lw=0.8, alpha=0.6,
+                 color="gray")
+    ax1.set_xlim(0, vol_now.shape[2])
+    ax1.set_ylim(0, vol_now.shape[1])
+    ax1.set_aspect("equal")
+    ax1.set_title(f"{len(fils)} filament(s), top-down, colored by z")
+    if fils:
+        fig.colorbar(sc, ax=ax1, label="z slice")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def census_movie(
     movie: np.ndarray,
     tau: int = 2,
