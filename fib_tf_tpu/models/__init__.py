@@ -4,6 +4,7 @@ from fib_tf_tpu.models.base import IonicModel, Geometry, grid_geometry, cell_geo
 from fib_tf_tpu.models.fenton import Fenton4v
 from fib_tf_tpu.models.beeler_reuter import BeelerReuter
 from fib_tf_tpu.models.courtemanche import Courtemanche, CourtemancheUltra
+from fib_tf_tpu.models.mitchell_schaeffer import MitchellSchaeffer
 
 MODEL_REGISTRY = {
     "fenton": Fenton4v,
@@ -12,6 +13,8 @@ MODEL_REGISTRY = {
     "court": Courtemanche,
     "courtemanche": Courtemanche,
     "court_ultra": CourtemancheUltra,
+    "ms": MitchellSchaeffer,
+    "mitchell_schaeffer": MitchellSchaeffer,
 }
 
 __all__ = [
@@ -23,5 +26,6 @@ __all__ = [
     "BeelerReuter",
     "Courtemanche",
     "CourtemancheUltra",
+    "MitchellSchaeffer",
     "MODEL_REGISTRY",
 ]
