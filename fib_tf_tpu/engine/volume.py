@@ -83,7 +83,10 @@ def run_volume(
     probe: Optional[Callable] = None,
     frames_every: Optional[int] = None,
     allow_unstable_dt: bool = False,
-) -> Tuple[Dict[str, np.ndarray], np.ndarray, Optional[np.ndarray]]:
+    rotor_probe: bool = False,
+    rotor_tau_ms: float = 10.0,
+    rotor_v_star: float = 0.5,
+):
     """Advance a `[depth, H, W]` volume `n_outer` outer steps.
 
     - `state`: stacked `[D, H, W]` planes (default: `volume_state`).
@@ -98,9 +101,18 @@ def run_volume(
     - `frames_every`: record the normalized `[D, H, W]` potential every
       this many outer steps (host-side chunking, like the engine's
       dt_per_plot frames).
+    - `rotor_probe`: also emit a LIVE per-slice rotor census from inside
+      the compiled scan — `[n_outer, D, 2]` of (count, net topological
+      charge) per z-slice vs the sample `rotor_tau_ms` ago (the same
+      delay-embedding ring buffer as the 2D engine's
+      SimConfig.rotor_probe, stencil.rotor_metrics applied slice-wise).
+      Unlike the 2D engine's census this one SHARDS with the volume:
+      the per-slice winding is z-elementwise, so a z-sharded mesh needs
+      no extra collectives.  With `rotor_probe`, `probes` is a dict
+      {'v': [n_outer], 'rotors': [n_outer, D, 2]}.
 
-    Returns (final state, probes `[n_outer]`, frames
-    `[n_frames, D, H, W]` or None).
+    Returns (final state, probes `[n_outer]` (or dict, see above),
+    frames `[n_frames, D, H, W]` or None).
 
     Stability: the symbol of the 3D operator bottoms out at
     −(8 + 8·dz_ratio) (in-plane 9-point: −8 at the checkerboard mode,
@@ -139,6 +151,15 @@ def run_volume(
     ev_masks = [jnp.asarray(e.resolve_mask(model, depth)) for e in events]
     ev_steps = [int(e.step) for e in events]
 
+    tau_steps = 0
+    if rotor_probe:
+        tau_steps = max(1, int(round(
+            rotor_tau_ms / (model.dt_per_step * model.cfg.dt)
+        )))
+
+    def image(s):
+        return (s[pot_key] - model.min_v) / (model.max_v - model.min_v)
+
     _cache: Dict[tuple, Callable] = {}
 
     def chunk_fn(length: int, start: int):
@@ -152,44 +173,72 @@ def run_volume(
             return _cache[key]
 
         def body(carry, _):
-            s, i = carry
+            s, i, buf, idx = carry
             s = model.step(s, geom)
             pot = s[pot_key]
             for t, m in fire:
                 pot = jnp.where(i == t, jnp.maximum(pot, m), pot)
             s = {**s, pot_key: pot}
-            return (s, i + 1), probe(s)
+            out = {"v": probe(s)}
+            if rotor_probe:
+                from fib_tf_tpu.ops import stencil
+
+                img = image(s)
+                old = jax.lax.dynamic_index_in_dim(
+                    buf, idx, 0, keepdims=False
+                )
+                out["rotors"] = jax.vmap(
+                    lambda a, b: stencil.rotor_metrics(
+                        a, b, v_star=rotor_v_star
+                    )
+                )(img, old)
+                buf = jax.lax.dynamic_update_index_in_dim(buf, img, idx, 0)
+                idx = (idx + 1) % tau_steps
+            return (s, i + 1, buf, idx), out
 
         @jax.jit
-        def chunk(s):
-            (s, _), p = jax.lax.scan(
-                body, (s, jnp.int32(0)), None, length=length
+        def chunk(s, buf, idx):
+            (s, _, buf, idx), p = jax.lax.scan(
+                body, (s, jnp.int32(0), buf, idx), None, length=length
             )
-            return s, p
+            return s, buf, idx, p
 
         _cache[key] = chunk
         return chunk
 
     st = {k: jnp.asarray(v) for k, v in state.items()}
+    if rotor_probe:
+        img0 = jnp.asarray(
+            (np.asarray(state[pot_key], np.float32) - model.min_v)
+            / (model.max_v - model.min_v)
+        )
+        buf = jnp.tile(img0[None], (tau_steps, 1, 1, 1))
+    else:
+        buf = jnp.zeros((), jnp.float32)  # loop-invariant placeholder
+    idx = jnp.int32(0)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+        ax = mesh.axis_names[0]
+        sh = NamedSharding(mesh, P(ax, None, None))
         st = {k: jax.device_put(v, sh) for k, v in st.items()}
+        if rotor_probe:
+            # the ring buffer shards along z too — the per-slice winding
+            # is z-elementwise, so the census needs no collectives
+            buf = jax.device_put(buf, NamedSharding(mesh, P(None, ax)))
 
     frames: Optional[List[np.ndarray]] = None
-    probes: List[np.ndarray] = []
+    probes: List[Dict[str, np.ndarray]] = []
     if frames_every is None:
-        chunk = chunk_fn(n_outer, 0)
-        st, p = chunk(st)
-        probes.append(np.asarray(p))
+        st, buf, idx, p = chunk_fn(n_outer, 0)(st, buf, idx)
+        probes.append(jax.tree.map(np.asarray, p))
     else:
         frames = []
         done = 0
         while done < n_outer:
             length = min(frames_every, n_outer - done)
-            st, p = chunk_fn(length, done)(st)
-            probes.append(np.asarray(p))
+            st, buf, idx, p = chunk_fn(length, done)(st, buf, idx)
+            probes.append(jax.tree.map(np.asarray, p))
             done += length
             img = (np.asarray(st[pot_key]) - model.min_v) / (
                 model.max_v - model.min_v
@@ -202,8 +251,11 @@ def run_volume(
             "non-finite potential in run_volume (the reference's disabled "
             "NaN check, ionic.py:208-212, would have integrated on)"
         )
+    streams = {
+        k: np.concatenate([p[k] for p in probes]) for k in probes[0]
+    }
     return (
         final,
-        np.concatenate(probes),
+        streams if rotor_probe else streams["v"],
         np.stack(frames) if frames is not None else None,
     )
