@@ -343,7 +343,7 @@ class Simulation:
         # survives it (PAD_OVERHEAD_MAX).
         if (
             _jax.default_backend() != "tpu"
-            or self.model.name not in ("fenton", "br", "court",
+            or self.model.name not in ("fenton", "br", "court", "ms",
                                        "court_ultra")
         ):
             return False
@@ -618,7 +618,7 @@ class Simulation:
 
         return (
             _jax.default_backend() == "tpu"
-            and self.model.name in ("fenton", "br", "court", "court_ultra")
+            and self.model.name in ("fenton", "br", "court", "court_ultra", "ms")
             and not self.cfg.table
         )
 

@@ -12,6 +12,7 @@ from fib_tf_tpu.models import (
     BeelerReuter,
     Courtemanche,
     Fenton4v,
+    MitchellSchaeffer,
     grid_geometry,
 )
 from fib_tf_tpu.ops import stencil
@@ -63,6 +64,7 @@ class TestPallasStep:
         (Fenton4v, {}),
         (BeelerReuter, dict(diff=0.809, cheby=True, skip=True)),
         (Courtemanche, dict(diff=0.809)),
+        (MitchellSchaeffer, {}),
     ])
     def test_matches_xla_step(self, model_cls, extra):
         c = cfg(**extra)
