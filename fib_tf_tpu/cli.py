@@ -391,6 +391,10 @@ def cmd_filaments(args) -> int:
     from fib_tf_tpu.utils.filaments import census_movie
 
     movie = np.load(args.path)
+    if movie.ndim != 4 or movie.shape[0] <= args.tau:
+        print(f"error: need a [T, D, H, W] movie with T > tau "
+              f"(got shape {movie.shape}, tau={args.tau})")
+        return 1
     per_t = census_movie(movie, tau=args.tau, link_dist=args.link_dist,
                          min_span=args.min_span)
     counts = [len(fs) for fs in per_t]
@@ -417,9 +421,8 @@ def cmd_filaments(args) -> int:
     if args.save_plot:
         from fib_tf_tpu.utils.filaments import plot_filaments
 
-        peak = int(np.argmax(counts)) if counts else 0
-        plot_filaments(args.save_plot, movie[peak + args.tau],
-                       per_t[peak] if per_t else [])
+        peak = int(np.argmax(counts))
+        plot_filaments(args.save_plot, movie[peak + args.tau], per_t[peak])
         print(f"saved {args.save_plot}")
     return 0
 

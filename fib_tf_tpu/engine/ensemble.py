@@ -75,6 +75,17 @@ def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool,
     over the member axis (zero collectives — members are independent), so
     the per-shard vmapped kernel still engages; run_ensemble pads the
     batch to a shard multiple with dummy members, so any n works."""
+    if getattr(model.cfg, "adaptive_dv", None) is not None:
+        # same rule as Simulation._use_pallas: the step-doubling
+        # refinement is a data-dependent lax.cond the fused Mosaic
+        # kernels cannot trace (they fuse fixed-dt substep groups)
+        if kernel == "pallas":
+            raise ValueError(
+                "adaptive_dv runs on the XLA path (the fused kernels "
+                "trace fixed-dt substeps); drop kernel='pallas' or "
+                "adaptive_dv"
+            )
+        return False
     if kernel == "xla":
         return False
     if per_member_phase:

@@ -125,6 +125,13 @@ def run_volume(
     `allow_unstable_dt=True` (e.g. a z-uniform volume never excites the
     z modes).
     """
+    if depth < 3:
+        raise ValueError(
+            "run_volume needs depth >= 3 (the SYMMETRIC face rewrite "
+            "replaces both boundary slices with interior neighbors, so "
+            "a 1- or 2-slice volume has no interior); use the 2D engine "
+            "for sheets"
+        )
     lam = (8.0 + 8.0 * dz_ratio) * model.cfg.diff
     dt_limit = 2.0 / lam
     if (model.cfg.dt > dt_limit and model.cfg.adaptive_dv is None
@@ -157,9 +164,6 @@ def run_volume(
             rotor_tau_ms / (model.dt_per_step * model.cfg.dt)
         )))
 
-    def image(s):
-        return (s[pot_key] - model.min_v) / (model.max_v - model.min_v)
-
     _cache: Dict[tuple, Callable] = {}
 
     def chunk_fn(length: int, start: int):
@@ -183,7 +187,7 @@ def run_volume(
             if rotor_probe:
                 from fib_tf_tpu.ops import stencil
 
-                img = image(s)
+                img = model.image(s)
                 old = jax.lax.dynamic_index_in_dim(
                     buf, idx, 0, keepdims=False
                 )
@@ -208,10 +212,10 @@ def run_volume(
 
     st = {k: jnp.asarray(v) for k, v in state.items()}
     if rotor_probe:
-        img0 = jnp.asarray(
-            (np.asarray(state[pot_key], np.float32) - model.min_v)
-            / (model.max_v - model.min_v)
-        )
+        img0 = jnp.asarray(np.asarray(
+            model.image({pot_key: np.asarray(state[pot_key], np.float32)}),
+            np.float32,
+        ))
         buf = jnp.tile(img0[None], (tau_steps, 1, 1, 1))
     else:
         buf = jnp.zeros((), jnp.float32)  # loop-invariant placeholder
@@ -240,9 +244,7 @@ def run_volume(
             st, buf, idx, p = chunk_fn(length, done)(st, buf, idx)
             probes.append(jax.tree.map(np.asarray, p))
             done += length
-            img = (np.asarray(st[pot_key]) - model.min_v) / (
-                model.max_v - model.min_v
-            )
+            img = np.asarray(model.image({pot_key: np.asarray(st[pot_key])}))
             frames.append(img.astype(np.float32))
 
     final = {k: np.asarray(v) for k, v in st.items()}

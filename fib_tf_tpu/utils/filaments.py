@@ -99,11 +99,11 @@ def link_filaments(
         used = np.zeros(len(sings), bool)
         still_open: List[List[np.ndarray]] = []
         # match each open filament to its nearest unused singularity
+        # (every open filament was extended at z-1: unmatched ones are
+        # closed below, so there is no gap-coasting — a z-gap breaks
+        # the filament)
         for fil in open_fils:
             last = fil[-1]
-            if last[0] != z - 1:
-                done.append(_finish(fil))
-                continue
             best, best_d = None, link_dist
             for i, s in enumerate(sings):
                 if used[i] or s[2] != last[3]:
