@@ -411,6 +411,29 @@ class TestEnsemble:
         assert final["u"][0].max() > 0.5
         assert final["u"][1].max() < 0.1
 
+    def test_adaptive_members_run_on_xla_path(self):
+        """adaptive_dv ensembles fall back to vmapped XLA under 'auto'
+        (the step-doubling cond can't trace into the Mosaic kernel) and
+        reject a forced kernel='pallas' — mirroring Simulation's rule.
+        Under vmap the cond lowers to select (both branches execute),
+        value-identical to the per-member cond."""
+        import pytest as _pytest
+
+        from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
+
+        cfg = small_cfg(duration=5).replace(adaptive_dv=1e9,
+                                            adaptive_depth=1)
+        model = Fenton4v(cfg)
+        plain = Fenton4v(small_cfg(duration=5))
+        stacked = stack_states([model.initial_state(s1=True)] * 2)
+        final, probes = run_ensemble(model, stacked, n_outer=2)
+        want, _ = run_ensemble(plain, stacked, n_outer=2)
+        for k in want:
+            np.testing.assert_allclose(final[k], want[k],
+                                       rtol=1e-6, atol=1e-8)
+        with _pytest.raises(ValueError, match="XLA path"):
+            run_ensemble(model, stacked, n_outer=1, kernel="pallas")
+
     def test_sharded_over_mesh(self):
         from fib_tf_tpu.engine.ensemble import run_ensemble, stack_states
         from fib_tf_tpu.parallel import make_mesh
