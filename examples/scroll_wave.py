@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--duration", type=float, default=600.0)
     ap.add_argument("--s2-ms", type=float, default=250.0)
     ap.add_argument("--dz-ratio", type=float, default=1.0)
+    ap.add_argument("--fiber-twist", type=float, default=0.0,
+                    help="total transmural fiber rotation in degrees "
+                         "(e.g. 120, the human LV wall; Fenton & Karma "
+                         "1998 rotational anisotropy)")
+    ap.add_argument("--fiber-ratio", type=float, default=1.0,
+                    help="cross-fiber conduction fraction (enable the "
+                         "twist by setting < 1, e.g. 0.25)")
     ap.add_argument("--save-cube", default=None,
                     help="save the mid-depth slice movie (npy) for "
                          "examples/playcube.py")
@@ -54,6 +61,8 @@ def main():
     final, probes, frames = run_volume(
         model, depth=args.depth, n_outer=n_outer,
         dz_ratio=args.dz_ratio,
+        fiber_twist=np.deg2rad(args.fiber_twist),
+        fiber_ratio=args.fiber_ratio,
         events=[VolumeEvent(step=s2_step, loc="luq", z1=args.depth // 2)],
         frames_every=max(1, n_outer // 30),
     )

@@ -78,6 +78,9 @@ def run_volume(
     state: Optional[Dict[str, np.ndarray]] = None,
     phase: Optional[np.ndarray] = None,
     dz_ratio: float = 1.0,
+    fiber_twist: float = 0.0,
+    fiber_angle0: float = 0.0,
+    fiber_ratio: float = 1.0,
     mesh=None,
     events: Sequence[VolumeEvent] = (),
     probe: Optional[Callable] = None,
@@ -92,6 +95,13 @@ def run_volume(
     - `state`: stacked `[D, H, W]` planes (default: `volume_state`).
     - `phase`: optional 2D `[H, W]` field extruded along z.
     - `dz_ratio`: transmural conduction fraction (1.0 = isotropic).
+    - `fiber_twist` / `fiber_angle0` / `fiber_ratio`: rotational
+      anisotropy — the in-plane fiber direction rotates linearly by
+      `fiber_twist` radians across the depth around `fiber_angle0`,
+      with cross-fiber conduction `fiber_ratio` (< 1) of along-fiber
+      (the ventricular transmural fiber rotation of Fenton & Karma
+      1998; ~2.1 rad across a human LV wall).  fiber_ratio = 1 is
+      isotropic (the twist is then a no-op and skipped).
     - `mesh`: shard the z axis over the mesh's first axis (GSPMD; the
       halo is one z-slice each way).
     - `events`: VolumeEvents fired inside the scan.
@@ -142,9 +152,15 @@ def run_volume(
             f"dz_ratio, set adaptive_dv (step-doubling rescue), or pass "
             f"allow_unstable_dt=True (e.g. for z-uniform fields)"
         )
+    if not 0.0 < fiber_ratio <= 1.0:
+        raise ValueError("fiber_ratio must be in (0, 1]")
+    fiber = None
+    if fiber_ratio < 1.0:
+        angles = stencil3d.twist_angles(depth, fiber_angle0, fiber_twist)
+        fiber = stencil3d.fiber_tensors(angles, fiber_ratio)
     if state is None:
         state = volume_state(model, depth)
-    geom = volume_geometry(phase, dz_ratio=dz_ratio)
+    geom = volume_geometry(phase, dz_ratio=dz_ratio, fiber=fiber)
     pot_key = model.pot_key
 
     if probe is None:

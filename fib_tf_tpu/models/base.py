@@ -90,14 +90,19 @@ def grid_geometry(
 def volume_geometry(
     phase: Optional[np.ndarray] = None,
     dz_ratio: float = 1.0,
+    fiber: Optional[tuple] = None,
 ) -> Geometry:
     """3D `[D, H, W]` tissue geometry (beyond reference parity — the
     reference is strictly 2D): per-slice 9-point stencil + 2x-scaled z
     second difference (ops/stencil3d.laplace3d; planar waves conduct at
     the same speed along z as in-plane) and the SYMMETRIC border rewrite
     on all faces.  `phase` is an optional 2D `[H, W]` field extruded
-    along z (columnar obstacles; ∂zϕ = 0 exactly).  Models run in 3D
-    unchanged — their math is elementwise except these two operators."""
+    along z (columnar obstacles; ∂zϕ = 0 exactly).  `fiber` is an
+    optional per-slice (or shared) in-plane diffusion tensor
+    (dxx, dxy, dyy) for rotational anisotropy — see
+    stencil3d.laplace3d / twist_angles / fiber_tensors.  Models run in
+    3D unchanged — their math is elementwise except these two
+    operators."""
     from fib_tf_tpu.ops import stencil3d
 
     pp = None
@@ -107,7 +112,7 @@ def volume_geometry(
         )
     return Geometry(
         laplace=lambda x: stencil3d.laplace3d(
-            x, phase_padded=pp, dz_ratio=dz_ratio
+            x, phase_padded=pp, dz_ratio=dz_ratio, fiber=fiber
         ),
         enforce_boundary=stencil3d.enforce_boundary3d,
     )

@@ -42,6 +42,7 @@ def laplace3d(
     x: jnp.ndarray,
     phase_padded: Optional[jnp.ndarray] = None,
     dz_ratio: float = 1.0,
+    fiber: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """9-point in-plane + 2x-scaled z second difference, REFLECT ends.
 
@@ -49,13 +50,62 @@ def laplace3d(
     phase field `[H+2, W+2]` shared by every slice (extruded obstacles).
     `dz_ratio` scales conduction along z relative to in-plane (the
     transmural-anisotropy knob; 1.0 = isotropic).
+
+    `fiber` is an optional `(dxx, dxy, dyy)` in-plane diffusion tensor —
+    scalars (one fiber direction everywhere) or `[D]` arrays (a tensor
+    PER SLICE).  Per-slice tensors realize ROTATIONAL anisotropy: the
+    ventricular fiber direction twisting with depth, the geometry whose
+    scroll-wave destabilization Fenton & Karma mapped (Chaos 1998,
+    "Vortex dynamics in three-dimensional continuous myocardium with
+    fiber rotation") — build the angles with `twist_angles` and the
+    tensors with `stencil.fiber_tensor`.  The in-plane operator is the
+    2D `stencil.anisotropic_laplace` vmapped with its slice's tensor
+    (same 2x normalization, same phase-field correction), so a
+    zero-twist volume reproduces the 2D anisotropic operator exactly.
     """
-    planar = jax.vmap(
-        lambda s: stencil.laplace(s, phase_padded=phase_padded)
-    )(x)
+    if fiber is None:
+        planar = jax.vmap(
+            lambda s: stencil.laplace(s, phase_padded=phase_padded)
+        )(x)
+    else:
+        d = x.shape[0]
+        dxx, dxy, dyy = (
+            jnp.broadcast_to(jnp.asarray(c, jnp.float32), (d,))
+            for c in fiber
+        )
+        planar = jax.vmap(
+            lambda s, a, b, c: stencil.anisotropic_laplace(
+                s, a, b, c, phase_padded=phase_padded
+            )
+        )(x, dxx, dxy, dyy)
     xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)), mode="reflect")
     z = xp[:-2] - 2.0 * x + xp[2:]
     return planar + (2.0 * dz_ratio) * z
+
+
+def twist_angles(
+    depth: int, angle0: float = 0.0, twist: float = 0.0
+) -> np.ndarray:
+    """Per-slice fiber angles for a linear transmural rotation: `twist`
+    radians total across the depth, centered on `angle0` (the
+    epicardium-to-endocardium fiber rotation, ~120 degrees in ventricle;
+    Fenton & Karma 1998).  Returns `[depth]` float32 radians."""
+    if depth < 2 or twist == 0.0:
+        return np.full(depth, angle0, np.float32)
+    frac = np.arange(depth, dtype=np.float32) / (depth - 1) - 0.5
+    return (angle0 + twist * frac).astype(np.float32)
+
+
+def fiber_tensors(angles: np.ndarray, ratio: float):
+    """Per-slice `(dxx, dxy, dyy)` arrays from `[D]` fiber angles
+    (vectorized `stencil.fiber_tensor`)."""
+    a = np.asarray(angles, np.float32)
+    c, s = np.cos(a), np.sin(a)
+    dxx = c * c + ratio * s * s
+    dyy = s * s + ratio * c * c
+    dxy = (1.0 - ratio) * c * s
+    return (dxx.astype(np.float32), dxy.astype(np.float32),
+            dyy.astype(np.float32))
 
 
 def enforce_boundary3d(x: jnp.ndarray) -> jnp.ndarray:
