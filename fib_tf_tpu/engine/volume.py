@@ -71,6 +71,66 @@ class VolumeEvent:
         )
 
 
+# VMEM envelope for whole-volume kernel residency — same measured cutover
+# as the 2D engine's whole-grid kernel (Simulation.WHOLE_GRID_STATE_MB_MAX)
+VOLUME_KERNEL_STATE_MB_MAX = 32.0
+
+
+def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
+                       ) -> bool:
+    """Kernel selection for run_volume, mirroring Simulation._use_pallas:
+    'pallas' forces the fused whole-volume kernel (rejecting un-lowerable
+    combinations up front), 'auto' picks it where profitable on TPU."""
+    if kernel not in ("auto", "pallas", "xla"):
+        raise ValueError(f"kernel must be auto|pallas|xla, got {kernel!r}")
+    if kernel == "xla":
+        return False
+    cfg = model.cfg
+    if mesh is not None:
+        if kernel == "pallas":
+            raise ValueError(
+                "the fused volume kernel is single-chip (GSPMD cannot "
+                "partition pallas_call); drop mesh or kernel='pallas'"
+            )
+        return False
+    if cfg.adaptive_dv is not None:
+        if kernel == "pallas":
+            raise ValueError(
+                "adaptive_dv runs on the XLA path (the fused kernels "
+                "trace fixed-dt substeps); drop kernel='pallas' or "
+                "adaptive_dv"
+            )
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    aligned = cfg.width % 128 == 0 and cfg.height % 8 == 0
+    table = bool(getattr(cfg, "table", False))
+    if kernel == "pallas":
+        if on_tpu:
+            if table and model.name in ("court", "court_ultra"):
+                raise ValueError(
+                    "table-mode gathers don't lower in Mosaic; use "
+                    "kernel='xla' or drop table=True"
+                )
+            if not aligned:
+                raise ValueError(
+                    f"{cfg.width}x{cfg.height} is not (128, 8)-aligned; "
+                    "the whole-volume kernel needs aligned (H, W) — use "
+                    "kernel='xla' or an aligned grid"
+                )
+        return True
+    # auto: measured profitable on TPU within the VMEM envelope (see
+    # docs/OPTIMIZATIONS.md §14 for the volume measurements)
+    if not on_tpu or not aligned or table:
+        return False
+    if model.name not in ("fenton", "br", "court", "court_ultra", "ms"):
+        return False
+    state_mb = (
+        len(model.state_keys()) * depth * cfg.height * cfg.width * 4
+        / 2 ** 20
+    )
+    return state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+
+
 def run_volume(
     model: IonicModel,
     depth: int,
@@ -89,6 +149,7 @@ def run_volume(
     rotor_probe: bool = False,
     rotor_tau_ms: float = 10.0,
     rotor_v_star: float = 0.5,
+    kernel: str = "auto",
 ):
     """Advance a `[depth, H, W]` volume `n_outer` outer steps.
 
@@ -120,6 +181,13 @@ def run_volume(
       the per-slice winding is z-elementwise, so a z-sharded mesh needs
       no extra collectives.  With `rotor_probe`, `probes` is a dict
       {'v': [n_outer], 'rotors': [n_outer, D, 2]}.
+    - `kernel`: 'auto' | 'pallas' | 'xla'.  'auto' picks the fused
+      whole-volume Pallas kernel (ops/pallas_volume.py) on TPU when the
+      volume is unsharded, (8, 128)-aligned in (H, W), and the state
+      fits the whole-grid VMEM envelope; 'pallas' forces it (CPU runs
+      interpreter mode); 'xla' forces the plain path.  The kernel path
+      composes with phase fields, dz_ratio, fiber twist, events, and
+      both probes (only `model.step` moves inside the kernel).
 
     Returns (final state, probes `[n_outer]` (or dict, see above),
     frames `[n_frames, D, H, W]` or None).
@@ -161,6 +229,14 @@ def run_volume(
     if state is None:
         state = volume_state(model, depth)
     geom = volume_geometry(phase, dz_ratio=dz_ratio, fiber=fiber)
+    if _use_volume_kernel(model, depth, mesh, kernel):
+        from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
+
+        step_fn = make_pallas_volume_step(
+            model, depth, phase=phase, dz_ratio=dz_ratio, fiber=fiber
+        )
+    else:
+        step_fn = lambda s: model.step(s, geom)
     pot_key = model.pot_key
 
     if probe is None:
@@ -194,7 +270,7 @@ def run_volume(
 
         def body(carry, _):
             s, i, buf, idx = carry
-            s = model.step(s, geom)
+            s = step_fn(s)
             pot = s[pot_key]
             for t, m in fire:
                 pot = jnp.where(i == t, jnp.maximum(pot, m), pot)

@@ -269,6 +269,115 @@ class TestLiveRotorProbe:
         np.testing.assert_allclose(p_u["v"], p_s["v"], atol=1e-5)
 
 
+class TestVolumeKernel:
+    """The fused whole-volume Pallas kernel (ops/pallas_volume.py) must
+    reproduce the XLA volume path (interpreter mode on CPU; the same
+    code Mosaic-compiles on TPU)."""
+
+    def test_vmem_operators_match_stencil3d(self):
+        from fib_tf_tpu.ops import stencil
+        from fib_tf_tpu.ops.pallas_volume import (
+            vmem_enforce_boundary3d,
+            vmem_laplace3d,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(5, 12, 16)).astype(np.float32))
+        ph = stencil.add_hole_to_phase_field(None, 12, 16, 6, 8, 3)
+        pp = jnp.asarray(np.pad(np.asarray(ph, np.float32), 1,
+                                mode="reflect"))
+        np.testing.assert_allclose(
+            np.asarray(vmem_laplace3d(x)),
+            np.asarray(stencil3d.laplace3d(x)), rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(vmem_laplace3d(x, jnp.asarray(ph), dz_ratio=0.4)),
+            np.asarray(stencil3d.laplace3d(x, phase_padded=pp,
+                                           dz_ratio=0.4)),
+            rtol=1e-5, atol=1e-5,
+        )
+        ang = stencil3d.twist_angles(5, 0.3, 2.1)
+        fib = stencil3d.fiber_tensors(ang, 0.3)
+        fib3 = tuple(jnp.asarray(c.reshape(5, 1, 1)) for c in fib)
+        np.testing.assert_allclose(
+            np.asarray(vmem_laplace3d(x, jnp.asarray(ph), fiber=fib3)),
+            np.asarray(stencil3d.laplace3d(x, phase_padded=pp,
+                                           fiber=fib)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(vmem_enforce_boundary3d(x)),
+            np.asarray(stencil3d.enforce_boundary3d(x)),
+        )
+
+    @pytest.mark.parametrize("model_cls,extra,steps", [
+        (Fenton4v, {}, 2),
+        (BeelerReuter, dict(cheby=True, skip=True, diff=0.809), 2),
+    ])
+    def test_step_matches_xla(self, model_cls, extra, steps):
+        from fib_tf_tpu.ops import stencil
+        from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
+
+        m = model_cls(SimConfig(width=24, height=16, dt=0.05, **extra))
+        ph = stencil.add_hole_to_phase_field(None, 16, 24, 8, 12, 3)
+        st = {k: jnp.asarray(v) for k, v in volume_state(m, 4).items()}
+        geom = volume_geometry(ph, dz_ratio=0.5)
+        want = st
+        for _ in range(steps):
+            want = m.step(want, geom)
+        pstep = make_pallas_volume_step(m, 4, phase=ph, dz_ratio=0.5)
+        got = st
+        for _ in range(steps):
+            got = pstep(got)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+    def test_courtemanche_step_matches_xla(self):
+        from fib_tf_tpu.models.courtemanche import Courtemanche
+        from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
+
+        m = Courtemanche(SimConfig(width=16, height=8, dt=0.02,
+                                   diff=0.809))
+        st = {k: jnp.asarray(v) for k, v in volume_state(m, 3).items()}
+        geom = volume_geometry()
+        want = m.step(st, geom)
+        got = make_pallas_volume_step(m, 3)(st)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+    def test_run_volume_forced_kernel_matches(self):
+        m = Fenton4v(SimConfig(width=128, height=16, dt=0.05))
+        kw = dict(depth=4, n_outer=6,
+                  events=[VolumeEvent(step=2, loc="luq")],
+                  fiber_twist=1.0, fiber_ratio=0.4)
+        f_x, p_x, _ = run_volume(m, kernel="xla", **kw)
+        f_p, p_p, _ = run_volume(m, kernel="pallas", **kw)
+        for k in f_x:
+            np.testing.assert_allclose(f_p[k], f_x[k], rtol=1e-5,
+                                       atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(p_p, p_x, atol=1e-6)
+
+    def test_forced_kernel_rejections(self):
+        from jax.sharding import Mesh
+
+        m = Fenton4v(SimConfig(width=128, height=16, dt=0.05))
+        with pytest.raises(ValueError, match="single-chip"):
+            run_volume(m, depth=4, n_outer=1, kernel="pallas",
+                       mesh=Mesh(np.array(jax.devices()[:1]), ("z",)))
+        m2 = Fenton4v(SimConfig(width=128, height=16, dt=0.05,
+                                adaptive_dv=0.5))
+        with pytest.raises(ValueError, match="adaptive_dv"):
+            run_volume(m2, depth=4, n_outer=1, kernel="pallas")
+        with pytest.raises(ValueError, match="auto"):
+            run_volume(m, depth=4, n_outer=1, kernel="fused")
+
+
 class TestShardedVolume:
     def test_z_sharded_matches_unsharded(self):
         from jax.sharding import Mesh
