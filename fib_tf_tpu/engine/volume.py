@@ -131,6 +131,42 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
     return state_mb <= VOLUME_KERNEL_STATE_MB_MAX
 
 
+def _use_shard_kernel(model: IonicModel, depth: int, n_shards: int,
+                      kernel: str) -> bool:
+    """Kernel selection for the wide-halo shard_map volume path: does
+    the per-shard substep group run in the fused volume block kernel
+    (ops/pallas_volume.make_volume_block_kernel)?"""
+    if kernel == "xla":
+        return False
+    cfg = model.cfg
+    on_tpu = jax.default_backend() == "tpu"
+    aligned = cfg.width % 128 == 0 and cfg.height % 8 == 0
+    table = bool(getattr(cfg, "table", False))
+    if kernel == "pallas":
+        if on_tpu:
+            if table and model.name in ("court", "court_ultra"):
+                raise ValueError(
+                    "table-mode gathers don't lower in Mosaic; use "
+                    "kernel='xla' or drop table=True"
+                )
+            if not aligned:
+                raise ValueError(
+                    f"{cfg.width}x{cfg.height} is not (128, 8)-aligned; "
+                    "the volume block kernel needs aligned (H, W)"
+                )
+        return True
+    if not on_tpu or not aligned or table:
+        return False
+    if model.name not in ("fenton", "br", "court", "court_ultra", "ms"):
+        return False
+    ext_d = depth // n_shards + 2 * model.dt_per_step
+    state_mb = (
+        len(model.state_keys()) * ext_d * cfg.height * cfg.width * 4
+        / 2 ** 20
+    )
+    return state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+
+
 def run_volume(
     model: IonicModel,
     depth: int,
@@ -150,6 +186,7 @@ def run_volume(
     rotor_tau_ms: float = 10.0,
     rotor_v_star: float = 0.5,
     kernel: str = "auto",
+    wide_halo: bool = False,
 ):
     """Advance a `[depth, H, W]` volume `n_outer` outer steps.
 
@@ -165,6 +202,16 @@ def run_volume(
       isotropic (the twist is then a no-op and skipped).
     - `mesh`: shard the z axis over the mesh's first axis (GSPMD; the
       halo is one z-slice each way).
+    - `wide_halo` (needs `mesh`): switch from GSPMD to the explicit
+      shard_map schedule (parallel/volume_spmd.py) — K = dt_per_step
+      ghost z-slices ride ICI ONCE per outer step (vs one slice per
+      substep), and the fused substep group runs on the extended block;
+      with `kernel` 'auto'/'pallas' the group runs VMEM-resident in the
+      per-shard volume block kernel — the 3D analog of the 2D engine's
+      best sharded configuration (OPTIMIZATIONS §10b).  Needs depth
+      divisible by the mesh size and >= dt_per_step slices per shard;
+      the default probe only (custom `probe` callables see global
+      state, which a shard_map body does not have).
     - `events`: VolumeEvents fired inside the scan.
     - `probe`: state -> scalar sampled every outer step; default = the
       model's normalized potential at the mid-depth probe pixel (the 3D
@@ -229,7 +276,28 @@ def run_volume(
     if state is None:
         state = volume_state(model, depth)
     geom = volume_geometry(phase, dz_ratio=dz_ratio, fiber=fiber)
-    if _use_volume_kernel(model, depth, mesh, kernel):
+    spmd_kernel = False
+    if wide_halo:
+        if mesh is None:
+            raise ValueError("wide_halo needs a mesh (z-sharded volume)")
+        if model.cfg.adaptive_dv is not None:
+            raise ValueError(
+                "adaptive_dv is single-chip/XLA-path only; drop "
+                "wide_halo or adaptive_dv"
+            )
+        if probe is not None:
+            raise ValueError(
+                "custom probe callables are not supported with "
+                "wide_halo (the shard_map body sees z-local blocks); "
+                "use the default probe or the GSPMD path"
+            )
+        from fib_tf_tpu.parallel.volume_spmd import check_volume_shards
+
+        n_shards = int(mesh.devices.shape[0])
+        check_volume_shards(depth, n_shards, model.dt_per_step)
+        spmd_kernel = _use_shard_kernel(model, depth, n_shards, kernel)
+        step_fn = None
+    elif _use_volume_kernel(model, depth, mesh, kernel):
         from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
 
         step_fn = make_pallas_volume_step(
@@ -267,6 +335,20 @@ def run_volume(
         key = (length, tuple((t, id(m)) for t, m in fire))
         if key in _cache:
             return _cache[key]
+
+        if wide_halo:
+            from fib_tf_tpu.parallel.volume_spmd import (
+                make_volume_spmd_chunk,
+            )
+
+            chunk = make_volume_spmd_chunk(
+                model, mesh, length, depth, fire=fire, phase=phase,
+                dz_ratio=dz_ratio, fiber=fiber, use_kernel=spmd_kernel,
+                rotor=rotor_probe, tau_steps=tau_steps,
+                rotor_v_star=rotor_v_star,
+            )
+            _cache[key] = chunk
+            return chunk
 
         def body(carry, _):
             s, i, buf, idx = carry

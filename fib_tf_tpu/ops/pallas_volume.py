@@ -134,6 +134,188 @@ def vmem_volume_geometry(
 
 
 # -----------------------------------------------------------------------------
+# z-halo block geometry (the wide-halo shard_map path, parallel/volume_spmd)
+# -----------------------------------------------------------------------------
+
+def _zup_raw(x: jnp.ndarray) -> jnp.ndarray:
+    """y[z] = x[z-1]; slice 0 keeps itself (halo garbage, masked away)."""
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+
+def _zdown_raw(x: jnp.ndarray) -> jnp.ndarray:
+    """y[z] = x[z+1]; last slice keeps itself."""
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+
+def zblock_geometry(
+    zg: jnp.ndarray,
+    d_total: int,
+    phase: Optional[jnp.ndarray] = None,
+    dz_ratio: float = 1.0,
+    fiber: Optional[tuple] = None,
+) -> Geometry:
+    """Geometry over a volume block extended with K ghost z-slices — the
+    3D analog of ops.pallas_tiled.block_geometry.
+
+    `zg` is the `[ext_d, 1, 1]` int32 array of global z indices of the
+    block's slices; slices outside [0, d_total) are halo garbage that
+    shrinks away one ring per substep.  In-plane each shard owns the full
+    `[H, W]` sheet, so the in-plane operators are the plain VMEM shift
+    forms (vmem_laplace3d's planar part, REFLECT/SYMMETRIC at the true
+    edges); only the z direction needs global-edge masking (REFLECT at
+    global z = 0 / d_total-1, ghost slices elsewhere).  `fiber` entries
+    must already be halo-EXTENDED `[ext_d, 1, 1]` per-slice tensors
+    (static — the caller ppermutes them once per chunk)."""
+    top = zg == 0
+    bottom = zg == d_total - 1
+
+    def zup(x):
+        # reflect at the global top face: slice 0's z-neighbor is slice 1
+        return jnp.where(top, _zdown_raw(x), _zup_raw(x))
+
+    def zdown(x):
+        return jnp.where(bottom, _zup_raw(x), _zdown_raw(x))
+
+    def laplace(x):
+        n = _shift3(x, -1, 0)
+        s = _shift3(x, 1, 0)
+        w = _shift3(x, 0, -1)
+        e = _shift3(x, 0, 1)
+        nw = _shift3(x, -1, -1)
+        ne = _shift3(x, -1, 1)
+        sw = _shift3(x, 1, -1)
+        se = _shift3(x, 1, 1)
+        if fiber is None:
+            planar = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
+            if phase is not None:
+                pn = _shift2d(phase, -1, 0)
+                ps = _shift2d(phase, 1, 0)
+                pw = _shift2d(phase, 0, -1)
+                pe = _shift2d(phase, 0, 1)
+                planar = planar + (
+                    (s - n) * (ps - pn) + (e - w) * (pe - pw)
+                ) / (4.0 * phase)
+        else:
+            dxx, dxy, dyy = fiber
+            vxx = w - 2.0 * x + e
+            vyy = n - 2.0 * x + s
+            vxy = 0.25 * (se + nw - sw - ne)
+            planar = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+            if phase is not None:
+                gx = e - w
+                gy = s - n
+                px = _shift2d(phase, 0, 1) - _shift2d(phase, 0, -1)
+                py = _shift2d(phase, 1, 0) - _shift2d(phase, -1, 0)
+                planar = planar + (
+                    gx * (dxx * px + dxy * py)
+                    + gy * (dxy * px + dyy * py)
+                ) / (4.0 * phase)
+        z = zup(x) - 2.0 * x + zdown(x)
+        return planar + (2.0 * dz_ratio) * z
+
+    def enforce_boundary(x):
+        # SYMMETRIC z faces only at the global edges (interior neighbor
+        # replaces the face slice), in-plane faces everywhere
+        x = jnp.where(top, _zdown_raw(x), x)
+        x = jnp.where(bottom, _zup_raw(x), x)
+        x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
+        x = jnp.concatenate(
+            [x[:, :, 1:2], x[:, :, 1:-1], x[:, :, -2:-1]], axis=2
+        )
+        return x
+
+    return Geometry(laplace=laplace, enforce_boundary=enforce_boundary)
+
+
+def make_volume_block_kernel(
+    model: IonicModel,
+    ext_d: int,
+    d_total: int,
+    has_phase: bool = False,
+    dz_ratio: float = 1.0,
+    has_fiber: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Fused substep-group kernel over ONE z-halo-extended volume block —
+    the per-shard compute of the wide-halo shard_map volume path
+    (parallel/volume_spmd.py), mirroring ops.pallas_tiled.make_block_kernel.
+
+    The caller exchanges K ghost z-slices via ppermute, then this kernel
+    advances the whole fused substep group with the block VMEM-resident.
+    `zstart` (the block's global z start, axis_index-dependent) enters as
+    a runtime `[1]` int32 input; fiber tensors enter halo-extended as
+    `[ext_d, 1, 1]` inputs.
+
+    Returns `step(ext_state, zstart[, phase][, fiber]) -> ext_state`
+    (halo slices of the output are garbage; the caller crops)."""
+    names = model.state_keys()
+    n = len(names)
+    h, w = model.cfg.height, model.cfg.width
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(*refs):
+        from fib_tf_tpu.ops import integrators
+
+        ins = refs[:n]
+        i = n
+        zstart_ref = refs[i]
+        i += 1
+        phase_arr = refs[i][:] if has_phase else None
+        i += 1 if has_phase else 0
+        fib = None
+        if has_fiber:
+            fib = tuple(refs[i + j][:] for j in range(3))
+            i += 3
+        outs = refs[-n:]
+
+        zg = zstart_ref[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (ext_d, 1, 1), 0
+        )
+        geom = zblock_geometry(zg, d_total, phase_arr, dz_ratio, fib)
+        state = {kk: r[:] for kk, r in zip(names, ins)}
+        integrators._IN_PALLAS_KERNEL = True
+        try:
+            state = model.kernel_step(state, geom)
+        finally:
+            integrators._IN_PALLAS_KERNEL = False
+        for kk, r in zip(names, outs):
+            r[:] = state[kk]
+
+    plane = jax.ShapeDtypeStruct((ext_d, h, w), jnp.float32)
+    vspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM)
+    in_specs = [vspec] * n + [sspec]
+    if has_phase:
+        in_specs.append(vspec)
+    if has_fiber:
+        in_specs.extend([vspec] * 3)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[plane] * n,
+        in_specs=in_specs,
+        out_specs=[vspec] * n,
+        input_output_aliases={i: i for i in range(n)},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    def step(ext_state, zstart, phase=None, fiber=None):
+        args = [ext_state[k] for k in names]
+        args.append(jnp.asarray(zstart, jnp.int32).reshape(1))
+        if has_phase:
+            args.append(phase)
+        if has_fiber:
+            args.extend(fiber)
+        outs = call(*args)
+        return dict(zip(names, outs))
+
+    return step
+
+
+# -----------------------------------------------------------------------------
 # The fused volume kernel
 # -----------------------------------------------------------------------------
 

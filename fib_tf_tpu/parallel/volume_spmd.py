@@ -1,0 +1,221 @@
+"""Wide-halo shard_map chunk for 3D volumes (z-sharded).
+
+The 2D engine's best sharded configuration is the wide-halo shard_map
+path with the per-shard fused Pallas block kernel (parallel/spmd.py,
+measured in docs/OPTIMIZATIONS.md §10b).  This module is its 3D analog
+for `engine/volume.run_volume`: the `[D, H, W]` state is sharded along
+z, each outer step exchanges K = dt_per_step ghost SLICES each way via
+ring ppermute (one big ICI message per neighbor per outer step instead
+of one per substep), and the whole fused substep group runs on the
+extended block — per-shard either as plain XLA or VMEM-resident inside
+`ops.pallas_volume.make_volume_block_kernel`.  Ghost slices decay one
+ring per substep, exactly like the 2D wide-halo rows.
+
+The z-coupling is one slice of state each way; in-plane each shard owns
+the full sheet, so in-plane operators need no communication and the 2D
+extruded phase field is simply replicated.  Per-slice fiber tensors
+(rotational anisotropy) are z-sharded and halo-extended once per chunk
+— static data never re-rides ICI (same rule as parallel/spmd.py's
+phase handling).
+
+Probes mirror run_volume's: the scalar v probe is a masked psum (only
+the shard owning the mid-depth slice contributes), and the per-slice
+rotor census is z-elementwise so each shard emits its own slice rows
+(out_spec shards the D axis of the census — zero extra collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from fib_tf_tpu.models.base import IonicModel
+from fib_tf_tpu.ops.pallas_volume import (
+    make_volume_block_kernel,
+    zblock_geometry,
+)
+
+
+def check_volume_shards(depth: int, n_shards: int, k: int) -> None:
+    """Wide-halo precondition: z divides evenly and every shard owns at
+    least K slices (ghosts come from the immediate neighbor only)."""
+    if depth % n_shards != 0:
+        raise ValueError(
+            f"depth {depth} not divisible by the mesh's {n_shards} shards"
+        )
+    if depth // n_shards < k:
+        raise ValueError(
+            f"wide_halo needs >= dt_per_step={k} z-slices per shard, got "
+            f"{depth // n_shards}; use fewer devices or a deeper volume"
+        )
+
+
+def make_volume_spmd_chunk(
+    model: IonicModel,
+    mesh: Mesh,
+    length: int,
+    depth: int,
+    fire: Sequence[Tuple[int, jnp.ndarray]] = (),
+    phase: Optional[np.ndarray] = None,
+    dz_ratio: float = 1.0,
+    fiber: Optional[tuple] = None,
+    use_kernel: bool = False,
+    rotor: bool = False,
+    tau_steps: int = 0,
+    rotor_v_star: float = 0.5,
+):
+    """Build a jitted `chunk(state, buf, idx) -> (state, buf, idx,
+    probes)` advancing `length` outer steps of a z-sharded `[D, H, W]`
+    volume entirely inside one shard_map over `mesh`'s first axis —
+    drop-in for run_volume's single-device chunk.
+
+    `fire` is the chunk-relative event list [(step, [D, H, W] mask)];
+    masks are z-sharded alongside the state.  `fiber` is the tuple of
+    `[D]` per-slice tensor arrays (stencil3d.fiber_tensors) or None.
+    With `rotor`, `buf` is the [tau, D, H, W] delay ring buffer (sharded
+    on D) and probes gain the per-slice census stream."""
+    axis = mesh.axis_names[0]
+    n_shards = int(mesh.devices.shape[0])
+    k = model.dt_per_step
+    check_volume_shards(depth, n_shards, k)
+    d_local = depth // n_shards
+    ext_d = d_local + 2 * k
+    cfg = model.cfg
+    pot_key = model.pot_key
+    probe_row, probe_col = model.probe_pixel
+    zmid = depth // 2
+    names = model.state_keys()
+
+    has_phase = phase is not None
+    phase_arr = jnp.asarray(np.asarray(phase, np.float32)) if has_phase \
+        else None
+    has_fiber = fiber is not None
+    fiber_arrs = [
+        jnp.asarray(np.broadcast_to(np.asarray(c, np.float32), (depth,))
+                    .reshape(depth, 1, 1).copy())
+        for c in (fiber or ())
+    ]
+    ev_masks = [jnp.asarray(m) for _, m in fire]
+    ev_steps = [int(t) for t, _ in fire]
+
+    kern = None
+    if use_kernel:
+        kern = make_volume_block_kernel(
+            model, ext_d, depth, has_phase=has_phase, dz_ratio=dz_ratio,
+            has_fiber=has_fiber,
+        )
+
+    def extend(v):
+        n = lax.axis_size(axis)
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        top = lax.ppermute(v[-k:], axis, fwd)
+        bottom = lax.ppermute(v[:k], axis, bwd)
+        return jnp.concatenate([top, v, bottom], axis=0)
+
+    def local_fn(state, buf, idx, *extras):
+        i = 0
+        phase_local = None
+        if has_phase:
+            phase_local = extras[i]
+            i += 1
+        fiber_local = None
+        if has_fiber:
+            fiber_local = tuple(extras[i:i + 3])
+            i += 3
+        masks_local = extras[i:]
+
+        zstart = lax.axis_index(axis) * d_local - k
+        zg = zstart + lax.broadcasted_iota(jnp.int32, (ext_d, 1, 1), 0)
+        fiber_ext = (
+            tuple(extend(f) for f in fiber_local) if has_fiber else None
+        )
+        if not use_kernel:
+            geom = zblock_geometry(
+                zg, depth, phase_local, dz_ratio, fiber_ext
+            )
+
+        def probe_v(s):
+            lz = zmid - lax.axis_index(axis) * d_local
+            owned = (lz >= 0) & (lz < d_local)
+            val = jnp.where(
+                owned,
+                lax.dynamic_index_in_dim(
+                    s[pot_key], jnp.clip(lz, 0, d_local - 1), 0,
+                    keepdims=False,
+                )[probe_row, probe_col],
+                0.0,
+            )
+            return (lax.psum(val, axis) - model.min_v) / (
+                model.max_v - model.min_v
+            )
+
+        def body(carry, _):
+            s, i, buf, idx = carry
+            ext = {kk: extend(v) for kk, v in s.items()}
+            if use_kernel:
+                ext = kern(ext, zstart, phase_local, fiber_ext)
+            else:
+                ext = model.step(ext, geom)
+            s = {kk: v[k:-k] for kk, v in ext.items()}
+            pot = s[pot_key]
+            for t, m in zip(ev_steps, masks_local):
+                pot = jnp.where(i == t, jnp.maximum(pot, m), pot)
+            s = {**s, pot_key: pot}
+            out = {"v": probe_v(s)}
+            if rotor:
+                from fib_tf_tpu.ops import stencil
+
+                img = model.image(s)
+                old = lax.dynamic_index_in_dim(buf, idx, 0, keepdims=False)
+                out["rotors"] = jax.vmap(
+                    lambda a, b: stencil.rotor_metrics(
+                        a, b, v_star=rotor_v_star
+                    )
+                )(img, old)
+                buf = lax.dynamic_update_index_in_dim(buf, img, idx, 0)
+                idx = (idx + 1) % tau_steps
+            return (s, i + 1, buf, idx), out
+
+        (s, _, buf, idx), p = lax.scan(
+            body, (state, jnp.int32(0), buf, idx), None, length=length
+        )
+        return s, buf, idx, p
+
+    zplane = P(axis, None, None)
+    state_spec = {kk: zplane for kk in names}
+    buf_spec = P(None, axis, None, None) if rotor else P()
+    in_specs = [state_spec, buf_spec, P()]
+    if has_phase:
+        in_specs.append(P(None, None))
+    if has_fiber:
+        in_specs.extend([zplane] * 3)
+    in_specs.extend(zplane for _ in ev_masks)
+    probes_spec: Dict[str, P] = {"v": P()}
+    if rotor:
+        probes_spec["rotors"] = P(None, axis)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(state_spec, buf_spec, P(), probes_spec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def chunk(state, buf, idx):
+        return fn(
+            state, buf, idx,
+            *([phase_arr] if has_phase else []),
+            *fiber_arrs,
+            *ev_masks,
+        )
+
+    return chunk

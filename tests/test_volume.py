@@ -378,6 +378,73 @@ class TestVolumeKernel:
             run_volume(m, depth=4, n_outer=1, kernel="fused")
 
 
+class TestWideHaloVolume:
+    """The wide-halo shard_map volume path (parallel/volume_spmd.py):
+    K = dt_per_step ghost z-slices per outer-step exchange, per-shard
+    substep group as XLA or the fused volume block kernel.  Must match
+    the unsharded run to float noise."""
+
+    def _mesh(self, n):
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < n:
+            pytest.skip("needs the 8-device virtual mesh")
+        return Mesh(np.array(devs[:n]), ("z",))
+
+    @pytest.mark.parametrize("kern", ["xla", "pallas"])
+    def test_fenton_matches_unsharded(self, kern):
+        from fib_tf_tpu.ops import stencil
+
+        mesh = self._mesh(2)
+        m = Fenton4v(SimConfig(width=24, height=24, dt=0.05))
+        ph = stencil.add_hole_to_phase_field(None, 24, 24, 12, 12, 4)
+        kw = dict(depth=20, n_outer=20, phase=ph, dz_ratio=0.6,
+                  fiber_twist=1.5, fiber_ratio=0.4, rotor_probe=True,
+                  events=[VolumeEvent(step=5, loc="luq")])
+        f_u, p_u, _ = run_volume(m, **kw)
+        f_w, p_w, _ = run_volume(m, mesh=mesh, wide_halo=True,
+                                 kernel=kern, **kw)
+        for k in f_u:
+            np.testing.assert_allclose(f_w[k], f_u[k], rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(p_w["v"], p_u["v"], atol=1e-5)
+        np.testing.assert_allclose(p_w["rotors"], p_u["rotors"],
+                                   atol=1e-5)
+
+    def test_br_eight_shards_matches_unsharded(self):
+        mesh = self._mesh(8)
+        m = BeelerReuter(SimConfig(width=16, height=16, dt=0.05,
+                                   diff=0.809, cheby=True, skip=True))
+        kw = dict(depth=40, n_outer=6,
+                  events=[VolumeEvent(step=2, loc="luq", z1=20)])
+        f_u, p_u, _ = run_volume(m, **kw)
+        f_w, p_w, _ = run_volume(m, mesh=mesh, wide_halo=True,
+                                 kernel="xla", **kw)
+        for k in f_u:
+            np.testing.assert_allclose(f_w[k], f_u[k], rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(p_w, p_u, atol=1e-5)
+
+    def test_precondition_and_validation_errors(self):
+        mesh = self._mesh(8)
+        m = Fenton4v(SimConfig(width=24, height=24, dt=0.05))
+        with pytest.raises(ValueError, match="z-slices per shard"):
+            run_volume(m, depth=16, n_outer=1, mesh=mesh, wide_halo=True)
+        with pytest.raises(ValueError, match="not divisible"):
+            run_volume(m, depth=84, n_outer=1, mesh=mesh, wide_halo=True)
+        with pytest.raises(ValueError, match="needs a mesh"):
+            run_volume(m, depth=20, n_outer=1, wide_halo=True)
+        with pytest.raises(ValueError, match="custom probe"):
+            run_volume(m, depth=80, n_outer=1, mesh=mesh, wide_halo=True,
+                       probe=lambda s: s["u"][0, 0, 0])
+        m2 = Fenton4v(SimConfig(width=24, height=24, dt=0.05,
+                                adaptive_dv=0.5))
+        with pytest.raises(ValueError, match="single-chip"):
+            run_volume(m2, depth=80, n_outer=1, mesh=mesh,
+                       wide_halo=True)
+
+
 class TestShardedVolume:
     def test_z_sharded_matches_unsharded(self):
         from jax.sharding import Mesh
