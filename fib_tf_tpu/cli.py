@@ -14,6 +14,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu filaments vol.npy  # 3D scroll filament census
   python -m fib_tf_tpu s2scan --members 16   # vulnerable-window ensemble
   python -m fib_tf_tpu restitution --model br   # APD restitution curve
+  python -m fib_tf_tpu volume --depth 16 --s2 250   # 3D scroll wave
 """
 
 from __future__ import annotations
@@ -178,6 +179,46 @@ def build_parser() -> argparse.ArgumentParser:
                     default="auto")
     s2.add_argument("--json", action="store_true",
                     help="print one JSON line instead of the table")
+
+    vo = sub.add_parser(
+        "volume",
+        help="3D scroll-wave run (run_volume; beyond reference parity)",
+    )
+    vo.add_argument("--model", choices=sorted(MODEL_REGISTRY),
+                    default="fenton")
+    vo.add_argument("--depth", type=int, default=16)
+    vo.add_argument("--width", type=int, default=128)
+    vo.add_argument("--height", type=int, default=128)
+    vo.add_argument("--dt", type=float, default=0.05,
+                    help="must respect the 3D limit "
+                         "2/((8+8*dz_ratio)*diff)")
+    vo.add_argument("--diff", type=float, default=None)
+    vo.add_argument("--duration", type=float, default=600.0)
+    vo.add_argument("--dz-ratio", type=float, default=1.0,
+                    help="transmural conduction fraction")
+    vo.add_argument("--fiber-twist", type=float, default=0.0,
+                    help="total transmural fiber rotation (degrees)")
+    vo.add_argument("--fiber-ratio", type=float, default=1.0)
+    vo.add_argument("--s2", type=float, default=None,
+                    help="cross-field S2 time (ms); makes a scroll wave")
+    vo.add_argument("--s2-loc", default="luq")
+    vo.add_argument("--s2-z-frac", type=float, default=0.5,
+                    help="fraction of the depth the S2 covers (a partial"
+                         "-depth S2 puts the filament end mid-wall)")
+    vo.add_argument("--hole", action="append", default=[],
+                    help="x,y,radius[,neg] — columnar obstacle; may "
+                         "repeat")
+    vo.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    vo.add_argument("--rotor", action="store_true",
+                    help="live per-slice rotor census stream")
+    vo.add_argument("--frames", type=float, default=None,
+                    help="record [D,H,W] frames every N ms")
+    vo.add_argument("--save-volume", default=None,
+                    help="save the [T,D,H,W] movie (npy) for `filaments`")
+    vo.add_argument("--save-cube", default=None,
+                    help="save the mid-depth slice movie for `replay`")
+    vo.add_argument("--json", action="store_true")
 
     rs = sub.add_parser(
         "restitution",
@@ -499,6 +540,89 @@ def cmd_s2scan(args) -> int:
     return 0
 
 
+def cmd_volume(args) -> int:
+    """3D scroll-wave experiment (engine/volume.run_volume) — the 3D
+    generalization of the reference's S1-S2 spiral protocols
+    (fenton.py:155-187), which a 2D framework cannot represent."""
+    import time
+
+    from fib_tf_tpu.engine.volume import VolumeEvent, run_volume
+    from fib_tf_tpu.ops import stencil
+    from fib_tf_tpu.utils import viz
+
+    cfg = SimConfig(
+        width=args.width, height=args.height, dt=args.dt,
+        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        duration=args.duration,
+        ultra_slow=(args.model == "court_ultra"),
+    )
+    model = MODEL_REGISTRY[args.model](cfg)
+    n_outer = int(args.duration / (model.dt_per_step * args.dt))
+
+    phase = None
+    for spec in args.hole:
+        parts = spec.split(",")
+        x, y, r = float(parts[0]), float(parts[1]), float(parts[2])
+        neg = len(parts) > 3 and parts[3] in ("neg", "1", "true")
+        phase = stencil.add_hole_to_phase_field(
+            phase, args.height, args.width, x, y, r, neg=neg
+        )
+
+    events = []
+    if args.s2 is not None:
+        s2_step = int(args.s2 / (model.dt_per_step * args.dt))
+        events.append(VolumeEvent(
+            step=s2_step, loc=args.s2_loc,
+            z1=max(1, int(round(args.depth * args.s2_z_frac))),
+        ))
+
+    frames_every = None
+    if args.frames is not None:
+        frames_every = max(1, int(args.frames / (model.dt_per_step
+                                                 * args.dt)))
+    elif args.save_volume or args.save_cube:
+        frames_every = max(1, n_outer // 60)
+
+    t0 = time.perf_counter()
+    final, probes, frames = run_volume(
+        model, depth=args.depth, n_outer=n_outer, phase=phase,
+        dz_ratio=args.dz_ratio,
+        fiber_twist=np.deg2rad(args.fiber_twist),
+        fiber_ratio=args.fiber_ratio, events=events,
+        frames_every=frames_every, rotor_probe=args.rotor,
+        kernel=args.kernel,
+    )
+    elapsed = time.perf_counter() - t0
+
+    img = (np.asarray(final[model.pot_key]) - model.min_v) / (
+        model.max_v - model.min_v
+    )
+    cells = args.depth * args.height * args.width
+    summary = {
+        "model": args.model,
+        "shape": [args.depth, args.height, args.width],
+        "outer_steps": n_outer,
+        "elapsed_s": round(elapsed, 3),
+        "cell_updates_per_sec": round(
+            cells * n_outer * model.dt_per_step / elapsed
+        ),
+        "final_activity_fraction": round(float((img > 0.1).mean()), 4),
+    }
+    if args.rotor:
+        r = np.asarray(probes["rotors"])
+        summary["rotors"] = {
+            "mean_count": round(float(r[:, :, 0].sum(axis=1).mean()), 3),
+            "max_count": int(r[:, :, 0].sum(axis=1).max()),
+            "final_per_slice": [int(c) for c in r[-1, :, 0]],
+        }
+    print(json.dumps(summary))
+    if args.save_volume and frames is not None:
+        np.save(args.save_volume, frames)
+    if args.save_cube and frames is not None:
+        viz.save_cube(args.save_cube, frames[:, args.depth // 2])
+    return 0
+
+
 def cmd_restitution(args) -> int:
     """APD-restitution curve as one batched device program
     (engine/restitution.restitution_scan): every S2 coupling interval is
@@ -562,6 +686,7 @@ def main(argv=None) -> int:
         "dfmap": cmd_dfmap,
         "filaments": cmd_filaments,
         "s2scan": cmd_s2scan,
+        "volume": cmd_volume,
         "restitution": cmd_restitution,
     }[args.cmd](args)
 

@@ -134,6 +134,133 @@ def vmem_volume_geometry(
 
 
 # -----------------------------------------------------------------------------
+# Flattened [D*H, W] volume geometry — the Mosaic-fast layout
+# -----------------------------------------------------------------------------
+#
+# A [D, H, W] state can also be laid out as one [D*H, W] sheet (slices
+# stacked along rows).  Every operator then has exactly the 2D op shapes
+# the whole-grid kernels already Mosaic-compile quickly (row/col concat
+# shifts of a single big 2D array), at the cost of slice-edge masking:
+# in-plane row shifts must REFLECT at every slice boundary, and the z
+# coupling becomes a +/-H-row shift.  The masks come from two static
+# [D*H, 1] int32 index planes (row-within-slice, slice index) passed as
+# kernel inputs.
+
+def _rup(x):   # y[i] = x[i-1]; row 0 keeps itself (fixed by masks)
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+
+def _rdn(x):   # y[i] = x[i+1]; last row keeps itself
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+
+def _rup_h(x, h):   # y[i] = x[i-h] (value from the slice above)
+    return jnp.concatenate([x[:h], x[:-h]], axis=0)
+
+
+def _rdn_h(x, h):   # y[i] = x[i+h] (value from the slice below)
+    return jnp.concatenate([x[h:], x[-h:]], axis=0)
+
+
+def flat_volume_geometry(
+    depth: int,
+    h: int,
+    rrow: jnp.ndarray,
+    zidx: jnp.ndarray,
+    phase: Optional[jnp.ndarray] = None,
+    dz_ratio: float = 1.0,
+    fiber: Optional[tuple] = None,
+) -> Geometry:
+    """Volume geometry on the flattened `[D*H, W]` layout.
+
+    `rrow` / `zidx` are `[D*H, 1]` int32 planes holding row-within-slice
+    and slice index (static; kernel inputs).  `phase` is the z-tiled
+    `[D*H, W]` extruded field; `fiber` entries are `[D*H, 1]` per-slice
+    tensors (each slice's value repeated H times).  Value-identical to
+    vmem_volume_geometry / stencil3d on the reshaped planes."""
+    top = rrow == 0
+    bottom = rrow == h - 1
+    first = zidx == 0
+    last = zidx == depth - 1
+
+    def north_south(x):
+        # both raw row shifts computed once, shared by the two selects
+        ru = _rup(x)
+        rd = _rdn(x)
+        return jnp.where(top, rd, ru), jnp.where(bottom, ru, rd)
+
+    def west(x):
+        return jnp.concatenate([x[:, 1:2], x[:, :-1]], axis=1)
+
+    def east(x):
+        return jnp.concatenate([x[:, 1:], x[:, -2:-1]], axis=1)
+
+    def z_term(x):
+        # one raw +/-H shift each, REUSED by both edge selects — there is
+        # no CSE at trace time, and each H-block concat costs real Mosaic
+        # compile time at whole-volume tile counts
+        zu = _rup_h(x, h)
+        zd = _rdn_h(x, h)
+        zup = jnp.where(first, zd, zu)
+        zdown = jnp.where(last, zu, zd)
+        return zup - 2.0 * x + zdown
+
+    def laplace(x):
+        n, s = north_south(x)
+        w = west(x)
+        e = east(x)
+        nw = west(n)
+        ne = east(n)
+        sw = west(s)
+        se = east(s)
+        if fiber is None:
+            planar = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
+            if phase is not None:
+                pn, ps = north_south(phase)
+                pw = west(phase)
+                pe = east(phase)
+                planar = planar + (
+                    (s - n) * (ps - pn) + (e - w) * (pe - pw)
+                ) / (4.0 * phase)
+        else:
+            dxx, dxy, dyy = fiber
+            vxx = w - 2.0 * x + e
+            vyy = n - 2.0 * x + s
+            vxy = 0.25 * (se + nw - sw - ne)
+            planar = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+            if phase is not None:
+                pn, ps = north_south(phase)
+                gx = e - w
+                gy = s - n
+                px = east(phase) - west(phase)
+                py = ps - pn
+                planar = planar + (
+                    gx * (dxx * px + dxy * py)
+                    + gy * (dxy * px + dyy * py)
+                ) / (4.0 * phase)
+        return planar + (2.0 * dz_ratio) * z_term(x)
+
+    def enforce_boundary(x):
+        # same face-rewrite order as enforce_boundary3d: z, rows, cols.
+        # Each raw shift is computed once from the pre-rewrite array —
+        # equivalent for depth >= 3 / height >= 3 (the replaced faces
+        # never source from each other at those sizes, which run_volume
+        # enforces) and halves the H-block concat count
+        zd = _rdn_h(x, h)
+        zu = _rup_h(x, h)
+        x = jnp.where(first, zd, x)
+        x = jnp.where(last, zu, x)
+        rd = _rdn(x)
+        ru = _rup(x)
+        x = jnp.where(top, rd, x)
+        x = jnp.where(bottom, ru, x)
+        x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
+        return x
+
+    return Geometry(laplace=laplace, enforce_boundary=enforce_boundary)
+
+
+# -----------------------------------------------------------------------------
 # z-halo block geometry (the wide-halo shard_map path, parallel/volume_spmd)
 # -----------------------------------------------------------------------------
 
@@ -169,12 +296,16 @@ def zblock_geometry(
     top = zg == 0
     bottom = zg == d_total - 1
 
-    def zup(x):
-        # reflect at the global top face: slice 0's z-neighbor is slice 1
-        return jnp.where(top, _zdown_raw(x), _zup_raw(x))
-
-    def zdown(x):
-        return jnp.where(bottom, _zup_raw(x), _zdown_raw(x))
+    def z_term(x):
+        # raw shifts computed once and reused by both edge selects (no
+        # CSE at trace time; leading-axis concats cost Mosaic compile
+        # time).  Reflect at the global faces: slice 0's z-neighbor is
+        # slice 1, etc.
+        zu = _zup_raw(x)
+        zd = _zdown_raw(x)
+        zup = jnp.where(top, zd, zu)
+        zdown = jnp.where(bottom, zu, zd)
+        return zup - 2.0 * x + zdown
 
     def laplace(x):
         n = _shift3(x, -1, 0)
@@ -210,14 +341,17 @@ def zblock_geometry(
                     gx * (dxx * px + dxy * py)
                     + gy * (dxy * px + dyy * py)
                 ) / (4.0 * phase)
-        z = zup(x) - 2.0 * x + zdown(x)
-        return planar + (2.0 * dz_ratio) * z
+        return planar + (2.0 * dz_ratio) * z_term(x)
 
     def enforce_boundary(x):
         # SYMMETRIC z faces only at the global edges (interior neighbor
-        # replaces the face slice), in-plane faces everywhere
-        x = jnp.where(top, _zdown_raw(x), x)
-        x = jnp.where(bottom, _zup_raw(x), x)
+        # replaces the face slice), in-plane faces everywhere.  Raw
+        # shifts from the pre-rewrite array, computed once — equivalent
+        # for >= 3 slices between the global faces
+        zd = _zdown_raw(x)
+        zu = _zup_raw(x)
+        x = jnp.where(top, zd, x)
+        x = jnp.where(bottom, zu, x)
         x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
         x = jnp.concatenate(
             [x[:, :, 1:2], x[:, :, 1:-1], x[:, :, -2:-1]], axis=2
@@ -326,6 +460,7 @@ def make_pallas_volume_step(
     dz_ratio: float = 1.0,
     fiber: Optional[tuple] = None,
     interpret: Optional[bool] = None,
+    layout: str = "flat",
 ):
     """Build `step(state) -> state` advancing a `[depth, H, W]` volume one
     outer step (`dt_per_step` substeps) as a single VMEM-resident Pallas
@@ -335,19 +470,46 @@ def make_pallas_volume_step(
     (dxx, dxy, dyy) from stencil3d.fiber_tensors (or scalars); both are
     passed as extra kernel inputs.  On TPU the grid must be
     (8, 128)-aligned (H % 8 == 0, W % 128 == 0; depth is free — the
-    leading axis is untiled)."""
+    leading axis is untiled).
+
+    `layout` picks the in-kernel data layout.  'flat' (default) stacks
+    the slices into one `[D*H, W]` sheet so every operator has the 2D op
+    shapes the whole-grid kernels compile quickly, with slice-edge
+    masking from static index planes (flat_volume_geometry); '3d' keeps
+    native `[D, H, W]` arrays (vmem_volume_geometry) — value-identical,
+    but Mosaic compile time on the 3D layout was measured impractical
+    (>90 min for fenton 16x256x512 vs minutes flat)."""
+    if layout not in ("flat", "3d"):
+        raise ValueError(f"layout must be flat|3d, got {layout!r}")
     names = model.state_keys()
     n = len(names)
     h, w = model.cfg.height, model.cfg.width
+    flat = layout == "flat"
     has_phase = phase is not None
-    phase_f32 = np.asarray(phase, np.float32) if has_phase else None
+    if has_phase:
+        phase_f32 = np.asarray(phase, np.float32)
+        if flat:
+            phase_f32 = np.tile(phase_f32, (depth, 1))
+    else:
+        phase_f32 = None
     has_fiber = fiber is not None
     if has_fiber:
-        fiber_f32 = [
+        per_slice = [
             np.broadcast_to(np.asarray(c, np.float32), (depth,))
-            .reshape(depth, 1, 1).copy()
             for c in fiber
         ]
+        if flat:
+            fiber_f32 = [
+                np.repeat(c, h).reshape(depth * h, 1).copy()
+                for c in per_slice
+            ]
+        else:
+            fiber_f32 = [c.reshape(depth, 1, 1).copy() for c in per_slice]
+    if flat:
+        rrow_np = np.tile(np.arange(h, dtype=np.int32), depth
+                          ).reshape(depth * h, 1)
+        zidx_np = np.repeat(np.arange(depth, dtype=np.int32), h
+                            ).reshape(depth * h, 1)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -356,6 +518,10 @@ def make_pallas_volume_step(
 
         k = n
         ins = refs[:n]
+        if flat:
+            rrow = refs[k][:]
+            zidx = refs[k + 1][:]
+            k += 2
         phase_arr = refs[k][:] if has_phase else None
         k += 1 if has_phase else 0
         fib = None
@@ -364,7 +530,12 @@ def make_pallas_volume_step(
             k += 3
         outs = refs[k:]
         state = {key: r[:] for key, r in zip(names, ins)}
-        geom = vmem_volume_geometry(phase_arr, dz_ratio, fib)
+        if flat:
+            geom = flat_volume_geometry(
+                depth, h, rrow, zidx, phase_arr, dz_ratio, fib
+            )
+        else:
+            geom = vmem_volume_geometry(phase_arr, dz_ratio, fib)
         integrators._IN_PALLAS_KERNEL = True
         try:
             # substeps stay Python-unrolled: fori_loop measured a compile
@@ -375,9 +546,11 @@ def make_pallas_volume_step(
         for key, r in zip(names, outs):
             r[:] = state[key]
 
-    plane = jax.ShapeDtypeStruct((depth, h, w), jnp.float32)
+    shape = (depth * h, w) if flat else (depth, h, w)
+    plane = jax.ShapeDtypeStruct(shape, jnp.float32)
     spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
-    n_in = n + (1 if has_phase else 0) + (3 if has_fiber else 0)
+    n_in = (n + (2 if flat else 0) + (1 if has_phase else 0)
+            + (3 if has_fiber else 0))
     call = pl.pallas_call(
         kernel,
         out_shape=[plane] * n,
@@ -391,12 +564,18 @@ def make_pallas_volume_step(
     )
 
     def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        args = [state[k] for k in names]
+        if flat:
+            args = [state[k].reshape(depth * h, w) for k in names]
+            args.extend([jnp.asarray(rrow_np), jnp.asarray(zidx_np)])
+        else:
+            args = [state[k] for k in names]
         if has_phase:
             args.append(jnp.asarray(phase_f32))
         if has_fiber:
             args.extend(jnp.asarray(f) for f in fiber_f32)
         outs = call(*args)
+        if flat:
+            outs = [o.reshape(depth, h, w) for o in outs]
         return dict(zip(names, outs))
 
     return step

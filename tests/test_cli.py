@@ -182,6 +182,28 @@ class TestS2Scan:
         assert out.count("S2 @") == 2
 
 
+class TestVolume:
+    def test_volume_json_with_everything(self, tmp_path, capsys):
+        cube = tmp_path / "vol_cube"
+        vol = tmp_path / "vol_movie"
+        rc = cli.main([
+            "volume", "--model", "fenton", "--depth", "6", "--width",
+            "24", "--height", "24", "--duration", "40", "--s2", "20",
+            "--hole", "12,12,4", "--fiber-twist", "90", "--fiber-ratio",
+            "0.4", "--dz-ratio", "0.8", "--rotor", "--frames", "20",
+            "--save-cube", str(cube), "--save-volume", str(vol),
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["shape"] == [6, 24, 24]
+        assert rec["outer_steps"] == 80
+        assert 0.0 <= rec["final_activity_fraction"] <= 1.0
+        assert len(rec["rotors"]["final_per_slice"]) == 6
+        movie = np.load(str(vol) + ".npy")
+        assert movie.ndim == 4 and movie.shape[1:] == (6, 24, 24)
+        assert np.load(str(cube) + ".npy").shape[1:] == (24, 24)
+
+
 class TestRestitution:
     def test_restitution_json(self, capsys):
         rc = cli.main([

@@ -310,11 +310,12 @@ class TestVolumeKernel:
             np.asarray(stencil3d.enforce_boundary3d(x)),
         )
 
-    @pytest.mark.parametrize("model_cls,extra,steps", [
-        (Fenton4v, {}, 2),
-        (BeelerReuter, dict(cheby=True, skip=True, diff=0.809), 2),
+    @pytest.mark.parametrize("model_cls,extra,layout", [
+        (Fenton4v, {}, "flat"),
+        (Fenton4v, {}, "3d"),
+        (BeelerReuter, dict(cheby=True, skip=True, diff=0.809), "flat"),
     ])
-    def test_step_matches_xla(self, model_cls, extra, steps):
+    def test_step_matches_xla(self, model_cls, extra, layout):
         from fib_tf_tpu.ops import stencil
         from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
 
@@ -323,12 +324,29 @@ class TestVolumeKernel:
         st = {k: jnp.asarray(v) for k, v in volume_state(m, 4).items()}
         geom = volume_geometry(ph, dz_ratio=0.5)
         want = st
-        for _ in range(steps):
+        for _ in range(2):
             want = m.step(want, geom)
-        pstep = make_pallas_volume_step(m, 4, phase=ph, dz_ratio=0.5)
+        pstep = make_pallas_volume_step(m, 4, phase=ph, dz_ratio=0.5,
+                                        layout=layout)
         got = st
-        for _ in range(steps):
+        for _ in range(2):
             got = pstep(got)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+    def test_flat_layout_with_twist_matches_xla(self):
+        from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
+
+        m = Fenton4v(SimConfig(width=24, height=16, dt=0.05))
+        ang = stencil3d.twist_angles(4, 0.3, 1.2)
+        fib = stencil3d.fiber_tensors(ang, 0.35)
+        st = {k: jnp.asarray(v) for k, v in volume_state(m, 4).items()}
+        geom = volume_geometry(fiber=fib)
+        want = m.step(st, geom)
+        got = make_pallas_volume_step(m, 4, fiber=fib)(st)
         for k in want:
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(want[k]),

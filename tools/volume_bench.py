@@ -7,6 +7,12 @@ host sync).  Numbers land in docs/OPTIMIZATIONS.md §14.
 
   python tools/volume_bench.py fenton --depth 16 --height 256 --width 512 --kernel whole
   python tools/volume_bench.py br --depth 8 --height 256 --width 512 --kernel xla
+
+`--mesh1` runs the wide-halo shard_map chunk on a 1-device mesh (the
+identical ppermute/block-kernel program with zero-distance halos — the
+compute side of the multi-chip crossover, same methodology as
+tools/spmd_bench.py / OPTIMIZATIONS §10b); `--kernel whole` then means
+the per-shard fused volume block kernel.
 """
 
 import argparse
@@ -35,6 +41,10 @@ def main():
     p.add_argument("--fiber-ratio", type=float, default=1.0)
     p.add_argument("--outer", type=int, default=200)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--mesh1", action="store_true",
+                   help="run the wide-halo shard_map chunk on a 1-device "
+                        "mesh (zero-distance halos; measures the "
+                        "per-shard compute of the multi-chip path)")
     args = p.parse_args()
 
     from fib_tf_tpu.config import SimConfig
@@ -69,12 +79,29 @@ def main():
     state = {k: jnp.asarray(v)
              for k, v in volume_state(model, args.depth).items()}
 
-    def make_scan(n):
-        @jax.jit
-        def scan(s):
-            return jax.lax.scan(lambda st, _: (step(st), None), s, None,
-                                length=n)[0]
-        return scan
+    if args.mesh1:
+        from jax.sharding import Mesh
+        from fib_tf_tpu.parallel.volume_spmd import make_volume_spmd_chunk
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("z",))
+
+        def make_scan(n):
+            chunk = make_volume_spmd_chunk(
+                model, mesh, n, args.depth, dz_ratio=args.dz_ratio,
+                fiber=fiber, use_kernel=(args.kernel == "whole"),
+            )
+            buf = jnp.zeros((), jnp.float32)
+
+            def scan(s):
+                return chunk(s, buf, jnp.int32(0))[0]
+            return scan
+    else:
+        def make_scan(n):
+            @jax.jit
+            def scan(s):
+                return jax.lax.scan(lambda st, _: (step(st), None), s, None,
+                                    length=n)[0]
+            return scan
 
     scan1, scan2 = make_scan(args.outer), make_scan(2 * args.outer)
     print(f"compiling... (state {state_mb:.1f} MB)", flush=True)
