@@ -376,12 +376,20 @@ def make_volume_block_kernel(
 
     The caller exchanges K ghost z-slices via ppermute, then this kernel
     advances the whole fused substep group with the block VMEM-resident.
-    `zstart` (the block's global z start, axis_index-dependent) enters as
-    a runtime `[1]` int32 input; fiber tensors enter halo-extended as
-    `[ext_d, 1, 1]` inputs.
+    Internally the block runs in the FLAT `[ext_d * H, W]` layout (the
+    Mosaic-practical one — see flat_volume_geometry); the global-z edge
+    masks come from a `[ext_d * H, 1]` GLOBAL slice-index plane the
+    caller computes from `lax.axis_index` (so the same
+    flat_volume_geometry serves both the whole-volume and the block
+    kernel — halo slices have out-of-range indices and no mask fires on
+    them).
 
-    Returns `step(ext_state, zstart[, phase][, fiber]) -> ext_state`
-    (halo slices of the output are garbage; the caller crops)."""
+    Returns `step(ext_state, rrow, zidx_g[, phase_flat][, fiber_flat])
+    -> ext_state` where `rrow` is the static row-within-slice plane,
+    `zidx_g` the traced global slice indices, `phase_flat` the
+    `[ext_d*H, W]` tiled phase, and `fiber_flat` three `[ext_d*H, 1]`
+    halo-extended per-slice tensors.  Halo slices of the output are
+    garbage; the caller crops."""
     names = model.state_keys()
     n = len(names)
     h, w = model.cfg.height, model.cfg.width
@@ -393,8 +401,9 @@ def make_volume_block_kernel(
 
         ins = refs[:n]
         i = n
-        zstart_ref = refs[i]
-        i += 1
+        rrow = refs[i][:]
+        zidx_g = refs[i + 1][:]
+        i += 2
         phase_arr = refs[i][:] if has_phase else None
         i += 1 if has_phase else 0
         fib = None
@@ -403,10 +412,9 @@ def make_volume_block_kernel(
             i += 3
         outs = refs[-n:]
 
-        zg = zstart_ref[0] + jax.lax.broadcasted_iota(
-            jnp.int32, (ext_d, 1, 1), 0
+        geom = flat_volume_geometry(
+            d_total, h, rrow, zidx_g, phase_arr, dz_ratio, fib
         )
-        geom = zblock_geometry(zg, d_total, phase_arr, dz_ratio, fib)
         state = {kk: r[:] for kk, r in zip(names, ins)}
         integrators._IN_PALLAS_KERNEL = True
         try:
@@ -416,18 +424,13 @@ def make_volume_block_kernel(
         for kk, r in zip(names, outs):
             r[:] = state[kk]
 
-    plane = jax.ShapeDtypeStruct((ext_d, h, w), jnp.float32)
+    plane = jax.ShapeDtypeStruct((ext_d * h, w), jnp.float32)
     vspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM)
-    in_specs = [vspec] * n + [sspec]
-    if has_phase:
-        in_specs.append(vspec)
-    if has_fiber:
-        in_specs.extend([vspec] * 3)
+    n_in = n + 2 + (1 if has_phase else 0) + (3 if has_fiber else 0)
     call = pl.pallas_call(
         kernel,
         out_shape=[plane] * n,
-        in_specs=in_specs,
+        in_specs=[vspec] * n_in,
         out_specs=[vspec] * n,
         input_output_aliases={i: i for i in range(n)},
         interpret=interpret,
@@ -436,15 +439,16 @@ def make_volume_block_kernel(
         ),
     )
 
-    def step(ext_state, zstart, phase=None, fiber=None):
-        args = [ext_state[k] for k in names]
-        args.append(jnp.asarray(zstart, jnp.int32).reshape(1))
+    def step(ext_state, rrow, zidx_g, phase_flat=None, fiber_flat=None):
+        args = [ext_state[k].reshape(ext_d * h, w) for k in names]
+        args.extend([rrow, zidx_g])
         if has_phase:
-            args.append(phase)
+            args.append(phase_flat)
         if has_fiber:
-            args.extend(fiber)
+            args.extend(fiber_flat)
         outs = call(*args)
-        return dict(zip(names, outs))
+        return {k: o.reshape(ext_d, h, w)
+                for k, o in zip(names, outs)}
 
     return step
 

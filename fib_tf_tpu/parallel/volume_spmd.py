@@ -131,12 +131,33 @@ def make_volume_spmd_chunk(
             i += 3
         masks_local = extras[i:]
 
+        h = cfg.height
         zstart = lax.axis_index(axis) * d_local - k
         zg = zstart + lax.broadcasted_iota(jnp.int32, (ext_d, 1, 1), 0)
         fiber_ext = (
             tuple(extend(f) for f in fiber_local) if has_fiber else None
         )
-        if not use_kernel:
+        if use_kernel:
+            # static/per-chunk kernel inputs for the FLAT block layout:
+            # row-within-slice plane, traced global slice indices, tiled
+            # phase, and H-repeated halo-extended fiber tensors
+            rrow_c = jnp.asarray(
+                np.tile(np.arange(h, dtype=np.int32), ext_d)
+                .reshape(ext_d * h, 1)
+            )
+            zidx_g = (zstart + jnp.asarray(
+                np.repeat(np.arange(ext_d, dtype=np.int32), h)
+                .reshape(ext_d * h, 1)
+            ))
+            phase_flat = (
+                jnp.tile(phase_local, (ext_d, 1)) if has_phase else None
+            )
+            fiber_flat = (
+                tuple(jnp.repeat(f[:, :, 0], h, axis=0)
+                      for f in fiber_ext)
+                if has_fiber else None
+            )
+        else:
             geom = zblock_geometry(
                 zg, depth, phase_local, dz_ratio, fiber_ext
             )
@@ -160,7 +181,7 @@ def make_volume_spmd_chunk(
             s, i, buf, idx = carry
             ext = {kk: extend(v) for kk, v in s.items()}
             if use_kernel:
-                ext = kern(ext, zstart, phase_local, fiber_ext)
+                ext = kern(ext, rrow_c, zidx_g, phase_flat, fiber_flat)
             else:
                 ext = model.step(ext, geom)
             s = {kk: v[k:-k] for kk, v in ext.items()}
