@@ -75,6 +75,16 @@ class VolumeEvent:
 # as the 2D engine's whole-grid kernel (Simulation.WHOLE_GRID_STATE_MB_MAX)
 VOLUME_KERNEL_STATE_MB_MAX = 32.0
 
+# Mosaic compile time for the flat volume kernel grows ~quadratically in
+# the (8, 128) tile count of the flattened [D*H, W] sheet (measured on
+# v5e, fenton body: 512 tiles -> 158 s, 768 -> 399 s, 1024 -> >590 s,
+# 2048 -> >1 h; shift distance and aspect ratio don't matter).  'auto'
+# caps the kernel at 768 tiles (= 786k cells) so the one-time compile
+# stays in the same few-minute band as the 2D kernels; kernel='pallas'
+# overrides for users willing to pay a documented long compile once
+# (.jax_cache makes reruns free).
+VOLUME_KERNEL_CELLS_MAX = 768 * 8 * 128
+
 
 def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
                        ) -> bool:
@@ -128,11 +138,13 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
         len(model.state_keys()) * depth * cfg.height * cfg.width * 4
         / 2 ** 20
     )
-    return state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+    cells = depth * cfg.height * cfg.width
+    return (state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+            and cells <= VOLUME_KERNEL_CELLS_MAX)
 
 
 def _use_shard_kernel(model: IonicModel, depth: int, n_shards: int,
-                      kernel: str) -> bool:
+                      kernel: str, halo_k: int) -> bool:
     """Kernel selection for the wide-halo shard_map volume path: does
     the per-shard substep group run in the fused volume block kernel
     (ops/pallas_volume.make_volume_block_kernel)?"""
@@ -159,12 +171,14 @@ def _use_shard_kernel(model: IonicModel, depth: int, n_shards: int,
         return False
     if model.name not in ("fenton", "br", "court", "court_ultra", "ms"):
         return False
-    ext_d = depth // n_shards + 2 * model.dt_per_step
+    ext_d = depth // n_shards + 2 * halo_k
     state_mb = (
         len(model.state_keys()) * ext_d * cfg.height * cfg.width * 4
         / 2 ** 20
     )
-    return state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+    cells = ext_d * cfg.height * cfg.width
+    return (state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+            and cells <= VOLUME_KERNEL_CELLS_MAX)
 
 
 def run_volume(
@@ -187,6 +201,7 @@ def run_volume(
     rotor_v_star: float = 0.5,
     kernel: str = "auto",
     wide_halo: bool = False,
+    halo_k: Optional[int] = None,
 ):
     """Advance a `[depth, H, W]` volume `n_outer` outer steps.
 
@@ -209,9 +224,17 @@ def run_volume(
       with `kernel` 'auto'/'pallas' the group runs VMEM-resident in the
       per-shard volume block kernel — the 3D analog of the 2D engine's
       best sharded configuration (OPTIMIZATIONS §10b).  Needs depth
-      divisible by the mesh size and >= dt_per_step slices per shard;
-      the default probe only (custom `probe` callables see global
-      state, which a shard_map body does not have).
+      divisible by the mesh size and >= K slices per shard; the default
+      probe only (custom `probe` callables see global state, which a
+      shard_map body does not have).
+    - `halo_k` (wide_halo only): exchange cadence.  Default one
+      K = dt_per_step exchange per outer step; an explicit halo_k < K
+      exchanges halo_k ghost slices dt_per_step/halo_k times per outer
+      step instead — shards need only halo_k slices each (e.g. fenton's
+      K = 10 needs depth >= 10 x n_shards, but halo_k=2 runs depth 16
+      on 8 chips) and the fused blocks shrink, for more but smaller ICI
+      messages (same total bytes).  Needs uniform substeps (fenton, ms,
+      BR without skip — not BR skip / Courtemanche).
     - `events`: VolumeEvents fired inside the scan.
     - `probe`: state -> scalar sampled every outer step; default = the
       model's normalized potential at the mid-depth probe pixel (the 3D
@@ -230,8 +253,11 @@ def run_volume(
       {'v': [n_outer], 'rotors': [n_outer, D, 2]}.
     - `kernel`: 'auto' | 'pallas' | 'xla'.  'auto' picks the fused
       whole-volume Pallas kernel (ops/pallas_volume.py) on TPU when the
-      volume is unsharded, (8, 128)-aligned in (H, W), and the state
-      fits the whole-grid VMEM envelope; 'pallas' forces it (CPU runs
+      volume is unsharded, (8, 128)-aligned in (H, W), the state fits
+      the whole-grid VMEM envelope, AND the volume is small enough that
+      the one-time Mosaic compile stays in the 2D kernels' few-minute
+      band (VOLUME_KERNEL_CELLS_MAX — compile grows ~quadratically in
+      flattened tile count); 'pallas' forces it past the caps (CPU runs
       interpreter mode); 'xla' forces the plain path.  The kernel path
       composes with phase fields, dz_ratio, fiber twist, events, and
       both probes (only `model.step` moves inside the kernel).
@@ -291,11 +317,15 @@ def run_volume(
                 "wide_halo (the shard_map body sees z-local blocks); "
                 "use the default probe or the GSPMD path"
             )
-        from fib_tf_tpu.parallel.volume_spmd import check_volume_shards
+        from fib_tf_tpu.parallel.volume_spmd import (
+            check_volume_shards, resolve_halo_k,
+        )
 
         n_shards = int(mesh.devices.shape[0])
-        check_volume_shards(depth, n_shards, model.dt_per_step)
-        spmd_kernel = _use_shard_kernel(model, depth, n_shards, kernel)
+        k_resolved = resolve_halo_k(model, halo_k)
+        check_volume_shards(depth, n_shards, k_resolved)
+        spmd_kernel = _use_shard_kernel(model, depth, n_shards, kernel,
+                                        k_resolved)
         step_fn = None
     elif _use_volume_kernel(model, depth, mesh, kernel):
         from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
@@ -345,7 +375,7 @@ def run_volume(
                 model, mesh, length, depth, fire=fire, phase=phase,
                 dz_ratio=dz_ratio, fiber=fiber, use_kernel=spmd_kernel,
                 rotor=rotor_probe, tau_steps=tau_steps,
-                rotor_v_star=rotor_v_star,
+                rotor_v_star=rotor_v_star, halo_k=halo_k,
             )
             _cache[key] = chunk
             return chunk

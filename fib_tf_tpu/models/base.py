@@ -231,6 +231,26 @@ class IonicModel:
             commit_keys,
         )
 
+    @property
+    def has_uniform_substeps(self) -> bool:
+        """True when `step` is exactly `dt_per_step` identical `solve`
+        substeps, each applying the stencil once — the precondition for
+        splitting an outer step into arbitrary contiguous groups (the
+        wide-halo paths' `halo_k` sub-cadence).  Models with custom
+        substep schedules (BR skip groups, the Courtemanche fast/slow
+        split) override or fail the base check; adaptive_dv substeps can
+        consume multiple stencil applications, so they are excluded."""
+        return (type(self).step is IonicModel.step
+                and self.cfg.adaptive_dv is None)
+
+    def substep_group(self, state: State, geom: Geometry,
+                      count: int) -> State:
+        """`count` consecutive substeps — only meaningful when
+        `has_uniform_substeps` (callers must check)."""
+        for _ in range(count):
+            state = self.solve(state, geom)
+        return state
+
     def kernel_step(self, state: State, geom: Geometry) -> State:
         """The outer step as traced inside Pallas kernels.
 

@@ -368,6 +368,13 @@ class BeelerReuter(IonicModel):
         out.update(gates)
         return out
 
+    @property
+    def has_uniform_substeps(self) -> bool:
+        """Without `skip` the 5 substeps are identical solve(n=1) calls;
+        the skip schedule (one n=5 + four n=0) is not splittable at
+        arbitrary boundaries."""
+        return not self.cfg.skip and self.cfg.adaptive_dv is None
+
     def step(self, state: State, geom: Geometry,
              unroll: bool = True) -> State:
         """One outer step = 5 substeps; with `skip`, the first substep

@@ -369,6 +369,7 @@ def make_volume_block_kernel(
     dz_ratio: float = 1.0,
     has_fiber: bool = False,
     interpret: Optional[bool] = None,
+    substeps: Optional[int] = None,
 ):
     """Fused substep-group kernel over ONE z-halo-extended volume block —
     the per-shard compute of the wide-halo shard_map volume path
@@ -418,7 +419,12 @@ def make_volume_block_kernel(
         state = {kk: r[:] for kk, r in zip(names, ins)}
         integrators._IN_PALLAS_KERNEL = True
         try:
-            state = model.kernel_step(state, geom)
+            if substeps is None:
+                state = model.kernel_step(state, geom)
+            else:
+                # a sub-group of the outer step (the wide-halo halo_k
+                # cadence; requires model.has_uniform_substeps)
+                state = model.substep_group(state, geom, substeps)
         finally:
             integrators._IN_PALLAS_KERNEL = False
         for kk, r in zip(names, outs):

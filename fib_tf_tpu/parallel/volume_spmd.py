@@ -51,9 +51,41 @@ def check_volume_shards(depth: int, n_shards: int, k: int) -> None:
         )
     if depth // n_shards < k:
         raise ValueError(
-            f"wide_halo needs >= dt_per_step={k} z-slices per shard, got "
-            f"{depth // n_shards}; use fewer devices or a deeper volume"
+            f"wide_halo needs >= K={k} z-slices per shard (K = halo_k or "
+            f"dt_per_step), got {depth // n_shards}; use fewer devices, a "
+            f"deeper volume, or a smaller halo_k"
         )
+
+
+def resolve_halo_k(model: IonicModel, halo_k: Optional[int]) -> int:
+    """Validate and resolve the wide-halo exchange cadence: `None` means
+    one exchange of dt_per_step ghost slices per outer step; an explicit
+    `halo_k` splits the outer step into dt_per_step/halo_k groups of
+    halo_k substeps, each preceded by a halo_k-slice exchange — smaller
+    shards-per-chip and smaller fused blocks for more ICI messages.
+    Requires a model whose substeps are uniform (IonicModel
+    .has_uniform_substeps; BR's skip groups and Courtemanche's fast/slow
+    split are not splittable at arbitrary boundaries)."""
+    if halo_k is None:
+        return model.dt_per_step
+    if not 1 <= halo_k <= model.dt_per_step:
+        raise ValueError(
+            f"halo_k must be in [1, dt_per_step={model.dt_per_step}], "
+            f"got {halo_k}"
+        )
+    if model.dt_per_step % halo_k != 0:
+        raise ValueError(
+            f"halo_k={halo_k} must divide dt_per_step="
+            f"{model.dt_per_step}"
+        )
+    if halo_k != model.dt_per_step and not model.has_uniform_substeps:
+        raise ValueError(
+            f"halo_k < dt_per_step needs uniform substeps, which "
+            f"{model.name} does not have with this config (BR skip "
+            f"groups / Courtemanche fast-slow split / adaptive_dv are "
+            f"not splittable at arbitrary substep boundaries)"
+        )
+    return halo_k
 
 
 def make_volume_spmd_chunk(
@@ -69,6 +101,7 @@ def make_volume_spmd_chunk(
     rotor: bool = False,
     tau_steps: int = 0,
     rotor_v_star: float = 0.5,
+    halo_k: Optional[int] = None,
 ):
     """Build a jitted `chunk(state, buf, idx) -> (state, buf, idx,
     probes)` advancing `length` outer steps of a z-sharded `[D, H, W]`
@@ -82,7 +115,8 @@ def make_volume_spmd_chunk(
     on D) and probes gain the per-slice census stream."""
     axis = mesh.axis_names[0]
     n_shards = int(mesh.devices.shape[0])
-    k = model.dt_per_step
+    k = resolve_halo_k(model, halo_k)
+    n_groups = model.dt_per_step // k
     check_volume_shards(depth, n_shards, k)
     d_local = depth // n_shards
     ext_d = d_local + 2 * k
@@ -109,6 +143,7 @@ def make_volume_spmd_chunk(
         kern = make_volume_block_kernel(
             model, ext_d, depth, has_phase=has_phase, dz_ratio=dz_ratio,
             has_fiber=has_fiber,
+            substeps=(k if n_groups > 1 else None),
         )
 
     def extend(v):
@@ -177,14 +212,20 @@ def make_volume_spmd_chunk(
                 model.max_v - model.min_v
             )
 
-        def body(carry, _):
-            s, i, buf, idx = carry
+        def advance(s):
             ext = {kk: extend(v) for kk, v in s.items()}
             if use_kernel:
                 ext = kern(ext, rrow_c, zidx_g, phase_flat, fiber_flat)
+            elif n_groups > 1:
+                ext = model.substep_group(ext, geom, k)
             else:
                 ext = model.step(ext, geom)
-            s = {kk: v[k:-k] for kk, v in ext.items()}
+            return {kk: v[k:-k] for kk, v in ext.items()}
+
+        def body(carry, _):
+            s, i, buf, idx = carry
+            for _ in range(n_groups):
+                s = advance(s)
             pot = s[pot_key]
             for t, m in zip(ev_steps, masks_local):
                 pot = jnp.where(i == t, jnp.maximum(pot, m), pot)

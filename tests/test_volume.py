@@ -444,6 +444,45 @@ class TestWideHaloVolume:
                                        atol=1e-6, err_msg=k)
         np.testing.assert_allclose(p_w, p_u, atol=1e-5)
 
+    @pytest.mark.parametrize("kern", ["xla", "pallas"])
+    def test_halo_k_cadence_matches_unsharded(self, kern):
+        """halo_k=2 lets fenton (K=10) run depth 16 over 8 shards — the
+        exact configuration the default cadence rejects."""
+        mesh = self._mesh(8)
+        m = Fenton4v(SimConfig(width=24, height=24, dt=0.05))
+        kw = dict(depth=16, n_outer=12, dz_ratio=0.7,
+                  events=[VolumeEvent(step=4, loc="luq")])
+        f_u, p_u, _ = run_volume(m, **kw)
+        f_w, p_w, _ = run_volume(m, mesh=mesh, wide_halo=True, halo_k=2,
+                                 kernel=kern, **kw)
+        for k in f_u:
+            np.testing.assert_allclose(f_w[k], f_u[k], rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(p_w, p_u, atol=1e-5)
+
+    def test_halo_k_br_no_skip_and_rejections(self):
+        mesh = self._mesh(8)
+        mb = BeelerReuter(SimConfig(width=16, height=16, dt=0.05,
+                                    diff=0.809, cheby=True, skip=False))
+        kw = dict(depth=8, n_outer=6,
+                  events=[VolumeEvent(step=2, loc="luq")])
+        f_u, _, _ = run_volume(mb, **kw)
+        f_w, _, _ = run_volume(mb, mesh=mesh, wide_halo=True, halo_k=1,
+                               kernel="xla", **kw)
+        for k in f_u:
+            np.testing.assert_allclose(f_w[k], f_u[k], rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+        # BR skip groups are not splittable at arbitrary boundaries
+        mbs = BeelerReuter(SimConfig(width=16, height=16, dt=0.05,
+                                     diff=0.809, cheby=True, skip=True))
+        with pytest.raises(ValueError, match="uniform substeps"):
+            run_volume(mbs, depth=8, n_outer=1, mesh=mesh,
+                       wide_halo=True, halo_k=1)
+        m = Fenton4v(SimConfig(width=24, height=24, dt=0.05))
+        with pytest.raises(ValueError, match="must divide"):
+            run_volume(m, depth=16, n_outer=1, mesh=mesh,
+                       wide_halo=True, halo_k=3)
+
     def test_precondition_and_validation_errors(self):
         mesh = self._mesh(8)
         m = Fenton4v(SimConfig(width=24, height=24, dt=0.05))
