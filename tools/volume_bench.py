@@ -45,6 +45,8 @@ def main():
                    help="run the wide-halo shard_map chunk on a 1-device "
                         "mesh (zero-distance halos; measures the "
                         "per-shard compute of the multi-chip path)")
+    p.add_argument("--halo-k", type=int, default=None,
+                   help="wide-halo exchange cadence (see run_volume)")
     args = p.parse_args()
 
     from fib_tf_tpu.config import SimConfig
@@ -89,6 +91,7 @@ def main():
             chunk = make_volume_spmd_chunk(
                 model, mesh, n, args.depth, dz_ratio=args.dz_ratio,
                 fiber=fiber, use_kernel=(args.kernel == "whole"),
+                halo_k=args.halo_k,
             )
             buf = jnp.zeros((), jnp.float32)
 
