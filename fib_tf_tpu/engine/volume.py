@@ -112,33 +112,25 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
             )
         return False
     on_tpu = jax.default_backend() == "tpu"
-    aligned = cfg.width % 128 == 0 and cfg.height % 8 == 0
     table = bool(getattr(cfg, "table", False))
     if kernel == "pallas":
-        if on_tpu:
-            if table and model.name in ("court", "court_ultra"):
-                raise ValueError(
-                    "table-mode gathers don't lower in Mosaic; use "
-                    "kernel='xla' or drop table=True"
-                )
-            if not aligned:
-                raise ValueError(
-                    f"{cfg.width}x{cfg.height} is not (128, 8)-aligned; "
-                    "the whole-volume kernel needs aligned (H, W) — use "
-                    "kernel='xla' or an aligned grid"
-                )
+        if on_tpu and table and model.name in ("court", "court_ultra"):
+            raise ValueError(
+                "table-mode gathers don't lower in Mosaic; use "
+                "kernel='xla' or drop table=True"
+            )
         return True
     # auto: measured profitable on TPU within the VMEM envelope (see
-    # docs/OPTIMIZATIONS.md §14 for the volume measurements)
-    if not on_tpu or not aligned or table:
+    # docs/OPTIMIZATIONS.md §14 for the volume measurements); unaligned
+    # (H, W) run on padded planes, sized by the PADDED shape
+    if not on_tpu or table:
         return False
     if model.name not in ("fenton", "br", "court", "court_ultra", "ms"):
         return False
-    state_mb = (
-        len(model.state_keys()) * depth * cfg.height * cfg.width * 4
-        / 2 ** 20
-    )
-    cells = depth * cfg.height * cfg.width
+    hp = -(-cfg.height // 8) * 8
+    wp = -(-cfg.width // 128) * 128
+    state_mb = len(model.state_keys()) * depth * hp * wp * 4 / 2 ** 20
+    cells = depth * hp * wp
     return (state_mb <= VOLUME_KERNEL_STATE_MB_MAX
             and cells <= VOLUME_KERNEL_CELLS_MAX)
 
@@ -253,14 +245,17 @@ def run_volume(
       {'v': [n_outer], 'rotors': [n_outer, D, 2]}.
     - `kernel`: 'auto' | 'pallas' | 'xla'.  'auto' picks the fused
       whole-volume Pallas kernel (ops/pallas_volume.py) on TPU when the
-      volume is unsharded, (8, 128)-aligned in (H, W), the state fits
-      the whole-grid VMEM envelope, AND the volume is small enough that
-      the one-time Mosaic compile stays in the 2D kernels' few-minute
-      band (VOLUME_KERNEL_CELLS_MAX — compile grows ~quadratically in
-      flattened tile count); 'pallas' forces it past the caps (CPU runs
-      interpreter mode); 'xla' forces the plain path.  The kernel path
-      composes with phase fields, dz_ratio, fiber twist, events, and
-      both probes (only `model.step` moves inside the kernel).
+      volume is unsharded, the state fits the whole-grid VMEM envelope,
+      and the volume is small enough that the one-time Mosaic compile
+      stays in the 2D kernels' few-minute band (VOLUME_KERNEL_CELLS_MAX
+      — compile grows ~quadratically in flattened tile count); 'pallas'
+      forces it past the caps (CPU runs interpreter mode); 'xla' forces
+      the plain path.  Unaligned (H, W) run on planes padded to the
+      (8, 128) tile with true-edge masking (probes/frames/final state
+      are cropped back; a CUSTOM probe on an unaligned grid stays on
+      XLA under 'auto' since it would see the pad region).  The kernel
+      path composes with phase fields, dz_ratio, fiber twist, events,
+      and both probes (only `model.step` moves inside the kernel).
 
     Returns (final state, probes `[n_outer]` (or dict, see above),
     frames `[n_frames, D, H, W]` or None).
@@ -328,24 +323,52 @@ def run_volume(
                                         k_resolved)
         step_fn = None
     elif _use_volume_kernel(model, depth, mesh, kernel):
+        from fib_tf_tpu.ops.pallas_step import padded_shape
         from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
 
-        step_fn = make_pallas_volume_step(
-            model, depth, phase=phase, dz_ratio=dz_ratio, fiber=fiber
-        )
+        if (probe is not None and kernel == "auto"
+                and padded_shape(model.cfg.height, model.cfg.width)
+                is not None):
+            # custom probe callables would see the pad region's garbage;
+            # under 'auto' an unaligned grid with a custom probe stays on
+            # XLA (the 2D engine's rule) — kernel='pallas' overrides,
+            # with the probe seeing padded planes
+            step_fn = lambda s: model.step(s, geom)
+        else:
+            step_fn = make_pallas_volume_step(
+                model, depth, phase=phase, dz_ratio=dz_ratio,
+                fiber=fiber, pad=True,  # no-op on aligned grids
+            )
     else:
         step_fn = lambda s: model.step(s, geom)
+    padded_hw = getattr(step_fn, "padded_hw", None)
+    h_true, w_true = model.cfg.height, model.cfg.width
     pot_key = model.pot_key
 
     if probe is None:
         r, c = model.probe_pixel
+        # clamp to the true grid (JAX would clamp out-of-range indices
+        # anyway on tiny grids, but on PADDED planes the implicit clamp
+        # would land in the pad region's garbage instead)
+        r, c = min(r, h_true - 1), min(c, w_true - 1)
 
         def probe(s):
             return (
                 s[pot_key][depth // 2, r, c] - model.min_v
             ) / (model.max_v - model.min_v)
 
-    ev_masks = [jnp.asarray(e.resolve_mask(model, depth)) for e in events]
+    def _pad_mask(m):
+        if padded_hw is None:
+            return m
+        hp, wp = padded_hw
+        return np.pad(
+            np.asarray(m, np.float32),
+            ((0, 0), (0, hp - h_true), (0, wp - w_true)),
+            mode="constant", constant_values=model.min_v,
+        )
+
+    ev_masks = [jnp.asarray(_pad_mask(e.resolve_mask(model, depth)))
+                for e in events]
     ev_steps = [int(e.step) for e in events]
 
     tau_steps = 0
@@ -392,6 +415,9 @@ def run_volume(
                 from fib_tf_tpu.ops import stencil
 
                 img = model.image(s)
+                if padded_hw is not None:
+                    # the census must not see the pad region's garbage
+                    img = img[:, :h_true, :w_true]
                 old = jax.lax.dynamic_index_in_dim(
                     buf, idx, 0, keepdims=False
                 )
@@ -415,6 +441,10 @@ def run_volume(
         return chunk
 
     st = {k: jnp.asarray(v) for k, v in state.items()}
+    if padded_hw is not None:
+        from fib_tf_tpu.ops.pallas_volume import pad_volume_state
+
+        st = pad_volume_state(st, h_true, w_true, *padded_hw)
     if rotor_probe:
         img0 = jnp.asarray(np.asarray(
             model.image({pot_key: np.asarray(state[pot_key], np.float32)}),
@@ -449,9 +479,11 @@ def run_volume(
             probes.append(jax.tree.map(np.asarray, p))
             done += length
             img = np.asarray(model.image({pot_key: np.asarray(st[pot_key])}))
+            if padded_hw is not None:
+                img = img[:, :h_true, :w_true]
             frames.append(img.astype(np.float32))
 
-    final = {k: np.asarray(v) for k, v in st.items()}
+    final = {k: np.asarray(v)[:, :h_true, :w_true] for k, v in st.items()}
     if not np.isfinite(final[pot_key]).all():
         raise FloatingPointError(
             "non-finite potential in run_volume (the reference's disabled "

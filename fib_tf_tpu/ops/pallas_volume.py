@@ -170,6 +170,8 @@ def flat_volume_geometry(
     phase: Optional[jnp.ndarray] = None,
     dz_ratio: float = 1.0,
     fiber: Optional[tuple] = None,
+    h_true: Optional[int] = None,
+    w_true: Optional[int] = None,
 ) -> Geometry:
     """Volume geometry on the flattened `[D*H, W]` layout.
 
@@ -177,9 +179,18 @@ def flat_volume_geometry(
     and slice index (static; kernel inputs).  `phase` is the z-tiled
     `[D*H, W]` extruded field; `fiber` entries are `[D*H, 1]` per-slice
     tensors (each slice's value repeated H times).  Value-identical to
-    vmem_volume_geometry / stencil3d on the reshaped planes."""
+    vmem_volume_geometry / stencil3d on the reshaped planes.
+
+    Pad support: `h` is the slice STRIDE (the padded row count per
+    slice); `h_true` / `w_true` are the true edge positions when the
+    planes carry (8, 128)-alignment padding (rows/cols past them are
+    garbage that no real cell ever reads — the REFLECT/SYMMETRIC masks
+    fire at the TRUE edges, the same global-index trick as
+    ops.pallas_tiled.block_geometry)."""
+    if h_true is None:
+        h_true = h
     top = rrow == 0
-    bottom = rrow == h - 1
+    bottom = rrow == h_true - 1
     first = zidx == 0
     last = zidx == depth - 1
 
@@ -190,10 +201,33 @@ def flat_volume_geometry(
         return jnp.where(top, rd, ru), jnp.where(bottom, ru, rd)
 
     def west(x):
+        # the true left edge is always column 0: structural reflect
         return jnp.concatenate([x[:, 1:2], x[:, :-1]], axis=1)
 
-    def east(x):
-        return jnp.concatenate([x[:, 1:], x[:, -2:-1]], axis=1)
+    if w_true is None:
+        def east(x):
+            return jnp.concatenate([x[:, 1:], x[:, -2:-1]], axis=1)
+
+        def col_fix(x):
+            return jnp.concatenate(
+                [x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1
+            )
+    else:
+        def _right_edge(x):
+            cg = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
+            return cg == w_true - 1
+
+        def east(x):
+            # raw right shift (last col keeps itself), reflect at the
+            # TRUE right edge; pad columns stay garbage
+            raw = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+            left = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+            return jnp.where(_right_edge(x), left, raw)
+
+        def col_fix(x):
+            left = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+            x = jnp.where(_right_edge(x), left, x)
+            return jnp.concatenate([x[:, 1:2], x[:, 1:]], axis=1)
 
     def z_term(x):
         # one raw +/-H shift each, REUSED by both edge selects — there is
@@ -254,8 +288,7 @@ def flat_volume_geometry(
         ru = _rup(x)
         x = jnp.where(top, rd, x)
         x = jnp.where(bottom, ru, x)
-        x = jnp.concatenate([x[:, 1:2], x[:, 1:-1], x[:, -2:-1]], axis=1)
-        return x
+        return col_fix(x)
 
     return Geometry(laplace=laplace, enforce_boundary=enforce_boundary)
 
@@ -471,6 +504,7 @@ def make_pallas_volume_step(
     fiber: Optional[tuple] = None,
     interpret: Optional[bool] = None,
     layout: str = "flat",
+    pad: bool = False,
 ):
     """Build `step(state) -> state` advancing a `[depth, H, W]` volume one
     outer step (`dt_per_step` substeps) as a single VMEM-resident Pallas
@@ -478,9 +512,14 @@ def make_pallas_volume_step(
 
     `phase` is the 2D `[H, W]` extruded field, `fiber` the per-slice
     (dxx, dxy, dyy) from stencil3d.fiber_tensors (or scalars); both are
-    passed as extra kernel inputs.  On TPU the grid must be
-    (8, 128)-aligned (H % 8 == 0, W % 128 == 0; depth is free — the
-    leading axis is untiled).
+    passed as extra kernel inputs.  On TPU each slice must be
+    (8, 128)-aligned (H % 8 == 0, W % 128 == 0; depth is free) — OR pass
+    `pad=True`: the step then operates on planes padded to the tile
+    multiples, with REFLECT/SYMMETRIC applied at the TRUE edges via
+    index masks (the pad region evolves garbage that no real cell reads;
+    the caller pads once per chunk with `pad_volume_state` and crops
+    with `crop_volume_state`, and `step.padded_hw` reports the padded
+    (H, W) or None).
 
     `layout` picks the in-kernel data layout.  'flat' (default) stacks
     the slices into one `[D*H, W]` sheet so every operator has the 2D op
@@ -495,9 +534,27 @@ def make_pallas_volume_step(
     n = len(names)
     h, w = model.cfg.height, model.cfg.width
     flat = layout == "flat"
+    if pad and not flat:
+        raise ValueError("pad=True needs layout='flat'")
+    kh, kw = (h, w)
+    if pad:
+        from fib_tf_tpu.ops.pallas_step import padded_shape
+
+        pshape = padded_shape(h, w)
+        if pshape is None:
+            pad = False
+        else:
+            kh, kw = pshape
     has_phase = phase is not None
     if has_phase:
         phase_f32 = np.asarray(phase, np.float32)
+        if pad:
+            # pad value 1.0 keeps 1/(4*phase) finite in the (never read
+            # by real cells) pad region, as in the 2D pad path
+            phase_f32 = np.pad(
+                phase_f32, ((0, kh - h), (0, kw - w)),
+                mode="constant", constant_values=1.0,
+            )
         if flat:
             phase_f32 = np.tile(phase_f32, (depth, 1))
     else:
@@ -510,16 +567,16 @@ def make_pallas_volume_step(
         ]
         if flat:
             fiber_f32 = [
-                np.repeat(c, h).reshape(depth * h, 1).copy()
+                np.repeat(c, kh).reshape(depth * kh, 1).copy()
                 for c in per_slice
             ]
         else:
             fiber_f32 = [c.reshape(depth, 1, 1).copy() for c in per_slice]
     if flat:
-        rrow_np = np.tile(np.arange(h, dtype=np.int32), depth
-                          ).reshape(depth * h, 1)
-        zidx_np = np.repeat(np.arange(depth, dtype=np.int32), h
-                            ).reshape(depth * h, 1)
+        rrow_np = np.tile(np.arange(kh, dtype=np.int32), depth
+                          ).reshape(depth * kh, 1)
+        zidx_np = np.repeat(np.arange(depth, dtype=np.int32), kh
+                            ).reshape(depth * kh, 1)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -542,7 +599,8 @@ def make_pallas_volume_step(
         state = {key: r[:] for key, r in zip(names, ins)}
         if flat:
             geom = flat_volume_geometry(
-                depth, h, rrow, zidx, phase_arr, dz_ratio, fib
+                depth, kh, rrow, zidx, phase_arr, dz_ratio, fib,
+                h_true=h, w_true=(w if kw != w else None),
             )
         else:
             geom = vmem_volume_geometry(phase_arr, dz_ratio, fib)
@@ -556,7 +614,7 @@ def make_pallas_volume_step(
         for key, r in zip(names, outs):
             r[:] = state[key]
 
-    shape = (depth * h, w) if flat else (depth, h, w)
+    shape = (depth * kh, kw) if flat else (depth, h, w)
     plane = jax.ShapeDtypeStruct(shape, jnp.float32)
     spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
     n_in = (n + (2 if flat else 0) + (1 if has_phase else 0)
@@ -574,8 +632,10 @@ def make_pallas_volume_step(
     )
 
     def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """With `pad`, operates on PADDED `[depth, kh, kw]` planes (use
+        pad_volume_state / crop_volume_state to convert)."""
         if flat:
-            args = [state[k].reshape(depth * h, w) for k in names]
+            args = [state[k].reshape(depth * kh, kw) for k in names]
             args.extend([jnp.asarray(rrow_np), jnp.asarray(zidx_np)])
         else:
             args = [state[k] for k in names]
@@ -585,7 +645,25 @@ def make_pallas_volume_step(
             args.extend(jnp.asarray(f) for f in fiber_f32)
         outs = call(*args)
         if flat:
-            outs = [o.reshape(depth, h, w) for o in outs]
+            outs = [o.reshape(depth, kh, kw) for o in outs]
         return dict(zip(names, outs))
 
+    step.padded_hw = (kh, kw) if pad else None
     return step
+
+
+def pad_volume_state(state: Dict[str, jnp.ndarray], h: int, w: int,
+                     hp: int, wp: int) -> Dict[str, jnp.ndarray]:
+    """Edge-replicate a `[D, h, w]` state into padded `[D, hp, wp]`
+    planes (edge values keep the never-read pad region in physiological
+    range, as in ops.pallas_step.pad_state)."""
+    return {
+        k: jnp.pad(v, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+        for k, v in state.items()
+    }
+
+
+def crop_volume_state(state: Dict[str, jnp.ndarray], h: int, w: int
+                      ) -> Dict[str, jnp.ndarray]:
+    """Strip the pad region back off."""
+    return {k: v[:, :h, :w] for k, v in state.items()}

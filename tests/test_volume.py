@@ -381,6 +381,32 @@ class TestVolumeKernel:
                                        atol=1e-5, err_msg=k)
         np.testing.assert_allclose(p_p, p_x, atol=1e-6)
 
+    def test_unaligned_grid_padded_kernel_matches(self):
+        """Unaligned (H, W) volumes run the kernel on padded planes with
+        true-edge masking — no silent XLA fallback (the 3D analog of the
+        2D pad path, VERDICT r2 #3)."""
+        from fib_tf_tpu.ops import stencil
+
+        m = Fenton4v(SimConfig(width=22, height=14, dt=0.05))
+        ph = stencil.add_hole_to_phase_field(None, 14, 22, 7, 11, 3)
+        kw = dict(depth=5, n_outer=6, phase=ph, dz_ratio=0.7,
+                  fiber_twist=1.0, fiber_ratio=0.4, rotor_probe=True,
+                  events=[VolumeEvent(step=2, loc="luq")])
+        f_x, p_x, _ = run_volume(m, kernel="xla", **kw)
+        f_p, p_p, _ = run_volume(m, kernel="pallas", **kw)
+        for k in f_x:
+            assert f_p[k].shape == (5, 14, 22)
+            np.testing.assert_allclose(f_p[k], f_x[k], rtol=2e-5,
+                                       atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(p_p["v"], p_x["v"], atol=1e-6)
+        np.testing.assert_array_equal(p_p["rotors"], p_x["rotors"])
+
+    def test_unaligned_frames_cropped(self):
+        m = Fenton4v(SimConfig(width=22, height=14, dt=0.05))
+        _, _, fr = run_volume(m, kernel="pallas", depth=5, n_outer=6,
+                              frames_every=3)
+        assert fr.shape == (2, 5, 14, 22)
+
     def test_forced_kernel_rejections(self):
         from jax.sharding import Mesh
 
