@@ -57,43 +57,11 @@ def _shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
     return y
 
 
-def phase_terms(phase: jnp.ndarray) -> tuple:
-    """Static phase-correction planes `(pdy, pdx, p4)` with
-    pdy = south(p) - north(p), pdx = east(p) - west(p), p4 = 4*p.
-
-    The phase field is constant across the run, but Mosaic performs no
-    CSE at trace time (docs/OPTIMIZATIONS.md §14): a laplace that
-    re-shifts the phase per call re-emits 4 concats into the kernel
-    program for EVERY substep — real compile time and real per-substep
-    data movement.  Geometry constructors therefore compute these planes
-    ONCE per kernel launch and close over them.  The correction keeps
-    the identical op tree (`((s-n)*pdy + (e-w)*pdx) / p4` — the shifts
-    are pure data movement and the subtraction/scale happen on the same
-    values), so outputs are bitwise-unchanged."""
-    pn = _shift(phase, -1, 0)
-    ps = _shift(phase, 1, 0)
-    pw = _shift(phase, 0, -1)
-    pe = _shift(phase, 0, 1)
-    return ps - pn, pe - pw, 4.0 * phase
-
-
-def aniso_phase_terms(phase: jnp.ndarray, dxx, dxy, dyy) -> tuple:
-    """Static tensor phase-correction planes `(cx, cy, p4)` — the fiber
-    tensor contracted against the hoisted phase gradient once, so the
-    per-substep correction is `(gx*cx + gy*cy) / p4` with the identical
-    op tree as the unhoisted form (see phase_terms)."""
-    pdy, pdx, p4 = phase_terms(phase)
-    return dxx * pdx + dxy * pdy, dxy * pdx + dyy * pdy, p4
-
-
 def vmem_laplace(
-    x: jnp.ndarray,
-    phase: Optional[jnp.ndarray] = None,
-    terms: Optional[tuple] = None,
+    x: jnp.ndarray, phase: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
     """9-point REFLECT Laplacian via shifts (value-identical to
-    ops.stencil.laplace), plus phase-field correction when `phase` (or
-    its precomputed `terms` from phase_terms) is given."""
+    ops.stencil.laplace), plus phase-field correction when `phase` given."""
     n = _shift(x, -1, 0)
     s = _shift(x, 1, 0)
     w = _shift(x, 0, -1)
@@ -103,11 +71,12 @@ def vmem_laplace(
     sw = _shift(x, 1, -1)
     se = _shift(x, 1, 1)
     l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
-    if terms is None and phase is not None:
-        terms = phase_terms(phase)
-    if terms is not None:
-        pdy, pdx, p4 = terms
-        l = l + ((s - n) * pdy + (e - w) * pdx) / p4
+    if phase is not None:
+        pn = _shift(phase, -1, 0)
+        ps = _shift(phase, 1, 0)
+        pw = _shift(phase, 0, -1)
+        pe = _shift(phase, 0, 1)
+        l = l + ((s - n) * (ps - pn) + (e - w) * (pe - pw)) / (4.0 * phase)
     return l
 
 
@@ -117,12 +86,10 @@ def vmem_anisotropic_laplace(
     dxy: float,
     dyy: float,
     phase: Optional[jnp.ndarray] = None,
-    terms: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Anisotropic tensor operator via shifts (value-identical to
     ops.stencil.anisotropic_laplace incl. the x2 normalization and the
-    tensor phase-field correction; `terms` = precomputed
-    aniso_phase_terms)."""
+    tensor phase-field correction)."""
     n = _shift(x, -1, 0)
     s = _shift(x, 1, 0)
     w = _shift(x, 0, -1)
@@ -135,11 +102,14 @@ def vmem_anisotropic_laplace(
     vyy = n - 2.0 * x + s
     vxy = 0.25 * (se + nw - sw - ne)
     l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
-    if terms is None and phase is not None:
-        terms = aniso_phase_terms(phase, dxx, dxy, dyy)
-    if terms is not None:
-        cx, cy, p4 = terms
-        l = l + ((e - w) * cx + (s - n) * cy) / p4
+    if phase is not None:
+        gx = e - w
+        gy = s - n
+        px = _shift(phase, 0, 1) - _shift(phase, 0, -1)
+        py = _shift(phase, 1, 0) - _shift(phase, -1, 0)
+        l = l + (
+            gx * (dxx * px + dxy * py) + gy * (dxy * px + dyy * py)
+        ) / (4.0 * phase)
     return l
 
 
@@ -156,23 +126,16 @@ def vmem_geometry(
     fiber: Optional[tuple] = None,
 ) -> Geometry:
     """`fiber` = (dxx, dxy, dyy) from stencil.fiber_tensor selects the
-    anisotropic operator.
-
-    Phase-correction planes are hoisted here, ONCE per kernel launch,
-    instead of re-shifted inside every substep's laplace (see
-    phase_terms — bitwise-identical, smaller Mosaic program)."""
+    anisotropic operator."""
     if fiber is not None:
         dxx, dxy, dyy = fiber
-        terms = (aniso_phase_terms(phase, dxx, dxy, dyy)
-                 if phase is not None else None)
         return Geometry(
             laplace=lambda x: vmem_anisotropic_laplace(
-                x, dxx, dxy, dyy, terms=terms),
+                x, dxx, dxy, dyy, phase),
             enforce_boundary=vmem_enforce_boundary,
         )
-    terms = phase_terms(phase) if phase is not None else None
     return Geometry(
-        laplace=lambda x: vmem_laplace(x, terms=terms),
+        laplace=lambda x: vmem_laplace(x, phase),
         enforce_boundary=vmem_enforce_boundary,
     )
 

@@ -108,20 +108,6 @@ def block_geometry(
             x = jnp.where(right_edge, _col_left(x), x)
             return x
 
-    # Phase-correction planes are static per kernel launch: hoist them
-    # out of the per-substep laplace (Mosaic has no trace-time CSE, so
-    # the in-call form re-emits the phase shifts for every substep —
-    # see ops.pallas_step.phase_terms; bitwise-identical op tree).
-    if phase_ext is not None:
-        p = phase_ext
-        pdy = south(p) - north(p)
-        pdx = east(p) - west(p)
-        p4 = 4.0 * p
-        if fiber is not None:
-            dxx, dxy, dyy = fiber
-            cx = dxx * pdx + dxy * pdy
-            cy = dxy * pdx + dyy * pdy
-
     def laplace(x):
         n = north(x)
         s = south(x)
@@ -140,11 +126,24 @@ def block_geometry(
             vxy = 0.25 * (se + nw - sw - ne)
             l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
             if phase_ext is not None:
-                l = l + ((e - w) * cx + (s - n) * cy) / p4
+                p = phase_ext
+                gx = e - w
+                gy = s - n
+                px = east(p) - west(p)
+                py = south(p) - north(p)
+                l = l + (
+                    gx * (dxx * px + dxy * py)
+                    + gy * (dxy * px + dyy * py)
+                ) / (4.0 * p)
             return l
         l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
         if phase_ext is not None:
-            l = l + ((s - n) * pdy + (e - w) * pdx) / p4
+            p = phase_ext
+            pn = north(p)
+            ps = south(p)
+            pw = west(p)
+            pe = east(p)
+            l = l + ((s - n) * (ps - pn) + (e - w) * (pe - pw)) / (4.0 * p)
         return l
 
     def enforce_boundary(x):

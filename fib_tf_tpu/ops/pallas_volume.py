@@ -64,34 +64,17 @@ def _zshift(x: jnp.ndarray, dz: int) -> jnp.ndarray:
     return jnp.concatenate([x[1:], x[-2:-1]], axis=0)
 
 
-def _phase_terms2d(phase: jnp.ndarray, fiber: Optional[tuple]) -> tuple:
-    """Static phase-correction planes from a 2D `[H, W]` phase field —
-    the volume analog of ops.pallas_step.phase_terms/aniso_phase_terms
-    (hoisted once per kernel launch; bitwise-identical op tree).
-    Returns (pdy, pdx, p4) or, with `fiber`, (cx, cy, p4) where the
-    tensor is already contracted against the phase gradient."""
-    pdy = _shift2d(phase, 1, 0) - _shift2d(phase, -1, 0)
-    pdx = _shift2d(phase, 0, 1) - _shift2d(phase, 0, -1)
-    p4 = 4.0 * phase
-    if fiber is None:
-        return pdy, pdx, p4
-    dxx, dxy, dyy = fiber
-    return dxx * pdx + dxy * pdy, dxy * pdx + dyy * pdy, p4
-
-
 def vmem_laplace3d(
     x: jnp.ndarray,
     phase: Optional[jnp.ndarray] = None,
     dz_ratio: float = 1.0,
     fiber: Optional[tuple] = None,
-    terms: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Value-identical to ops.stencil3d.laplace3d on a `[D, H, W]`
     volume: per-slice 9-point REFLECT stencil (or the anisotropic tensor
     operator when `fiber` = (dxx, dxy, dyy), scalars or `[D, 1, 1]`
     per-slice arrays) + phase-field correction from a shared 2D `[H, W]`
-    phase (or its precomputed `terms` from _phase_terms2d) +
-    `2*dz_ratio`-scaled z second difference with REFLECT ends."""
+    phase + `2*dz_ratio`-scaled z second difference with REFLECT ends."""
     n = _shift3(x, -1, 0)
     s = _shift3(x, 1, 0)
     w = _shift3(x, 0, -1)
@@ -100,22 +83,30 @@ def vmem_laplace3d(
     ne = _shift3(x, -1, 1)
     sw = _shift3(x, 1, -1)
     se = _shift3(x, 1, 1)
-    if terms is None and phase is not None:
-        terms = _phase_terms2d(phase, fiber)
     if fiber is None:
         planar = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
-        if terms is not None:
-            pdy, pdx, p4 = terms
-            planar = planar + ((s - n) * pdy + (e - w) * pdx) / p4
+        if phase is not None:
+            pn = _shift2d(phase, -1, 0)
+            ps = _shift2d(phase, 1, 0)
+            pw = _shift2d(phase, 0, -1)
+            pe = _shift2d(phase, 0, 1)
+            planar = planar + (
+                (s - n) * (ps - pn) + (e - w) * (pe - pw)
+            ) / (4.0 * phase)
     else:
         dxx, dxy, dyy = fiber
         vxx = w - 2.0 * x + e
         vyy = n - 2.0 * x + s
         vxy = 0.25 * (se + nw - sw - ne)
         planar = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
-        if terms is not None:
-            cx, cy, p4 = terms
-            planar = planar + ((e - w) * cx + (s - n) * cy) / p4
+        if phase is not None:
+            gx = e - w
+            gy = s - n
+            px = _shift2d(phase, 0, 1) - _shift2d(phase, 0, -1)
+            py = _shift2d(phase, 1, 0) - _shift2d(phase, -1, 0)
+            planar = planar + (
+                gx * (dxx * px + dxy * py) + gy * (dxy * px + dyy * py)
+            ) / (4.0 * phase)
     z = _zshift(x, -1) - 2.0 * x + _zshift(x, 1)
     return planar + (2.0 * dz_ratio) * z
 
@@ -135,12 +126,9 @@ def vmem_volume_geometry(
     dz_ratio: float = 1.0,
     fiber: Optional[tuple] = None,
 ) -> Geometry:
-    """VMEM analog of models.base.volume_geometry.  Phase-correction
-    planes are hoisted once per kernel launch (see _phase_terms2d)."""
-    terms = _phase_terms2d(phase, fiber) if phase is not None else None
+    """VMEM analog of models.base.volume_geometry."""
     return Geometry(
-        laplace=lambda x: vmem_laplace3d(
-            x, dz_ratio=dz_ratio, fiber=fiber, terms=terms),
+        laplace=lambda x: vmem_laplace3d(x, phase, dz_ratio, fiber),
         enforce_boundary=vmem_enforce_boundary3d,
     )
 
@@ -184,7 +172,6 @@ def flat_volume_geometry(
     fiber: Optional[tuple] = None,
     h_true: Optional[int] = None,
     w_true: Optional[int] = None,
-    w_pad: Optional[int] = None,
 ) -> Geometry:
     """Volume geometry on the flattened `[D*H, W]` layout.
 
@@ -199,21 +186,13 @@ def flat_volume_geometry(
     planes carry (8, 128)-alignment padding (rows/cols past them are
     garbage that no real cell ever reads — the REFLECT/SYMMETRIC masks
     fire at the TRUE edges, the same global-index trick as
-    ops.pallas_tiled.block_geometry).  `w_pad` (the padded plane width,
-    when known at construction) hoists the right-edge mask out of the
-    per-call east shift."""
+    ops.pallas_tiled.block_geometry)."""
     if h_true is None:
         h_true = h
     top = rrow == 0
     bottom = rrow == h_true - 1
     first = zidx == 0
     last = zidx == depth - 1
-    right_edge_static = None
-    if w_true is not None and w_pad is not None:
-        right_edge_static = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, w_pad), 1)
-            == w_true - 1
-        )
 
     def north_south(x):
         # both raw row shifts computed once, shared by the two selects
@@ -235,8 +214,6 @@ def flat_volume_geometry(
             )
     else:
         def _right_edge(x):
-            if right_edge_static is not None:
-                return right_edge_static
             cg = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
             return cg == w_true - 1
 
@@ -262,20 +239,6 @@ def flat_volume_geometry(
         zdown = jnp.where(last, zu, zd)
         return zup - 2.0 * x + zdown
 
-    # Static phase-correction planes, hoisted once per kernel launch
-    # (see ops.pallas_step.phase_terms — Mosaic has no trace-time CSE,
-    # so the in-call form re-emits the phase shifts per substep;
-    # bitwise-identical op tree)
-    if phase is not None:
-        pn_s, ps_s = north_south(phase)
-        pdy = ps_s - pn_s
-        pdx = east(phase) - west(phase)
-        p4 = 4.0 * phase
-        if fiber is not None:
-            dxx, dxy, dyy = fiber
-            cx = dxx * pdx + dxy * pdy
-            cy = dxy * pdx + dyy * pdy
-
     def laplace(x):
         n, s = north_south(x)
         w = west(x)
@@ -287,7 +250,12 @@ def flat_volume_geometry(
         if fiber is None:
             planar = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
             if phase is not None:
-                planar = planar + ((s - n) * pdy + (e - w) * pdx) / p4
+                pn, ps = north_south(phase)
+                pw = west(phase)
+                pe = east(phase)
+                planar = planar + (
+                    (s - n) * (ps - pn) + (e - w) * (pe - pw)
+                ) / (4.0 * phase)
         else:
             dxx, dxy, dyy = fiber
             vxx = w - 2.0 * x + e
@@ -295,7 +263,15 @@ def flat_volume_geometry(
             vxy = 0.25 * (se + nw - sw - ne)
             planar = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
             if phase is not None:
-                planar = planar + ((e - w) * cx + (s - n) * cy) / p4
+                pn, ps = north_south(phase)
+                gx = e - w
+                gy = s - n
+                px = east(phase) - west(phase)
+                py = ps - pn
+                planar = planar + (
+                    gx * (dxx * px + dxy * py)
+                    + gy * (dxy * px + dyy * py)
+                ) / (4.0 * phase)
         return planar + (2.0 * dz_ratio) * z_term(x)
 
     def enforce_boundary(x):
@@ -352,9 +328,6 @@ def zblock_geometry(
     (static — the caller ppermutes them once per chunk)."""
     top = zg == 0
     bottom = zg == d_total - 1
-    # static phase-correction planes, hoisted once per kernel launch
-    # (bitwise-identical; see ops.pallas_step.phase_terms)
-    terms = _phase_terms2d(phase, fiber) if phase is not None else None
 
     def z_term(x):
         # raw shifts computed once and reused by both edge selects (no
@@ -378,18 +351,29 @@ def zblock_geometry(
         se = _shift3(x, 1, 1)
         if fiber is None:
             planar = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
-            if terms is not None:
-                pdy, pdx, p4 = terms
-                planar = planar + ((s - n) * pdy + (e - w) * pdx) / p4
+            if phase is not None:
+                pn = _shift2d(phase, -1, 0)
+                ps = _shift2d(phase, 1, 0)
+                pw = _shift2d(phase, 0, -1)
+                pe = _shift2d(phase, 0, 1)
+                planar = planar + (
+                    (s - n) * (ps - pn) + (e - w) * (pe - pw)
+                ) / (4.0 * phase)
         else:
             dxx, dxy, dyy = fiber
             vxx = w - 2.0 * x + e
             vyy = n - 2.0 * x + s
             vxy = 0.25 * (se + nw - sw - ne)
             planar = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
-            if terms is not None:
-                cx, cy, p4 = terms
-                planar = planar + ((e - w) * cx + (s - n) * cy) / p4
+            if phase is not None:
+                gx = e - w
+                gy = s - n
+                px = _shift2d(phase, 0, 1) - _shift2d(phase, 0, -1)
+                py = _shift2d(phase, 1, 0) - _shift2d(phase, -1, 0)
+                planar = planar + (
+                    gx * (dxx * px + dxy * py)
+                    + gy * (dxy * px + dyy * py)
+                ) / (4.0 * phase)
         return planar + (2.0 * dz_ratio) * z_term(x)
 
     def enforce_boundary(x):
@@ -617,7 +601,6 @@ def make_pallas_volume_step(
             geom = flat_volume_geometry(
                 depth, kh, rrow, zidx, phase_arr, dz_ratio, fib,
                 h_true=h, w_true=(w if kw != w else None),
-                w_pad=(kw if kw != w else None),
             )
         else:
             geom = vmem_volume_geometry(phase_arr, dz_ratio, fib)
