@@ -19,6 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_hole(size: int):
+    """Canonical spiral-run obstacle: a disk at grid center, r=size/8
+    (the 512-grid examples use r=64-ish; scaled so small grids work)."""
+    from fib_tf_tpu.ops import stencil
+
+    return stencil.add_hole_to_phase_field(
+        None, size, size, size // 2, size // 2, max(3, size // 8))
+
+
 def build_step(model, kernel: str, tile_rows: int, phase=None):
     if kernel == "xla":
         from fib_tf_tpu.models.base import grid_geometry
@@ -50,6 +59,9 @@ def main():
     p.add_argument("--no-cheby", dest="cheby", action="store_false")
     p.add_argument("--skip", action="store_true", default=True)
     p.add_argument("--no-skip", dest="skip", action="store_false")
+    p.add_argument("--hole", action="store_true",
+                   help="run with a center-disk phase field (times the "
+                        "phase-correction arm of the kernels)")
     args = p.parse_args()
 
     from fib_tf_tpu.config import SimConfig
@@ -62,7 +74,8 @@ def main():
                     diff=0.809, cheby=args.cheby, skip=args.skip,
                     ultra_slow=(args.model == "court_ultra"))
     model = MODEL_REGISTRY[args.model](cfg)
-    step = build_step(model, args.kernel, args.tile_rows)
+    phase = make_hole(args.size) if args.hole else None
+    step = build_step(model, args.kernel, args.tile_rows, phase=phase)
 
     state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
 
@@ -77,13 +90,16 @@ def main():
     # scan lengths so the reported number is pure device time
     scan1, scan2 = make_scan(args.outer), make_scan(2 * args.outer)
     print("compiling...", flush=True)
+    import time as _time
+    _t0 = _time.time()
     sync(scan1(state))
+    print(f"  scan1 compile+run: {_time.time() - _t0:.1f} s", flush=True)
     sync(scan2(state))
     t1 = time_fn(scan1, state, iters=args.iters, warmup=1)
     t2 = time_fn(scan2, state, iters=args.iters, warmup=1)
     substeps = args.outer * model.dt_per_step
     us = (t2 - t1) / substeps * 1e6
-    print(f"{args.model} {args.kernel}"
+    print(f"{args.model}{'+hole' if args.hole else ''} {args.kernel}"
           f"{' tile=' + str(args.tile_rows) if args.kernel == 'tiled' else ''}"
           f" @ {args.size}x{args.size}: {us:.1f} us/substep"
           f" (t1={t1*1e3:.1f} ms, t2={t2*1e3:.1f} ms, {substeps} substeps)")
