@@ -86,15 +86,57 @@ VOLUME_KERNEL_STATE_MB_MAX = 32.0
 VOLUME_KERNEL_CELLS_MAX = 768 * 8 * 128
 
 
+# VMEM budget for the tiled volume kernel's per-tile blocks (scratch +
+# blocked outputs + Mosaic temporaries must fit the ~110 MB compiler
+# limit; the 2D tiled kernel runs comfortably at this block budget)
+TILED_VOLUME_BLOCK_MB_MAX = 48.0
+
+
+def pick_volume_tile_rows(model: IonicModel, depth: int) -> Optional[int]:
+    """Largest valid `tile_rows` for ops.pallas_volume.
+    make_tiled_volume_step, or None.  Valid = multiple of 8 dividing H
+    with H >= tile_rows + 2K, the per-tile flattened block within the
+    whole-volume compile band (VOLUME_KERNEL_CELLS_MAX — compile cost is
+    set by the BLOCK program, the grid just repeats it), and the VMEM
+    blocks within budget.  Largest wins: the temporal-halo redundancy is
+    (tile_rows + 2K) / tile_rows of the HBM reads."""
+    from fib_tf_tpu.ops.pallas_tiled import halo_rows
+
+    cfg = model.cfg
+    h, w = cfg.height, cfg.width
+    if h % 8 != 0 or w % 128 != 0:
+        return None
+    k = halo_rows(model.dt_per_step)
+    n = len(model.state_keys())
+    for tile_rows in range(h - h % 8, 0, -8):
+        if h % tile_rows != 0:
+            continue
+        ext_h = tile_rows + 2 * k
+        if h < ext_h:
+            continue
+        if depth * ext_h * w > VOLUME_KERNEL_CELLS_MAX:
+            continue
+        block_mb = (
+            n * depth * (ext_h + tile_rows) * w * 4 / 2 ** 20
+        )
+        if block_mb > TILED_VOLUME_BLOCK_MB_MAX:
+            continue
+        return tile_rows
+    return None
+
+
 def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
-                       ) -> bool:
+                       ) -> Optional[str]:
     """Kernel selection for run_volume, mirroring Simulation._use_pallas:
     'pallas' forces the fused whole-volume kernel (rejecting un-lowerable
-    combinations up front), 'auto' picks it where profitable on TPU."""
+    combinations up front), 'auto' picks the profitable fused form on
+    TPU — 'whole' (VMEM-resident whole volume) within the compile/VMEM
+    caps, 'tiled' (row-tiled temporal blocking) past them for the
+    HBM-bound families.  Returns 'whole' | 'tiled' | None."""
     if kernel not in ("auto", "pallas", "xla"):
         raise ValueError(f"kernel must be auto|pallas|xla, got {kernel!r}")
     if kernel == "xla":
-        return False
+        return None
     cfg = model.cfg
     if mesh is not None:
         if kernel == "pallas":
@@ -102,7 +144,7 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
                 "the fused volume kernel is single-chip (GSPMD cannot "
                 "partition pallas_call); drop mesh or kernel='pallas'"
             )
-        return False
+        return None
     if cfg.adaptive_dv is not None:
         if kernel == "pallas":
             raise ValueError(
@@ -110,7 +152,7 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
                 "trace fixed-dt substeps); drop kernel='pallas' or "
                 "adaptive_dv"
             )
-        return False
+        return None
     on_tpu = jax.default_backend() == "tpu"
     table = bool(getattr(cfg, "table", False))
     if kernel == "pallas":
@@ -119,20 +161,30 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
                 "table-mode gathers don't lower in Mosaic; use "
                 "kernel='xla' or drop table=True"
             )
-        return True
+        return "whole"
     # auto: measured profitable on TPU within the VMEM envelope (see
     # docs/OPTIMIZATIONS.md §14 for the volume measurements); unaligned
     # (H, W) run on padded planes, sized by the PADDED shape
     if not on_tpu or table:
-        return False
+        return None
     if model.name not in ("fenton", "br", "court", "court_ultra", "ms"):
-        return False
+        return None
     hp = -(-cfg.height // 8) * 8
     wp = -(-cfg.width // 128) * 128
     state_mb = len(model.state_keys()) * depth * hp * wp * 4 / 2 ** 20
     cells = depth * hp * wp
-    return (state_mb <= VOLUME_KERNEL_STATE_MB_MAX
-            and cells <= VOLUME_KERNEL_CELLS_MAX)
+    if (state_mb <= VOLUME_KERNEL_STATE_MB_MAX
+            and cells <= VOLUME_KERNEL_CELLS_MAX):
+        return "whole"
+    # past the whole-volume caps: row-tiled temporal blocking, for the
+    # families where the 2D measurements show tiling beats XLA
+    # (HBM-bound fenton/br/ms; compute-bound court loses the halo
+    # recompute, OPTIMIZATIONS §8c — court stays XLA here too)
+    if model.name not in ("fenton", "br", "ms"):
+        return None
+    if pick_volume_tile_rows(model, depth) is None:
+        return None
+    return "tiled"
 
 
 def _use_shard_kernel(model: IonicModel, depth: int, n_shards: int,
@@ -322,11 +374,21 @@ def run_volume(
         spmd_kernel = _use_shard_kernel(model, depth, n_shards, kernel,
                                         k_resolved)
         step_fn = None
-    elif _use_volume_kernel(model, depth, mesh, kernel):
+    elif (mode := _use_volume_kernel(model, depth, mesh, kernel)):
         from fib_tf_tpu.ops.pallas_step import padded_shape
-        from fib_tf_tpu.ops.pallas_volume import make_pallas_volume_step
+        from fib_tf_tpu.ops.pallas_volume import (
+            make_pallas_volume_step, make_tiled_volume_step,
+        )
 
-        if (probe is not None and kernel == "auto"
+        if mode == "tiled":
+            # past the whole-volume compile/VMEM caps: row-tiled
+            # temporal blocking (aligned grids only — selection
+            # guarantees it)
+            step_fn = make_tiled_volume_step(
+                model, depth, pick_volume_tile_rows(model, depth),
+                phase=phase, dz_ratio=dz_ratio, fiber=fiber,
+            )
+        elif (probe is not None and kernel == "auto"
                 and padded_shape(model.cfg.height, model.cfg.width)
                 is not None):
             # custom probe callables would see the pad region's garbage;

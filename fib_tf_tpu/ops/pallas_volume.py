@@ -652,6 +652,194 @@ def make_pallas_volume_step(
     return step
 
 
+# -----------------------------------------------------------------------------
+# Row-tiled volume kernel — large volumes past the whole-volume compile cap
+# -----------------------------------------------------------------------------
+
+def make_tiled_volume_step(
+    model: IonicModel,
+    depth: int,
+    tile_rows: int,
+    phase: Optional[np.ndarray] = None,
+    dz_ratio: float = 1.0,
+    fiber: Optional[tuple] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build `step(state) -> state`: one outer step of a `[depth, H, W]`
+    volume as a ROW-tiled, temporally-blocked Pallas kernel — the fused
+    fast path for volumes past the whole-volume kernel's compile cap
+    (engine.volume.VOLUME_KERNEL_CELLS_MAX; Mosaic compile grows
+    ~quadratically in flattened tile count, docs/OPTIMIZATIONS.md §14).
+
+    Design: the grid iterates over row tiles.  Each kernel instance DMAs
+    `tile_rows + 2K` rows of EVERY z-slice of every plane (K =
+    halo_rows(dt_per_step)), so the block holds the full z extent for
+    its row window: z coupling is complete in-block (REFLECT at the
+    global z faces via the static slice-index plane) and only the row
+    direction is temporally blocked — halo rows turn to garbage one ring
+    per substep exactly as in ops.pallas_tiled.  In-block the slices run
+    in the FLAT `[depth * ext_h, W]` layout (the Mosaic-practical one,
+    see flat_volume_geometry) with the slice stride = ext_h and TRACED
+    global row indices, so the compiled program size is set by the BLOCK
+    size, not the volume size.
+
+    Requires (8, 128)-aligned (H, W), tile_rows % 8 == 0,
+    H % tile_rows == 0, and H >= tile_rows + 2K (the same DMA-window
+    clamp as the 2D tiled kernel).  Unaligned large volumes stay on the
+    XLA path."""
+    from fib_tf_tpu.ops.pallas_tiled import halo_rows
+
+    names = model.state_keys()
+    n = len(names)
+    h, w = model.cfg.height, model.cfg.width
+    if h % 8 != 0 or w % 128 != 0:
+        raise ValueError(
+            f"{h}x{w} is not (8, 128)-aligned; the tiled volume kernel "
+            "needs aligned (H, W)"
+        )
+    if tile_rows % 8 != 0 or h % tile_rows != 0:
+        raise ValueError(
+            f"tile_rows {tile_rows} must be a multiple of 8 dividing "
+            f"height {h}"
+        )
+    k = halo_rows(model.dt_per_step)
+    ext_h = tile_rows + 2 * k
+    if h < ext_h:
+        raise ValueError(
+            f"height {h} < tile_rows + 2*halo = {ext_h}; pick a smaller "
+            f"tile_rows or use the whole-volume/XLA path"
+        )
+    n_tiles = h // tile_rows
+    has_phase = phase is not None
+    if has_phase:
+        # z-tiled flat [D*H, W] so the phase windows DMA exactly like
+        # the state planes
+        phase_f32 = np.tile(np.asarray(phase, np.float32), (depth, 1))
+    has_fiber = fiber is not None
+    if has_fiber:
+        per_slice = [
+            np.broadcast_to(np.asarray(c, np.float32), (depth,))
+            for c in fiber
+        ]
+        # value depends only on z: a static [depth * ext_h, 1] plane
+        # (the same rows for every tile) needs no DMA windowing
+        fiber_blk = [
+            np.repeat(c, ext_h).reshape(depth * ext_h, 1).copy()
+            for c in per_slice
+        ]
+    zidx_blk = np.repeat(
+        np.arange(depth, dtype=np.int32), ext_h
+    ).reshape(depth * ext_h, 1)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_in = n + (1 if has_phase else 0)  # HBM flat planes with row windows
+
+    def tile_start(tile_idx):
+        return pl.multiple_of(
+            jnp.clip(tile_idx * tile_rows - k, 0, h - ext_h), 8
+        )
+
+    def kernel(*refs):
+        from fib_tf_tpu.ops import integrators
+
+        ni = n_in + 1 + (3 if has_fiber else 0)      # total inputs
+        in_refs = refs[:n_in]                        # HBM [D*H, W] planes
+        zidx_ref = refs[n_in]                        # [D*ext_h, 1] static
+        fib_refs = refs[n_in + 1 : ni]
+        out_refs = refs[ni : ni + n]
+        scratch = refs[ni + n : ni + n + n_in]       # VMEM ext blocks
+        sem = refs[-1]
+
+        t = pl.program_id(0)
+        start = tile_start(t)
+        offset = pl.multiple_of(t * tile_rows - start, 8)
+
+        # gather each slice's row window into the flat [D*ext_h, W] block
+        for i in range(n_in):
+            for z in range(depth):
+                pltpu.make_async_copy(
+                    in_refs[i].at[pl.ds(z * h + start, ext_h)],
+                    scratch[i].at[pl.ds(z * ext_h, ext_h)],
+                    sem.at[i, z],
+                ).start()
+        for i in range(n_in):
+            for z in range(depth):
+                pltpu.make_async_copy(
+                    in_refs[i].at[pl.ds(z * h + start, ext_h)],
+                    scratch[i].at[pl.ds(z * ext_h, ext_h)],
+                    sem.at[i, z],
+                ).wait()
+
+        zidx = zidx_ref[:]
+        flat_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (depth * ext_h, 1), 0
+        )
+        rrow = start + flat_iota - ext_h * zidx  # traced global row index
+        phase_arr = scratch[n][:] if has_phase else None
+        fib = tuple(r[:] for r in fib_refs) if has_fiber else None
+        geom = flat_volume_geometry(
+            depth, ext_h, rrow, zidx, phase_arr, dz_ratio, fib, h_true=h
+        )
+        state = {kk: scratch[i][:] for i, kk in enumerate(names)}
+        integrators._IN_PALLAS_KERNEL = True
+        try:
+            state = model.kernel_step(state, geom)
+        finally:
+            integrators._IN_PALLAS_KERNEL = False
+
+        # Mosaic lowers dynamic slices on REFS but not values: round-trip
+        # through the (now-consumed) input scratch to slice out the valid
+        # center rows of each slice
+        for i, kk in enumerate(names):
+            scratch[i][:] = state[kk]
+        for i in range(n):
+            for z in range(depth):
+                out_refs[i][z] = scratch[i][
+                    pl.ds(z * ext_h + offset, tile_rows), :
+                ]
+
+    flat_plane = jax.ShapeDtypeStruct((depth * h, w), jnp.float32)
+    vol_plane = jax.ShapeDtypeStruct((depth, h, w), jnp.float32)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    small_vspec = pl.BlockSpec(
+        memory_space=pl.ANY if interpret else pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (depth, tile_rows, w), lambda t: (0, t, 0),
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
+    )
+    in_specs = ([any_spec] * n_in + [small_vspec]
+                + [small_vspec] * (3 if has_fiber else 0))
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=[vol_plane] * n,
+        in_specs=in_specs,
+        out_specs=[out_spec] * n,
+        scratch_shapes=(
+            [pltpu.VMEM((depth * ext_h, w), jnp.float32)] * n_in
+            + [pltpu.SemaphoreType.DMA((n_in, depth))]
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+    def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        args = [state[kk].reshape(depth * h, w) for kk in names]
+        if has_phase:
+            args.append(jnp.asarray(phase_f32))
+        args.append(jnp.asarray(zidx_blk))
+        if has_fiber:
+            args.extend(jnp.asarray(f) for f in fiber_blk)
+        outs = call(*args)
+        return dict(zip(names, outs))
+
+    return step
+
+
 def pad_volume_state(state: Dict[str, jnp.ndarray], h: int, w: int,
                      hp: int, wp: int) -> Dict[str, jnp.ndarray]:
     """Edge-replicate a `[D, h, w]` state into padded `[D, hp, wp]`

@@ -422,6 +422,112 @@ class TestVolumeKernel:
             run_volume(m, depth=4, n_outer=1, kernel="fused")
 
 
+class TestTiledVolumeKernel:
+    """Row-tiled temporally-blocked volume kernel
+    (ops/pallas_volume.make_tiled_volume_step) — the fused path for
+    volumes past the whole-volume kernel's Mosaic compile cap.  Each
+    row-tile block holds ALL z-slices, so z coupling is complete
+    in-block and only the row direction carries the temporal halo."""
+
+    def test_matches_xla_with_phase_fiber_dz(self):
+        from fib_tf_tpu.ops import stencil
+        from fib_tf_tpu.ops.pallas_volume import make_tiled_volume_step
+
+        m = Fenton4v(SimConfig(width=128, height=96, dt=0.05))
+        ph = stencil.add_hole_to_phase_field(None, 96, 128, 48, 64, 10)
+        ang = stencil3d.twist_angles(3, 0.3, 1.2)
+        fib = stencil3d.fiber_tensors(ang, 0.35)
+        st = {k: jnp.asarray(v) for k, v in volume_state(m, 3).items()}
+        geom = volume_geometry(ph, dz_ratio=0.7, fiber=fib)
+        want = st
+        # tile_rows=16 < halo (16): interior tiles load clamped windows
+        # at genuinely varying offsets
+        pstep = make_tiled_volume_step(m, 3, 16, phase=ph, dz_ratio=0.7,
+                                       fiber=fib)
+        got = st
+        for _ in range(3):
+            want = m.step(want, geom)
+            got = pstep(got)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+    def test_br_skip_cheby_matches_xla(self):
+        from fib_tf_tpu.ops.pallas_volume import make_tiled_volume_step
+
+        b = BeelerReuter(SimConfig(width=128, height=64, dt=0.05,
+                                   diff=0.809, cheby=True, skip=True))
+        st = {k: jnp.asarray(v) for k, v in volume_state(b, 4).items()}
+        want = b.step(st, volume_geometry())
+        got = make_tiled_volume_step(b, 4, 32)(st)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+    def test_validation(self):
+        from fib_tf_tpu.ops.pallas_volume import make_tiled_volume_step
+
+        m_unaligned = Fenton4v(SimConfig(width=100, height=64, dt=0.05))
+        with pytest.raises(ValueError, match="aligned"):
+            make_tiled_volume_step(m_unaligned, 4, 16)
+        m = Fenton4v(SimConfig(width=128, height=64, dt=0.05))
+        with pytest.raises(ValueError, match="multiple of 8"):
+            make_tiled_volume_step(m, 4, 24)
+        with pytest.raises(ValueError, match="tile_rows"):
+            make_tiled_volume_step(m, 4, 64)  # ext 96 > h 64
+
+    def test_pick_tile_rows(self):
+        from fib_tf_tpu.engine.volume import pick_volume_tile_rows
+
+        # fenton K=16: 8x256x512 -> largest divisor of 256 with
+        # 8*(t+32)*512 <= 768*8*128 is t=128 (ext 160 -> 655k cells)
+        m = Fenton4v(SimConfig(width=512, height=256, dt=0.05))
+        assert pick_volume_tile_rows(m, 8) == 128
+        # unaligned -> None
+        mu = Fenton4v(SimConfig(width=500, height=256, dt=0.05))
+        assert pick_volume_tile_rows(mu, 8) is None
+        # depth so large no block fits the compile band -> None
+        assert pick_volume_tile_rows(m, 400) is None
+
+    def test_auto_selects_tiled_past_cap(self, monkeypatch):
+        """Engine selection: past the whole-volume cap an aligned
+        HBM-bound model picks 'tiled' under 'auto' (cap shrunk so a
+        CPU-sized volume counts as big), and the run matches XLA."""
+        import fib_tf_tpu.engine.volume as ev
+        import fib_tf_tpu.ops.pallas_volume as pv
+
+        m = Fenton4v(SimConfig(width=128, height=96, dt=0.05))
+        monkeypatch.setattr(ev, "VOLUME_KERNEL_CELLS_MAX", 40000)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert ev._use_volume_kernel(m, 4, None, "auto") == "tiled"
+        # court stays XLA past the cap (compute-bound; tiling loses)
+        from fib_tf_tpu.models.courtemanche import Courtemanche
+
+        c = Courtemanche(SimConfig(width=128, height=96, dt=0.02,
+                                   diff=0.809))
+        assert ev._use_volume_kernel(c, 4, None, "auto") is None
+
+        # end-to-end through run_volume (kernel forced to interpret on
+        # this CPU host)
+        orig = pv.make_tiled_volume_step
+        monkeypatch.setattr(
+            pv, "make_tiled_volume_step",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+        )
+        f_t, p_t, _ = run_volume(m, depth=4, n_outer=2, kernel="auto")
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        f_x, p_x, _ = run_volume(m, depth=4, n_outer=2, kernel="xla")
+        np.testing.assert_allclose(p_t, p_x, rtol=1e-5, atol=1e-6)
+        for k in f_x:
+            np.testing.assert_allclose(
+                f_t[k], f_x[k], rtol=2e-5, atol=2e-5, err_msg=k,
+            )
+
+
 class TestWideHaloVolume:
     """The wide-halo shard_map volume path (parallel/volume_spmd.py):
     K = dt_per_step ghost z-slices per outer-step exchange, per-shard

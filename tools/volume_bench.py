@@ -30,7 +30,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("model", choices=["fenton", "br", "court", "court_ultra",
                                      "ms"])
-    p.add_argument("--kernel", default="xla", choices=["xla", "whole"])
+    p.add_argument("--kernel", default="xla",
+                   choices=["xla", "whole", "tiled"])
+    p.add_argument("--tile-rows", type=int, default=None,
+                   help="tiled kernel row-tile size (default: "
+                        "engine.volume.pick_volume_tile_rows)")
     p.add_argument("--depth", type=int, default=16)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=512)
@@ -71,6 +75,17 @@ def main():
 
         step = make_pallas_volume_step(
             model, args.depth, dz_ratio=args.dz_ratio, fiber=fiber
+        )
+    elif args.kernel == "tiled":
+        from fib_tf_tpu.engine.volume import pick_volume_tile_rows
+        from fib_tf_tpu.ops.pallas_volume import make_tiled_volume_step
+
+        tr = args.tile_rows or pick_volume_tile_rows(model, args.depth)
+        if tr is None:
+            raise SystemExit("no valid tile_rows for this volume")
+        print(f"tile_rows={tr}", flush=True)
+        step = make_tiled_volume_step(
+            model, args.depth, tr, dz_ratio=args.dz_ratio, fiber=fiber
         )
     else:
         geom = volume_geometry(dz_ratio=args.dz_ratio, fiber=fiber)
