@@ -212,6 +212,13 @@ def build_parser() -> argparse.ArgumentParser:
                     default="auto")
     vo.add_argument("--rotor", action="store_true",
                     help="live per-slice rotor census stream")
+    vo.add_argument("--ecg", action="append", default=[],
+                    help="z,y,x — virtual unipolar electrode in cell "
+                         "units (pseudo-ECG stream; may repeat; z<0 "
+                         "floats the electrode above the epicardium — "
+                         "use --ecg=-5,64,64 for negative z)")
+    vo.add_argument("--save-ecg", default=None,
+                    help="save the [T, n_electrodes] pseudo-ECG (npy)")
     vo.add_argument("--frames", type=float, default=None,
                     help="record [D,H,W] frames every N ms")
     vo.add_argument("--save-volume", default=None,
@@ -583,6 +590,11 @@ def cmd_volume(args) -> int:
     elif args.save_volume or args.save_cube:
         frames_every = max(1, n_outer // 60)
 
+    electrodes = []
+    for spec in args.ecg:
+        z, y, x = (float(p) for p in spec.split(","))
+        electrodes.append((z, y, x))
+
     t0 = time.perf_counter()
     final, probes, frames = run_volume(
         model, depth=args.depth, n_outer=n_outer, phase=phase,
@@ -590,7 +602,7 @@ def cmd_volume(args) -> int:
         fiber_twist=np.deg2rad(args.fiber_twist),
         fiber_ratio=args.fiber_ratio, events=events,
         frames_every=frames_every, rotor_probe=args.rotor,
-        kernel=args.kernel,
+        electrodes=electrodes, kernel=args.kernel,
     )
     elapsed = time.perf_counter() - t0
 
@@ -615,6 +627,13 @@ def cmd_volume(args) -> int:
             "max_count": int(r[:, :, 0].sum(axis=1).max()),
             "final_per_slice": [int(c) for c in r[-1, :, 0]],
         }
+    if electrodes:
+        e = np.asarray(probes["ecg"])
+        summary["ecg_p2p"] = [
+            round(float(c.max() - c.min()), 4) for c in e.T
+        ]
+        if args.save_ecg:
+            np.save(args.save_ecg, e)
     print(json.dumps(summary))
     if args.save_volume and frames is not None:
         np.save(args.save_volume, frames)

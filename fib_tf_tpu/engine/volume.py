@@ -87,9 +87,11 @@ VOLUME_KERNEL_CELLS_MAX = 768 * 8 * 128
 
 
 # VMEM budget for the tiled volume kernel's per-tile blocks (scratch +
-# blocked outputs + Mosaic temporaries must fit the ~110 MB compiler
-# limit; the 2D tiled kernel runs comfortably at this block budget)
-TILED_VOLUME_BLOCK_MB_MAX = 48.0
+# blocked outputs).  Mosaic's scoped allocation adds ~3.5x the raw block
+# bytes in temporaries (measured: BR 8x256x512 tile 128 = 34 MB raw ->
+# 120.65 MB scoped, over the 110 MB limit; fenton tile 128 = 18 MB raw
+# compiles and runs), so the raw budget stays ~24 MB
+TILED_VOLUME_BLOCK_MB_MAX = 24.0
 
 
 def pick_volume_tile_rows(model: IonicModel, depth: int) -> Optional[int]:
@@ -243,6 +245,7 @@ def run_volume(
     rotor_probe: bool = False,
     rotor_tau_ms: float = 10.0,
     rotor_v_star: float = 0.5,
+    electrodes: Sequence[tuple] = (),
     kernel: str = "auto",
     wide_halo: bool = False,
     halo_k: Optional[int] = None,
@@ -286,6 +289,20 @@ def run_volume(
     - `frames_every`: record the normalized `[D, H, W]` potential every
       this many outer steps (host-side chunking, like the engine's
       dt_per_plot frames).
+    - `electrodes`: virtual unipolar electrode positions `(z, y, x)` in
+      cell units (floats; typically OFF the tissue, e.g. z = -5 above
+      the epicardial face).  Each outer step samples the pseudo-ECG
+      Φ(e) ∝ ∫ (1/r) ∇·(D∇V) dv on-device — the discrete source term
+      is the SAME `geom.laplace` (incl. anisotropy and phase-field
+      correction) the model integrates, weighted by the 1/r lead field
+      (stencil3d.ecg_weights).  This is the 3D generalization of the
+      reference's 2D Gaussian-mask electrogram (egm.py:5-12): a true
+      far-field potential rather than a local masked mean.  With
+      electrodes, `probes` is a dict with an `'ecg'` stream of shape
+      `[n_outer, n_electrodes]`.  Works on the XLA, fused-kernel
+      (sampled on the true-size crop of padded planes), and GSPMD mesh
+      paths; not on `wide_halo` (the shard_map body sees z-local
+      blocks).
     - `rotor_probe`: also emit a LIVE per-slice rotor census from inside
       the compiled scan — `[n_outer, D, 2]` of (count, net topological
       charge) per z-slice vs the sample `rotor_tau_ms` ago (the same
@@ -309,8 +326,10 @@ def run_volume(
       path composes with phase fields, dz_ratio, fiber twist, events,
       and both probes (only `model.step` moves inside the kernel).
 
-    Returns (final state, probes `[n_outer]` (or dict, see above),
-    frames `[n_frames, D, H, W]` or None).
+    Returns (final state, probes, frames `[n_frames, D, H, W]` or
+    None).  `probes` is the `[n_outer]` potential stream, or — with
+    `rotor_probe` and/or `electrodes` — a dict of streams
+    {'v': [n_outer], 'rotors': [n_outer, D, 2], 'ecg': [n_outer, E]}.
 
     Stability: the symbol of the 3D operator bottoms out at
     −(8 + 8·dz_ratio) (in-plane 9-point: −8 at the checkerboard mode,
@@ -363,6 +382,12 @@ def run_volume(
                 "custom probe callables are not supported with "
                 "wide_halo (the shard_map body sees z-local blocks); "
                 "use the default probe or the GSPMD path"
+            )
+        if electrodes:
+            raise ValueError(
+                "electrodes are not supported with wide_halo (the "
+                "shard_map body sees z-local blocks); use the GSPMD "
+                "mesh path, which shards the ECG reduction"
             )
         from fib_tf_tpu.parallel.volume_spmd import (
             check_volume_shards, resolve_halo_k,
@@ -433,6 +458,16 @@ def run_volume(
                 for e in events]
     ev_steps = [int(e.step) for e in events]
 
+    ew = None
+    if electrodes:
+        # [E, D, H, W] lead-field weights on the TRUE grid — the kernel
+        # path's padded planes are cropped before sampling, so the pad
+        # region never radiates
+        ew = jnp.asarray(np.stack([
+            stencil3d.ecg_weights(depth, h_true, w_true, pos)
+            for pos in electrodes
+        ]))
+
     tau_steps = 0
     if rotor_probe:
         tau_steps = max(1, int(round(
@@ -473,6 +508,15 @@ def run_volume(
                 pot = jnp.where(i == t, jnp.maximum(pot, m), pot)
             s = {**s, pot_key: pot}
             out = {"v": probe(s)}
+            if ew is not None:
+                src = pot
+                if padded_hw is not None:
+                    src = src[:, :h_true, :w_true]
+                # the same discrete source term the model integrates:
+                # laplace of the boundary-enforced potential (e.g.
+                # fenton.py step: diff * laplace(enforce_boundary(u)))
+                lap = geom.laplace(geom.enforce_boundary(src))
+                out["ecg"] = jnp.einsum("dhw,edhw->e", lap, ew)
             if rotor_probe:
                 from fib_tf_tpu.ops import stencil
 
@@ -522,6 +566,10 @@ def run_volume(
         ax = mesh.axis_names[0]
         sh = NamedSharding(mesh, P(ax, None, None))
         st = {k: jax.device_put(v, sh) for k, v in st.items()}
+        if ew is not None:
+            # lead fields shard along z with the volume; the reduction
+            # becomes a GSPMD psum
+            ew = jax.device_put(ew, NamedSharding(mesh, P(None, ax)))
         if rotor_probe:
             # the ring buffer shards along z too — the per-slice winding
             # is z-elementwise, so the census needs no collectives
@@ -556,6 +604,6 @@ def run_volume(
     }
     return (
         final,
-        streams if rotor_probe else streams["v"],
+        streams if (rotor_probe or ew is not None) else streams["v"],
         np.stack(frames) if frames is not None else None,
     )

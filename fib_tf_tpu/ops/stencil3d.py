@@ -115,6 +115,34 @@ def enforce_boundary3d(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x[1:-1, 1:-1, 1:-1], 1, mode="symmetric")
 
 
+def ecg_weights(
+    depth: int,
+    height: int,
+    width: int,
+    pos: tuple,
+    r_min: float = 0.5,
+) -> np.ndarray:
+    """Lead-field weights `1/r` of a virtual unipolar electrode at `pos`
+    = (z, y, x) in cell units (floats; typically OFF the tissue, e.g.
+    z = -5 for an electrode above the epicardial face).
+
+    The pseudo-ECG of the monodomain model is the volume integral
+    Φ(e) ∝ −∫ ∇V·∇(1/r) dv, which integrates by parts (no-flux
+    boundaries kill the surface term) to ∫ (1/r) ∇·(D∇V) dv — so the
+    sampled signal is `sum(geom.laplace(V) * ecg_weights(...))`,
+    reusing the exact discrete operator (incl. anisotropy and the
+    phase-field correction) as the source term.  This generalizes the
+    reference's 2D Gaussian-mask electrode (egm.py:5-12), which sampled
+    the potential itself rather than the field a dipole layer radiates.
+    `r_min` floors the distance so an in-tissue electrode stays finite."""
+    z, y, x = (float(c) for c in pos)
+    zz = np.arange(depth, dtype=np.float32).reshape(-1, 1, 1)
+    yy = np.arange(height, dtype=np.float32).reshape(1, -1, 1)
+    xx = np.arange(width, dtype=np.float32).reshape(1, 1, -1)
+    r = np.sqrt((zz - z) ** 2 + (yy - y) ** 2 + (xx - x) ** 2)
+    return (1.0 / np.maximum(r, r_min)).astype(np.float32)
+
+
 def pace_mask3d(
     depth: int,
     height: int,

@@ -186,11 +186,14 @@ class TestVolume:
     def test_volume_json_with_everything(self, tmp_path, capsys):
         cube = tmp_path / "vol_cube"
         vol = tmp_path / "vol_movie"
+        ecg = tmp_path / "ecg.npy"
         rc = cli.main([
             "volume", "--model", "fenton", "--depth", "6", "--width",
             "24", "--height", "24", "--duration", "40", "--s2", "20",
             "--hole", "12,12,4", "--fiber-twist", "90", "--fiber-ratio",
             "0.4", "--dz-ratio", "0.8", "--rotor", "--frames", "20",
+            "--ecg=-4,12,12", "--ecg", "10,12,12",
+            "--save-ecg", str(ecg),
             "--save-cube", str(cube), "--save-volume", str(vol),
         ])
         assert rc == 0
@@ -199,6 +202,8 @@ class TestVolume:
         assert rec["outer_steps"] == 80
         assert 0.0 <= rec["final_activity_fraction"] <= 1.0
         assert len(rec["rotors"]["final_per_slice"]) == 6
+        assert len(rec["ecg_p2p"]) == 2 and rec["ecg_p2p"][0] > 0
+        assert np.load(str(ecg)).shape == (80, 2)
         movie = np.load(str(vol) + ".npy")
         assert movie.ndim == 4 and movie.shape[1:] == (6, 24, 24)
         assert np.load(str(cube) + ".npy").shape[1:] == (24, 24)
