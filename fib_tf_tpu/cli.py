@@ -199,6 +199,10 @@ def build_parser() -> argparse.ArgumentParser:
     vo.add_argument("--fiber-twist", type=float, default=0.0,
                     help="total transmural fiber rotation (degrees)")
     vo.add_argument("--fiber-ratio", type=float, default=1.0)
+    vo.add_argument("--fiber-elevation", type=float, default=0.0,
+                    help="imbrication angle (degrees) tilting the "
+                         "fiber axis out of the sheet plane — full 3x3 "
+                         "tensor (XLA path; needs --fiber-ratio < 1)")
     vo.add_argument("--s2", type=float, default=None,
                     help="cross-field S2 time (ms); makes a scroll wave")
     vo.add_argument("--s2-loc", default="luq")
@@ -600,7 +604,8 @@ def cmd_volume(args) -> int:
         model, depth=args.depth, n_outer=n_outer, phase=phase,
         dz_ratio=args.dz_ratio,
         fiber_twist=np.deg2rad(args.fiber_twist),
-        fiber_ratio=args.fiber_ratio, events=events,
+        fiber_ratio=args.fiber_ratio,
+        fiber_elevation=np.deg2rad(args.fiber_elevation), events=events,
         frames_every=frames_every, rotor_probe=args.rotor,
         electrodes=electrodes, kernel=args.kernel,
     )

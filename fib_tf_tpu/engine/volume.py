@@ -127,8 +127,8 @@ def pick_volume_tile_rows(model: IonicModel, depth: int) -> Optional[int]:
     return None
 
 
-def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
-                       ) -> Optional[str]:
+def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str,
+                       full_fiber: bool = False) -> Optional[str]:
     """Kernel selection for run_volume, mirroring Simulation._use_pallas:
     'pallas' forces the fused whole-volume kernel (rejecting un-lowerable
     combinations up front), 'auto' picks the profitable fused form on
@@ -138,6 +138,14 @@ def _use_volume_kernel(model: IonicModel, depth: int, mesh, kernel: str
     if kernel not in ("auto", "pallas", "xla"):
         raise ValueError(f"kernel must be auto|pallas|xla, got {kernel!r}")
     if kernel == "xla":
+        return None
+    if full_fiber:
+        if kernel == "pallas":
+            raise ValueError(
+                "full 3x3 fiber tensors (fiber_elevation) run on the "
+                "XLA path — the fused volume kernel implements the "
+                "separable in-plane-tensor + dz_ratio form only"
+            )
         return None
     cfg = model.cfg
     if mesh is not None:
@@ -237,6 +245,7 @@ def run_volume(
     fiber_twist: float = 0.0,
     fiber_angle0: float = 0.0,
     fiber_ratio: float = 1.0,
+    fiber_elevation: float = 0.0,
     mesh=None,
     events: Sequence[VolumeEvent] = (),
     probe: Optional[Callable] = None,
@@ -262,6 +271,16 @@ def run_volume(
       (the ventricular transmural fiber rotation of Fenton & Karma
       1998; ~2.1 rad across a human LV wall).  fiber_ratio = 1 is
       isotropic (the twist is then a no-op and skipped).
+    - `fiber_elevation`: imbrication angle (radians) tilting the fiber
+      axis OUT of the sheet plane — the full 3x3 tensor
+      D = ratio*I + (1-ratio) f f^T with
+      f = (cos e cos a, cos e sin a, sin e)
+      (stencil3d.fiber_tensors3d / _laplace3d_full; the separable
+      in-plane-tensor + dz_ratio model cannot represent the dxz/dyz
+      coupling).  Needs fiber_ratio < 1 and leaves dz_ratio at 1.0
+      (dzz comes from the tensor; at e = 0 it equals fiber_ratio).
+      Runs on the XLA and GSPMD mesh paths (the fused kernels and
+      wide_halo implement the separable form only).
     - `mesh`: shard the z axis over the mesh's first axis (GSPMD; the
       halo is one z-slice each way).
     - `wide_halo` (needs `mesh`): switch from GSPMD to the explicit
@@ -349,22 +368,57 @@ def run_volume(
             "a 1- or 2-slice volume has no interior); use the 2D engine "
             "for sheets"
         )
-    lam = (8.0 + 8.0 * dz_ratio) * model.cfg.diff
+    if not 0.0 < fiber_ratio <= 1.0:
+        raise ValueError("fiber_ratio must be in (0, 1]")
+    full_fiber = fiber_elevation != 0.0
+    if full_fiber:
+        if fiber_ratio == 1.0:
+            raise ValueError(
+                "fiber_elevation needs fiber_ratio < 1 (an isotropic "
+                "tensor has no fiber axis to tilt)"
+            )
+        if dz_ratio != 1.0:
+            raise ValueError(
+                "fiber_elevation builds a full 3x3 tensor with its own "
+                "dzz (= fiber_ratio at zero tilt); leave dz_ratio at 1.0"
+            )
+        if wide_halo:
+            raise ValueError(
+                "full 3x3 fiber tensors (fiber_elevation) are not "
+                "supported with wide_halo (its comm schedule carries "
+                "the separable 3-component tensor); use the GSPMD "
+                "mesh path"
+            )
+    fiber = None
+    if fiber_ratio < 1.0:
+        angles = stencil3d.twist_angles(depth, fiber_angle0, fiber_twist)
+        if full_fiber:
+            fiber = stencil3d.fiber_tensors3d(angles, fiber_ratio,
+                                              fiber_elevation)
+        else:
+            fiber = stencil3d.fiber_tensors(angles, fiber_ratio)
+    if full_fiber:
+        # worst-case symbol of the full-tensor operator: 8 per unit of
+        # trace (2x-scaled second differences at Nyquist) + 4 per unit
+        # of |off-diagonal| (the 4-corner mixed stencils)
+        dxx, dxy, dyy, dxz, dyz, dzz = (np.asarray(c) for c in fiber)
+        lam = float(np.max(
+            8.0 * (dxx + dyy + dzz)
+            + 4.0 * (np.abs(dxy) + np.abs(dxz) + np.abs(dyz))
+        )) * model.cfg.diff
+        limit_doc = "the full-tensor symbol bound"
+    else:
+        lam = (8.0 + 8.0 * dz_ratio) * model.cfg.diff
+        limit_doc = "2/((8 + 8*dz_ratio)*diff)"
     dt_limit = 2.0 / lam
     if (model.cfg.dt > dt_limit and model.cfg.adaptive_dv is None
             and not allow_unstable_dt):
         raise ValueError(
             f"dt={model.cfg.dt} exceeds the 3D explicit stability limit "
-            f"2/((8 + 8*dz_ratio)*diff) = {dt_limit:.4f}; lower dt or "
+            f"{limit_doc} = {dt_limit:.4f}; lower dt or "
             f"dz_ratio, set adaptive_dv (step-doubling rescue), or pass "
             f"allow_unstable_dt=True (e.g. for z-uniform fields)"
         )
-    if not 0.0 < fiber_ratio <= 1.0:
-        raise ValueError("fiber_ratio must be in (0, 1]")
-    fiber = None
-    if fiber_ratio < 1.0:
-        angles = stencil3d.twist_angles(depth, fiber_angle0, fiber_twist)
-        fiber = stencil3d.fiber_tensors(angles, fiber_ratio)
     if state is None:
         state = volume_state(model, depth)
     geom = volume_geometry(phase, dz_ratio=dz_ratio, fiber=fiber)
@@ -399,7 +453,8 @@ def run_volume(
         spmd_kernel = _use_shard_kernel(model, depth, n_shards, kernel,
                                         k_resolved)
         step_fn = None
-    elif (mode := _use_volume_kernel(model, depth, mesh, kernel)):
+    elif (mode := _use_volume_kernel(model, depth, mesh, kernel,
+                                     full_fiber=full_fiber)):
         from fib_tf_tpu.ops.pallas_step import padded_shape
         from fib_tf_tpu.ops.pallas_volume import (
             make_pallas_volume_step, make_tiled_volume_step,

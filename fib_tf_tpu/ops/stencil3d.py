@@ -53,7 +53,9 @@ def laplace3d(
 
     `fiber` is an optional `(dxx, dxy, dyy)` in-plane diffusion tensor —
     scalars (one fiber direction everywhere) or `[D]` arrays (a tensor
-    PER SLICE).  Per-slice tensors realize ROTATIONAL anisotropy: the
+    PER SLICE) — or a FULL 3x3 6-tuple `(dxx, dxy, dyy, dxz, dyz, dzz)`
+    (fiber_tensors3d; fibers tilted out of the sheet plane), which
+    dispatches to the full-tensor operator and replaces `dz_ratio`.  Per-slice tensors realize ROTATIONAL anisotropy: the
     ventricular fiber direction twisting with depth, the geometry whose
     scroll-wave destabilization Fenton & Karma mapped (Chaos 1998,
     "Vortex dynamics in three-dimensional continuous myocardium with
@@ -63,6 +65,14 @@ def laplace3d(
     (same 2x normalization, same phase-field correction), so a
     zero-twist volume reproduces the 2D anisotropic operator exactly.
     """
+    if fiber is not None and len(fiber) == 6:
+        if dz_ratio != 1.0:
+            raise ValueError(
+                "a full 3x3 fiber tensor carries its own dzz; "
+                "dz_ratio must stay 1.0 (build the tensor with "
+                "fiber_tensors3d)"
+            )
+        return _laplace3d_full(x, fiber, phase_padded)
     if fiber is None:
         planar = jax.vmap(
             lambda s: stencil.laplace(s, phase_padded=phase_padded)
@@ -81,6 +91,96 @@ def laplace3d(
     xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)), mode="reflect")
     z = xp[:-2] - 2.0 * x + xp[2:]
     return planar + (2.0 * dz_ratio) * z
+
+
+def _laplace3d_full(
+    x: jnp.ndarray,
+    tensors: tuple,
+    phase_padded: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full 3x3 anisotropic diffusion operator
+    2*(dxx Vxx + 2 dxy Vxy + dyy Vyy + dzz Vzz + 2 dxz Vxz + 2 dyz Vyz)
+    for fibers tilted OUT of the sheet plane (imbrication angle) —
+    `tensors` = (dxx, dxy, dyy, dxz, dyz, dzz), scalars or `[D]`
+    per-slice arrays (fiber_tensors3d).
+
+    Conventions match the 2D tensor operator exactly (the 2x reference
+    normalization, stencil.anisotropic_laplace's central/4-corner
+    stencils, REFLECT ends on every axis): with dxz = dyz = 0 and
+    dzz = dz_ratio this reduces to the in-plane-tensor laplace3d path
+    to float precision.  The extruded phase field keeps dphi/dz = 0,
+    so its no-flux correction gains exactly one term — the z gradient
+    against the tensor's in-plane flux components,
+    Gz*(dxz Px + dyz Py)/(4 phi) — and reduces to
+    stencil.anisotropic_phase_correction when the tilt vanishes."""
+    d = x.shape[0]
+    dxx, dxy, dyy, dxz, dyz, dzz = (
+        jnp.broadcast_to(jnp.asarray(c, jnp.float32), (d,)).reshape(
+            d, 1, 1
+        )
+        for c in tensors
+    )
+    xp = jnp.pad(x, 1, mode="reflect")  # [D+2, H+2, W+2]
+    c = xp[1:-1, 1:-1, 1:-1]
+    vxx = xp[1:-1, 1:-1, :-2] - 2.0 * c + xp[1:-1, 1:-1, 2:]
+    vyy = xp[1:-1, :-2, 1:-1] - 2.0 * c + xp[1:-1, 2:, 1:-1]
+    vzz = xp[:-2, 1:-1, 1:-1] - 2.0 * c + xp[2:, 1:-1, 1:-1]
+    vxy = 0.25 * (
+        xp[1:-1, 2:, 2:] + xp[1:-1, :-2, :-2]
+        - xp[1:-1, 2:, :-2] - xp[1:-1, :-2, 2:]
+    )
+    vxz = 0.25 * (
+        xp[2:, 1:-1, 2:] + xp[:-2, 1:-1, :-2]
+        - xp[2:, 1:-1, :-2] - xp[:-2, 1:-1, 2:]
+    )
+    vyz = 0.25 * (
+        xp[2:, 2:, 1:-1] + xp[:-2, :-2, 1:-1]
+        - xp[2:, :-2, 1:-1] - xp[:-2, 2:, 1:-1]
+    )
+    l = 2.0 * (
+        dxx * vxx + dyy * vyy + dzz * vzz
+        + 2.0 * (dxy * vxy + dxz * vxz + dyz * vyz)
+    )
+    if phase_padded is not None:
+        p = phase_padded
+        gx = xp[1:-1, 1:-1, 2:] - xp[1:-1, 1:-1, :-2]
+        gy = xp[1:-1, 2:, 1:-1] - xp[1:-1, :-2, 1:-1]
+        gz = xp[2:, 1:-1, 1:-1] - xp[:-2, 1:-1, 1:-1]
+        px = (p[1:-1, 2:] - p[1:-1, :-2])[None]
+        py = (p[2:, 1:-1] - p[:-2, 1:-1])[None]
+        l = l + (
+            gx * (dxx * px + dxy * py)
+            + gy * (dxy * px + dyy * py)
+            + gz * (dxz * px + dyz * py)
+        ) / (4.0 * p[1:-1, 1:-1][None])
+    return l
+
+
+def fiber_tensors3d(angles: np.ndarray, ratio: float,
+                    elevation=0.0) -> tuple:
+    """Per-slice FULL 3x3 diffusion tensors
+    D = ratio*I + (1 - ratio) * f f^T for unit fibers
+    f = (cos e cos a, cos e sin a, sin e): in-plane angle `a` per slice
+    (`angles`, [D] radians — twist_angles), elevation (imbrication)
+    angle `e` out of the sheet plane (scalar or [D] radians).
+
+    Returns (dxx, dxy, dyy, dxz, dyz, dzz) [D] arrays for laplace3d.
+    At e = 0 the in-plane block reduces exactly to `fiber_tensors` and
+    dzz = ratio — i.e. the classic twist model IS this tensor with
+    dz_ratio = ratio; a nonzero elevation couples z into the fast
+    conduction axis (dxz, dyz), which the separable
+    in-plane-tensor + dz_ratio model cannot represent."""
+    a = np.asarray(angles, np.float32)
+    e = np.broadcast_to(np.asarray(elevation, np.float32), a.shape)
+    fx = np.cos(e) * np.cos(a)
+    fy = np.cos(e) * np.sin(a)
+    fz = np.sin(e)
+    k = np.float32(1.0 - ratio)
+    return tuple(
+        c.astype(np.float32)
+        for c in (ratio + k * fx * fx, k * fx * fy, ratio + k * fy * fy,
+                  k * fx * fz, k * fy * fz, ratio + k * fz * fz)
+    )
 
 
 def twist_angles(

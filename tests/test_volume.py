@@ -740,3 +740,112 @@ class TestPseudoECG:
         with pytest.raises(ValueError, match="electrodes"):
             run_volume(m, depth=80, n_outer=1, mesh=mesh,
                        wide_halo=True, electrodes=[(-3.0, 12.0, 12.0)])
+
+
+class TestFullTensorAnisotropy:
+    """Full 3x3 fiber tensors (fiber_elevation — fibers tilted out of
+    the sheet plane): stencil3d._laplace3d_full / fiber_tensors3d."""
+
+    def test_analytic_quadratic(self):
+        # on V = a x^2 + b y^2 + c z^2 + d xy + e xz + f yz the discrete
+        # operator is exact: 4*(a dxx + b dyy + c dzz + d dxy + e dxz
+        # + f dyz) at every interior voxel (2x reference normalization)
+        D = (0.9, 0.15, 0.7, -0.2, 0.12, 0.55)
+        a, b, c, d, e, f = 0.3, -0.7, 1.1, 0.4, -0.25, 0.6
+        zz = np.arange(6, dtype=np.float32).reshape(-1, 1, 1)
+        yy = np.arange(10, dtype=np.float32).reshape(1, -1, 1)
+        xx = np.arange(12, dtype=np.float32).reshape(1, 1, -1)
+        v = (a * xx**2 + b * yy**2 + c * zz**2
+             + d * xx * yy + e * xx * zz + f * yy * zz)
+        l = stencil3d.laplace3d(jnp.asarray(v), fiber=D)
+        dxx, dxy, dyy, dxz, dyz, dzz = D
+        expect = 4.0 * (a * dxx + b * dyy + c * dzz
+                        + d * dxy + e * dxz + f * dyz)
+        np.testing.assert_allclose(l[1:-1, 1:-1, 1:-1], expect,
+                                   rtol=1e-4)
+
+    def test_reduces_to_separable_form(self):
+        # dxz = dyz = 0, dzz = dz_ratio reproduces the in-plane-tensor
+        # path (incl. the phase-field no-flux correction)
+        from fib_tf_tpu.ops import stencil
+
+        rng = np.random.default_rng(3)
+        v = jnp.asarray(rng.normal(size=(5, 12, 16)).astype(np.float32))
+        ph = stencil.add_hole_to_phase_field(None, 12, 16, 8, 6, 3)
+        pp = jnp.asarray(np.pad(ph, 1, mode="reflect"))
+        dxx, dxy, dyy = stencil.fiber_tensor(0.5, 0.3)
+        sep = stencil3d.laplace3d(v, phase_padded=pp, dz_ratio=0.4,
+                                  fiber=(dxx, dxy, dyy))
+        full = stencil3d.laplace3d(
+            v, phase_padded=pp,
+            fiber=(dxx, dxy, dyy, 0.0, 0.0, 0.4),
+        )
+        np.testing.assert_allclose(full, sep, rtol=1e-4, atol=1e-5)
+
+    def test_fiber_tensors3d_zero_elevation(self):
+        angles = stencil3d.twist_angles(6, 0.3, 1.2)
+        t2 = stencil3d.fiber_tensors(angles, 0.35)
+        t3 = stencil3d.fiber_tensors3d(angles, 0.35, 0.0)
+        for a, b in zip(t2, t3[:3]):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        np.testing.assert_allclose(t3[3], 0.0, atol=1e-7)
+        np.testing.assert_allclose(t3[4], 0.0, atol=1e-7)
+        np.testing.assert_allclose(t3[5], 0.35, atol=1e-6)
+
+    def test_xz_swap_equivariance(self):
+        # swapping the x and z axes of the field AND remapping the
+        # tensor (dxx<->dzz, dxy<->dyz) commutes with the operator —
+        # the tilt machinery has no preferred axis
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(8, 6, 10)).astype(np.float32)
+        dxx, dxy, dyy, dxz, dyz, dzz = 0.9, 0.1, 0.6, 0.2, -0.15, 0.45
+        l = stencil3d.laplace3d(
+            jnp.asarray(v), fiber=(dxx, dxy, dyy, dxz, dyz, dzz)
+        )
+        vt = v.transpose(2, 1, 0)  # [W, H, D] — x becomes the z axis
+        lt = stencil3d.laplace3d(
+            jnp.asarray(vt), fiber=(dzz, dyz, dyy, dxz, dxy, dxx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(lt).transpose(2, 1, 0), np.asarray(l),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_run_volume_elevation_smoke_and_sharded(self):
+        from jax.sharding import Mesh
+
+        m = Fenton4v(SimConfig(width=16, height=16, dt=0.05))
+        kw = dict(depth=8, n_outer=15, fiber_twist=1.5, fiber_ratio=0.4,
+                  fiber_elevation=0.5,
+                  events=[VolumeEvent(step=5, loc="luq")])
+        f_u, p_u, _ = run_volume(m, **kw)
+        assert np.isfinite(f_u[m.pot_key]).all()
+        assert float(np.abs(np.diff(p_u)).max()) > 0.0
+
+        devs = jax.devices()
+        if len(devs) >= 8:
+            mesh = Mesh(np.array(devs), ("z",))
+            f_s, p_s, _ = run_volume(m, mesh=mesh, **kw)
+            for k in f_u:
+                np.testing.assert_allclose(f_s[k], f_u[k], rtol=2e-5,
+                                           atol=1e-6, err_msg=k)
+
+    def test_validation_and_kernel_rejection(self):
+        from jax.sharding import Mesh
+
+        m = Fenton4v(SimConfig(width=16, height=16, dt=0.05))
+        with pytest.raises(ValueError, match="fiber_ratio < 1"):
+            run_volume(m, depth=4, n_outer=1, fiber_elevation=0.3)
+        with pytest.raises(ValueError, match="dz_ratio"):
+            run_volume(m, depth=4, n_outer=1, fiber_elevation=0.3,
+                       fiber_ratio=0.4, dz_ratio=0.5)
+        with pytest.raises(ValueError, match="XLA path"):
+            run_volume(m, depth=4, n_outer=1, fiber_elevation=0.3,
+                       fiber_ratio=0.4, kernel="pallas")
+        devs = jax.devices()
+        if len(devs) >= 8:
+            mesh = Mesh(np.array(devs), ("z",))
+            with pytest.raises(ValueError, match="wide_halo"):
+                run_volume(m, depth=80, n_outer=1, mesh=mesh,
+                           wide_halo=True, fiber_elevation=0.3,
+                           fiber_ratio=0.4)
