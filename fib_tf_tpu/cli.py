@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--save-graph", action="store_true")
     r.add_argument("--electrode", action="append", default=[],
                    help="x,y,radius — may repeat; enables EGM probes")
+    r.add_argument("--ecg", action="append", default=[],
+                   help="x,y[,z] — far-field pseudo-ECG electrode z "
+                        "cell units above the sheet (default z=5; may "
+                        "repeat)")
+    r.add_argument("--save-ecg", default=None,
+                   help="save the [T, n_electrodes] pseudo-ECG (npy)")
     r.add_argument("--rotor", action="store_true",
                    help="emit the live rotor census [count, net charge] "
                         "per outer step from inside the compiled scan")
@@ -290,6 +296,9 @@ def cmd_run(args) -> int:
     for spec in args.electrode:
         x, y, r = (float(v) for v in spec.split(","))
         sim.add_electrode(x, y, r)
+    for spec in args.ecg:
+        parts = [float(v) for v in spec.split(",")]
+        sim.add_ecg_electrode(*parts)
 
     state = None
     if args.load_state:
@@ -319,6 +328,13 @@ def cmd_run(args) -> int:
             "max_count": int(r[:, 0].max()),
             "final_net_charge": int(r[-1, 1]),
         }
+    if args.ecg:
+        e = np.asarray(res.probes["ecg"])
+        summary["ecg_p2p"] = [
+            round(float(c.max() - c.min()), 4) for c in e.T
+        ]
+        if args.save_ecg:
+            np.save(args.save_ecg, e)
     print(json.dumps(summary))
     if args.save_cube and res.frames is not None:
         viz.save_cube(args.save_cube, res.frames)

@@ -67,6 +67,7 @@ class Simulation:
         self.phase: Optional[np.ndarray] = None
         self._pace_masks: Dict[str, np.ndarray] = {}
         self._egm_masks: List[np.ndarray] = []
+        self._ecg_weights: List[np.ndarray] = []
         self._defined = False
         self._geom: Optional[Geometry] = None
         self._chunk_cache: Dict[Tuple, Callable] = {}
@@ -137,6 +138,27 @@ class Simulation:
         host)."""
         self._egm_masks.append(
             stencil.gaussian_mask(self.cfg.height, self.cfg.width, x, y, radius)
+        )
+
+    def add_ecg_electrode(self, x, y, z: float = 5.0):
+        """Register a far-field pseudo-ECG electrode floating `z` cell
+        units above the sheet at (x, y): Φ(e) ∝ ∫ (1/r)·∇·(D∇V) dA,
+        sampled on-device every outer step with the model's own discrete
+        Laplacian (anisotropy + phase-field correction included) as the
+        source term — a true far-field potential where `add_electrode`
+        (reference egm.py:5-12 parity) samples a local masked mean.
+        Rides the probe stream under `'ecg'` ([n_steps, n_electrodes]).
+        Works on the XLA, fused-kernel, padded, and GSPMD paths; not on
+        the shard_map mesh (its probe schedule carries masked means
+        only)."""
+        if self._mesh is not None:
+            raise ValueError(
+                "add_ecg_electrode is not supported on the shard_map "
+                "mesh path; use GSPMD sharding (SimConfig without "
+                "mesh_shape, Simulation(sharding=...)) or run unsharded"
+            )
+        self._ecg_weights.append(
+            stencil.ecg_weights(self.cfg.height, self.cfg.width, x, y, z)
         )
 
     # -- definition --------------------------------------------------------------
@@ -222,6 +244,15 @@ class Simulation:
             p["egm"] = jnp.stack(
                 [stencil.electrogram_sample(img, jnp.asarray(m))
                  for m in self._egm_masks]
+            )
+        if self._ecg_weights:
+            # the same discrete source term the model integrates (e.g.
+            # fenton.py step: diff * laplace(enforce_boundary(u)))
+            lap = self._geom.laplace(
+                self._geom.enforce_boundary(state[self.model.pot_key])
+            )
+            p["ecg"] = jnp.stack(
+                [jnp.sum(lap * jnp.asarray(w)) for w in self._ecg_weights]
             )
         return p
 

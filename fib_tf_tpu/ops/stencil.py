@@ -282,6 +282,28 @@ def electrogram_sample(image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(image * mask)
 
 
+def ecg_weights(
+    height: int, width: int, x: float, y: float, z: float = 5.0,
+    r_min: float = 0.5,
+) -> np.ndarray:
+    """Lead-field weights `1/r` of a virtual unipolar electrode floating
+    `z` cell units above the sheet at in-plane position (x, y).
+
+    The pseudo-ECG of the monodomain model is
+    Φ(e) ∝ −∫ ∇V·∇(1/r) dA, which integrates by parts (no-flux
+    boundaries kill the edge term) to ∫ (1/r) ∇·(D∇V) dA — so the
+    sampled signal is `sum(geom.laplace(enforce_boundary(V)) * w)`,
+    reusing the exact discrete operator (incl. anisotropy and the
+    phase-field correction) as the source term.  This is the true
+    far-field signal where the reference's Gaussian-mask electrode
+    (egm.py:5-12) sampled a local masked mean of the potential itself.
+    `r_min` floors the distance so a z=0 electrode stays finite."""
+    xx, yy = np.meshgrid(np.arange(width, dtype=np.float32),
+                         np.arange(height, dtype=np.float32))
+    r = np.sqrt((xx - x) ** 2 + (yy - y) ** 2 + float(z) ** 2)
+    return (1.0 / np.maximum(r, r_min)).astype(np.float32)
+
+
 _TWO_PI = 2.0 * np.pi
 
 

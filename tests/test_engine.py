@@ -102,6 +102,51 @@ class TestProbes:
         assert res.probes["egm"].shape == (10, 2)
         assert np.isfinite(res.probes["egm"]).all()
 
+    def test_ecg_electrode_matches_manual_integral(self):
+        """Far-field pseudo-ECG (add_ecg_electrode): the stream equals
+        the hand-computed lead-field integral of the model's own
+        discrete diffusion source term."""
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.models.base import grid_geometry
+        from fib_tf_tpu.ops import stencil
+
+        cfg = small_cfg(duration=8)
+        sim = Simulation(Fenton4v(cfg))
+        sim.add_ecg_electrode(24, 24, z=4.0)
+        sim.add_ecg_electrode(5, 40, z=0.0)  # in-plane: r_min floor
+        sim.define()
+        res = sim.simulate()
+        e = res.probes["ecg"]
+        assert e.shape == (8, 2)
+
+        m = Fenton4v(cfg)
+        geom = grid_geometry()
+        s = {k: jnp.asarray(v) for k, v in m.initial_state().items()}
+        w = np.stack([
+            stencil.ecg_weights(48, 48, 24, 24, 4.0),
+            stencil.ecg_weights(48, 48, 5, 40, 0.0),
+        ])
+        for i in range(8):
+            s = m.step(s, geom)
+            lap = np.asarray(geom.laplace(geom.enforce_boundary(s["u"])))
+            expect = np.einsum("hw,ehw->e", lap, w)
+            np.testing.assert_allclose(e[i], expect, rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_ecg_shard_map_mesh_rejected(self):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = Mesh(np.array(devs[:2]), ("rows",))
+        sim = Simulation(Fenton4v(small_cfg()), mesh=mesh,
+                         wide_halo=True)
+        with pytest.raises(ValueError, match="shard_map"):
+            sim.add_ecg_electrode(24, 24)
+
     def test_frames_recorded(self):
         cfg = small_cfg(duration=10)
         sim = Simulation(Fenton4v(cfg)).define()

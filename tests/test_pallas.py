@@ -285,12 +285,16 @@ class TestPaddedWholeGrid:
                           duration=10, kernel=kern)
             sim = Simulation(Fenton4v(c))
             sim.add_hole_to_phase_field(16, 25, 4)
+            sim.add_ecg_electrode(16, 25, z=6.0)
             sim.define()
             sim.add_pace_op("s2", "luq", 1.0)
             results[kern] = sim.simulate(schedule=[(3.0, "s2")])
         a, b = results["xla"], results["pallas"]
         np.testing.assert_allclose(a.probes["v"], b.probes["v"],
                                    rtol=1e-4, atol=1e-5)
+        # the pseudo-ECG samples the true-size crop of the padded planes
+        np.testing.assert_allclose(a.probes["ecg"], b.probes["ecg"],
+                                   rtol=1e-3, atol=1e-5)
         for k in a.state:
             assert b.state[k].shape == (50, 33)
             np.testing.assert_allclose(a.state[k], b.state[k],

@@ -94,6 +94,22 @@ class TestGSPMD:
             res.state["u"], ref.state["u"], rtol=1e-5, atol=1e-6
         )
 
+    def test_ecg_stream_with_sharding(self):
+        # the far-field pseudo-ECG reduction becomes a GSPMD psum
+        c = cfg(duration=5)
+        mesh = make_mesh()
+        sim = Simulation(Fenton4v(c), sharding=plane_sharding(mesh))
+        sim.add_ecg_electrode(c.width // 2, c.height // 2, z=4.0)
+        sim.define()
+        res = sim.simulate()
+        ref = Simulation(Fenton4v(c))
+        ref.add_ecg_electrode(c.width // 2, c.height // 2, z=4.0)
+        ref.define()
+        refr = ref.simulate()
+        np.testing.assert_allclose(
+            res.probes["ecg"], refr.probes["ecg"], rtol=1e-4, atol=1e-5
+        )
+
 
 class TestShardMapHalo:
     def test_matches_single_device(self):
