@@ -44,7 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--model", choices=sorted(MODEL_REGISTRY), default="fenton")
     r.add_argument("--width", type=int, default=512)
     r.add_argument("--height", type=int, default=512)
-    r.add_argument("--dt", type=float, default=0.1)
+    r.add_argument("--dt", type=float, default=None,
+                   help="integration dt in ms (default: the model's "
+                        "recommended dt — 0.1 for the reference models, "
+                        "0.02 for the stiff lr1)")
     r.add_argument("--dt-per-plot", type=float, default=10)
     r.add_argument("--diff", type=float, default=None,
                    help="diffusion coefficient (model default if omitted)")
@@ -174,7 +177,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="fenton")
     s2.add_argument("--width", type=int, default=512)
     s2.add_argument("--height", type=int, default=512)
-    s2.add_argument("--dt", type=float, default=0.1)
+    s2.add_argument("--dt", type=float, default=None,
+                    help="integration dt in ms (default: model's "
+                         "recommended dt)")
     s2.add_argument("--diff", type=float, default=None)
     s2.add_argument("--members", type=int, default=16)
     s2.add_argument("--s2-from", type=float, default=150.0)
@@ -195,9 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     vo.add_argument("--depth", type=int, default=16)
     vo.add_argument("--width", type=int, default=128)
     vo.add_argument("--height", type=int, default=128)
-    vo.add_argument("--dt", type=float, default=0.05,
+    vo.add_argument("--dt", type=float, default=None,
                     help="must respect the 3D limit "
-                         "2/((8+8*dz_ratio)*diff)")
+                         "2/((8+8*dz_ratio)*diff); default "
+                         "min(0.05, model's recommended dt)")
     vo.add_argument("--diff", type=float, default=None)
     vo.add_argument("--duration", type=float, default=600.0)
     vo.add_argument("--dz-ratio", type=float, default=1.0,
@@ -246,7 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--size", type=int, default=16,
                     help="sheet edge; uniform stimulation makes any "
                          "small sheet behave as a single cell")
-    rs.add_argument("--dt", type=float, default=0.1)
+    rs.add_argument("--dt", type=float, default=None,
+                    help="integration dt in ms (default: model's "
+                         "recommended dt)")
     rs.add_argument("--diff", type=float, default=None)
     rs.add_argument("--members", type=int, default=24)
     rs.add_argument("--ci-from", type=float, default=120.0,
@@ -267,14 +275,30 @@ DIFF_DEFAULT = {"fenton": 1.5, "br": 0.809, "beeler_reuter": 0.809,
                 "court": 0.809, "courtemanche": 0.809, "court_ultra": 1.5}
 
 
+def _default_diff(model_name: str) -> float:
+    return DIFF_DEFAULT.get(model_name, 1.5)
+
+
+def _resolve_dt(args, floor: float = None) -> float:
+    """--dt if given, else the model's recommended dt
+    (IonicModel.default_dt — 0.1 for the reference models, 0.02 for the
+    stiff Luo-Rudy).  `floor` caps it (the 3D diffusion limit)."""
+    dt = args.dt
+    if dt is None:
+        dt = MODEL_REGISTRY[args.model].default_dt
+        if floor is not None:
+            dt = min(dt, floor)
+    return dt
+
+
 def cmd_run(args) -> int:
     from fib_tf_tpu.engine import Simulation
     from fib_tf_tpu.utils import checkpoint, viz
 
     cfg = SimConfig(
-        width=args.width, height=args.height, dt=args.dt,
+        width=args.width, height=args.height, dt=_resolve_dt(args),
         dt_per_plot=args.dt_per_plot,
-        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        diff=args.diff if args.diff is not None else _default_diff(args.model),
         fiber_angle=(np.deg2rad(args.fiber_angle)
                      if args.fiber_angle is not None else None),
         fiber_ratio=args.fiber_ratio,
@@ -532,8 +556,8 @@ def cmd_s2scan(args) -> int:
 
     model_cls = MODEL_REGISTRY[args.model]
     cfg = SimConfig(
-        width=args.width, height=args.height, dt=args.dt,
-        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        width=args.width, height=args.height, dt=_resolve_dt(args),
+        diff=args.diff if args.diff is not None else _default_diff(args.model),
         duration=args.duration,
         ultra_slow=(args.model == "court_ultra"),
     )
@@ -577,9 +601,10 @@ def cmd_volume(args) -> int:
     from fib_tf_tpu.ops import stencil
     from fib_tf_tpu.utils import viz
 
+    args.dt = _resolve_dt(args, floor=0.05)
     cfg = SimConfig(
         width=args.width, height=args.height, dt=args.dt,
-        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        diff=args.diff if args.diff is not None else _default_diff(args.model),
         duration=args.duration,
         ultra_slow=(args.model == "court_ultra"),
     )
@@ -673,8 +698,8 @@ def cmd_restitution(args) -> int:
 
     model_cls = MODEL_REGISTRY[args.model]
     cfg = SimConfig(
-        width=args.size, height=args.size, dt=args.dt,
-        diff=args.diff if args.diff is not None else DIFF_DEFAULT[args.model],
+        width=args.size, height=args.size, dt=_resolve_dt(args),
+        diff=args.diff if args.diff is not None else _default_diff(args.model),
         duration=10,
         ultra_slow=(args.model == "court_ultra"),
     )

@@ -5,6 +5,7 @@ from fib_tf_tpu.models.fenton import Fenton4v
 from fib_tf_tpu.models.beeler_reuter import BeelerReuter
 from fib_tf_tpu.models.courtemanche import Courtemanche, CourtemancheUltra
 from fib_tf_tpu.models.mitchell_schaeffer import MitchellSchaeffer
+from fib_tf_tpu.models.luo_rudy import LuoRudy91
 
 MODEL_REGISTRY = {
     "fenton": Fenton4v,
@@ -15,6 +16,8 @@ MODEL_REGISTRY = {
     "court_ultra": CourtemancheUltra,
     "ms": MitchellSchaeffer,
     "mitchell_schaeffer": MitchellSchaeffer,
+    "lr1": LuoRudy91,
+    "luo_rudy": LuoRudy91,
 }
 
 __all__ = [
@@ -27,5 +30,6 @@ __all__ = [
     "Courtemanche",
     "CourtemancheUltra",
     "MitchellSchaeffer",
+    "LuoRudy91",
     "MODEL_REGISTRY",
 ]

@@ -150,6 +150,11 @@ class IonicModel:
     depol: float = 0.0
     dt_per_step: int = 1
     pot_key: str = "V"
+    # recommended integration dt (ms) — what the CLI uses when --dt is
+    # not given.  All reference models run at the reference's 0.1 ms
+    # (fenton.py:36, br.py:96, court.py:75); stiffer zoo extensions
+    # (Luo-Rudy 1991) override.
+    default_dt: float = 0.1
 
     def __init__(self, cfg: SimConfig):
         self.cfg = cfg

@@ -17,6 +17,7 @@ from fib_tf_tpu.models import (
     Courtemanche,
     CourtemancheUltra,
     Fenton4v,
+    LuoRudy91,
     cell_geometry,
 )
 
@@ -75,6 +76,7 @@ def test_golden_tissue():
     ("court_table_ap",
      lambda: Courtemanche(CFG.replace(table=True)), 20.0, 400),
     ("court_ultra_ap", lambda: CourtemancheUltra(CFG), 20.0, 400),
+    ("lr1_ap", lambda: LuoRudy91(CFG.replace(dt=0.02)), -30.0, 2200),
 ])
 def test_golden_trace(name, factory, stim, n):
     model = factory()

@@ -47,7 +47,9 @@ def build_step(model, kernel: str, tile_rows: int, phase=None):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["fenton", "br", "court", "court_ultra"])
+    p.add_argument("model",
+                   choices=["fenton", "br", "court", "court_ultra", "ms",
+                            "lr1"])
     p.add_argument("--kernel", default="xla",
                    choices=["xla", "whole", "tiled"])
     p.add_argument("--tile-rows", type=int, default=128)
@@ -70,7 +72,10 @@ def main():
     from fib_tf_tpu.utils.profiling import sync, time_fn
 
     cache.enable()
-    cfg = SimConfig(width=args.size, height=args.size, dt=0.1, duration=1,
+    # per-model recommended dt (0.1 for the reference models; the stiff
+    # lr1 refuses dt > 0.05 and runs at its default 0.02)
+    dt = MODEL_REGISTRY[args.model].default_dt
+    cfg = SimConfig(width=args.size, height=args.size, dt=dt, duration=1,
                     diff=0.809, cheby=args.cheby, skip=args.skip,
                     ultra_slow=(args.model == "court_ultra"))
     model = MODEL_REGISTRY[args.model](cfg)

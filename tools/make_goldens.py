@@ -28,6 +28,7 @@ from fib_tf_tpu.models import (  # noqa: E402
     Courtemanche,
     CourtemancheUltra,
     Fenton4v,
+    LuoRudy91,
     cell_geometry,
 )
 
@@ -62,6 +63,9 @@ def main():
         "court_ap": (Courtemanche(cfg), 20.0, 400),
         "court_table_ap": (Courtemanche(cfg.replace(table=True)), 20.0, 400),
         "court_ultra_ap": (CourtemancheUltra(cfg), 20.0, 400),
+        # lr1 is stiff: dt=0.02 (its recommended dt), 0.2 ms per outer
+        # step, 2200 samples = 440 ms (APD90 ~367 ms fits in the trace)
+        "lr1_ap": (LuoRudy91(cfg.replace(dt=0.02)), -30.0, 2200),
     }
     for name, (model, stim, n) in specs.items():
         state = model.initial_state(s1=False)
