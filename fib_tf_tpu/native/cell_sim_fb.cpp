@@ -1,17 +1,20 @@
-// fib_tf_tpu native toolchain — 0D Fenton / Beeler-Reuter cell simulator.
+// fib_tf_tpu native toolchain — 0D Fenton / Beeler-Reuter / Luo-Rudy cell
+// simulator.
 //
 // Companion to cell_sim.cpp (Courtemanche): the native cross-check for the
-// two smaller models.  Output: one line per millisecond.
+// smaller models.  Output: one line per millisecond.
 //
 // Usage:
 //   cell_sim_fb fenton <ms> <dt> <stim_u> [--ab2]        -> "t u v w s"
 //   cell_sim_fb br <ms> <dt> <stim_mV> [--skip] [--ab2]  -> "t V C"
+//   cell_sim_fb lr1 <ms> <dt> <stim_mV>                  -> "t V Cai"
 
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
 #include "fenton_br.h"
+#include "luo_rudy.h"
 
 int main(int argc, char** argv) {
   if (argc < 5) {
@@ -20,6 +23,7 @@ int main(int argc, char** argv) {
     return 2;
   }
   const bool is_br = std::strcmp(argv[1], "br") == 0;
+  const bool is_lr = std::strcmp(argv[1], "lr1") == 0;
   const double ms = std::atof(argv[2]);
   const double dt = std::atof(argv[3]);
   const double stim = std::atof(argv[4]);
@@ -32,7 +36,14 @@ int main(int argc, char** argv) {
   const long steps = static_cast<long>(ms / dt);
   const long per_ms = static_cast<long>(1.0 / dt);
 
-  if (is_br) {
+  if (is_lr) {
+    fib::LRState s = fib::lrInitial(stim);
+    for (long i = 0; i < steps; ++i) {
+      s = fib::lrStep(s, dt);
+      if ((i + 1) % per_ms == 0)
+        std::printf("%.1f %.6f %.8f\n", (i + 1) * dt, s.v, s.cai);
+    }
+  } else if (is_br) {
     fib::BRState s = fib::brInitial(stim);
     fib::BRDeriv prev = fib::brDerivative(s);  // AB2 bootstrap f_{-1} = f_0
     for (long i = 0; i < steps; ++i) {

@@ -206,6 +206,49 @@ class TestNativeTable:
         v_py_ms = np.asarray(v_py)[1::2]
         assert np.abs(v_native - v_py_ms).max() < 5e-3
 
+    def test_cell_sim_lr1_matches_python(self):
+        """Native Luo-Rudy 1991 (luo_rudy.h, written independently from
+        the paper's rate table) vs the JAX model — cross-language
+        validation for the stiff fifth family."""
+        import subprocess
+
+        import jax
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import LuoRudy91, cell_geometry
+
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        out = subprocess.run(
+            [exe, "lr1", "300", "0.02", "-50"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        v_native = np.asarray(
+            [float(l.split()[1]) for l in out.strip().splitlines()]
+        )
+
+        model = LuoRudy91(SimConfig(width=8, height=8, dt=0.02, duration=1))
+        state = model.initial_state(s1=False)
+        state["V"][:] = -50.0
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in state.items()}
+
+        def body(st, _):
+            st = model.step(st, geom)   # 10 substeps = 0.2 ms
+            return st, st["V"][0, 0]
+
+        _, v_py = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=1500)
+        )(s)
+        v_py_ms = np.asarray(v_py)[4::5]   # sample every 1 ms
+        # f32 (JAX) vs f64 (C++) through a ~400 V/s upstroke: the steep
+        # dV/dt amplifies rounding differences right at the stimulus, so
+        # the pin is looser than BR's smooth-path 5e-3 but still far
+        # below any model-equation error (a wrong rate shifts the plateau
+        # by whole mV for hundreds of ms)
+        assert np.abs(v_native - v_py_ms).max() < 0.15
+        assert np.abs(v_native - v_py_ms)[10:].max() < 5e-2
+
     def test_lookup_consumes_native_table(self):
         import jax.numpy as jnp
 

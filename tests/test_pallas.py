@@ -12,6 +12,7 @@ from fib_tf_tpu.models import (
     BeelerReuter,
     Courtemanche,
     Fenton4v,
+    LuoRudy91,
     MitchellSchaeffer,
     grid_geometry,
 )
@@ -65,6 +66,7 @@ class TestPallasStep:
         (BeelerReuter, dict(diff=0.809, cheby=True, skip=True)),
         (Courtemanche, dict(diff=0.809)),
         (MitchellSchaeffer, {}),
+        (LuoRudy91, dict(dt=0.02, diff=0.809)),
     ])
     def test_matches_xla_step(self, model_cls, extra):
         c = cfg(**extra)

@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["fenton", "br", "court"])
+    p.add_argument("model", choices=["fenton", "br", "court", "ms", "lr1"])
     p.add_argument("--members", type=int, default=16)
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--outer", type=int, default=1000)
@@ -47,7 +47,8 @@ def main():
     from fib_tf_tpu.utils.profiling import sync, time_fn
 
     cache.enable()
-    cfg = SimConfig(width=args.size, height=args.size, dt=0.1, duration=1,
+    dt = MODEL_REGISTRY[args.model].default_dt
+    cfg = SimConfig(width=args.size, height=args.size, dt=dt, duration=1,
                     diff=1.5 if args.model == "fenton" else 0.809)
     model = MODEL_REGISTRY[args.model](cfg)
     if args.kernel == "pallas":

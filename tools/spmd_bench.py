@@ -26,7 +26,8 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["fenton", "br", "court", "court_ultra"])
+    p.add_argument("model", choices=["fenton", "br", "court", "court_ultra",
+                                     "ms", "lr1"])
     p.add_argument("--flavor", default="wide-kernel",
                    choices=["per-substep", "wide-xla", "wide-kernel"])
     p.add_argument("--width", type=int, default=512)
@@ -49,7 +50,10 @@ def main():
     from fib_tf_tpu.utils.profiling import sync, time_fn
 
     cache.enable()
-    cfg = SimConfig(width=args.width, height=args.height, dt=0.1, duration=1,
+    # per-model recommended dt (0.1 for the reference models; the stiff
+    # lr1 refuses dt > 0.05 and runs at its default 0.02)
+    dt = MODEL_REGISTRY[args.model].default_dt
+    cfg = SimConfig(width=args.width, height=args.height, dt=dt, duration=1,
                     diff=0.809, cheby=args.cheby, skip=args.skip,
                     ultra_slow=(args.model == "court_ultra"))
     model = MODEL_REGISTRY[args.model](cfg)
