@@ -375,7 +375,7 @@ class Simulation:
         if (
             _jax.default_backend() != "tpu"
             or self.model.name not in ("fenton", "br", "court", "ms",
-                                       "court_ultra")
+                                       "court_ultra", "lr1")
         ):
             return False
         if not aligned:
@@ -385,11 +385,12 @@ class Simulation:
             overhead = (pad[0] * pad[1]) / (self.cfg.height * self.cfg.width)
             if overhead > self.PAD_OVERHEAD_MAX:
                 return False  # padding would eat the kernel's win
-        if self.model.name in ("court", "court_ultra"):
+        if self.model.name in ("court", "court_ultra", "lr1"):
             # table mode gathers don't lower in Mosaic; the tiled
-            # kernel's halo recompute loses to XLA for this
-            # compute-bound model, so past the whole-grid budget stay
-            # on XLA (docs/OPTIMIZATIONS.md §8c)
+            # kernel's halo recompute loses to XLA for these
+            # compute-bound models, so past the whole-grid budget stay
+            # on XLA (docs/OPTIMIZATIONS.md §8c).  lr1 whole-grid:
+            # measured 33.6 vs 50.1 XLA us/substep at 512² (1.5x)
             return not self.cfg.table and whole_grid_fits
         if self.model.name == "br":
             if whole_grid_fits:

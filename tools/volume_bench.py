@@ -29,7 +29,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("model", choices=["fenton", "br", "court", "court_ultra",
-                                     "ms"])
+                                     "ms", "lr1"])
     p.add_argument("--kernel", default="xla",
                    choices=["xla", "whole", "tiled"])
     p.add_argument("--tile-rows", type=int, default=None,
@@ -62,7 +62,9 @@ def main():
     from fib_tf_tpu.utils.profiling import sync, time_fn
 
     cache.enable()
-    cfg = SimConfig(width=args.width, height=args.height, dt=args.dt,
+    # respect the model's stability bound (the stiff lr1 runs at 0.02)
+    dt = min(args.dt, MODEL_REGISTRY[args.model].default_dt)
+    cfg = SimConfig(width=args.width, height=args.height, dt=dt,
                     duration=1, diff=0.809,
                     ultra_slow=(args.model == "court_ultra"))
     model = MODEL_REGISTRY[args.model](cfg)
