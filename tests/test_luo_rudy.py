@@ -133,6 +133,26 @@ class TestStiffnessMachinery:
         assert float(k1_inf(jnp.float32(0.0))) < 0.01
 
 
+class TestKernelSelection:
+    def test_auto_picks_whole_grid_on_tpu(self, monkeypatch):
+        """'auto' selects the fused whole-grid kernel for lr1 on TPU
+        (measured 33.6 vs 50.1 us/substep at 512², OPTIMIZATIONS §8)
+        within the 32 MB whole-grid budget, and stays XLA above it (the
+        tiled kernel is untried for this compute-bound model)."""
+        import jax
+
+        from fib_tf_tpu.engine import Simulation
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        sim = Simulation(LuoRudy91(SimConfig(
+            width=512, height=512, dt=0.02, duration=1))).define()
+        assert sim._use_pallas()
+        # 8 planes * 2048^2 * 4 B = 128 MB >> the 32 MB whole-grid cap
+        big = Simulation(LuoRudy91(SimConfig(
+            width=2048, height=2048, dt=0.02, duration=1))).define()
+        assert not big._use_pallas()
+
+
 class TestTissue:
     def test_2d_propagation(self):
         from fib_tf_tpu.engine import Simulation
