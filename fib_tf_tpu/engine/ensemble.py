@@ -102,7 +102,8 @@ def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool,
         raise ValueError(f"unknown ensemble kernel {kernel!r}")
     if jax.default_backend() != "tpu":
         return False
-    if model.name not in ("fenton", "br", "court", "court_ultra", "ms"):
+    if model.name not in ("fenton", "br", "court", "court_ultra", "ms",
+                          "lr1"):
         return False
     if getattr(model.cfg, "table", False):
         return False

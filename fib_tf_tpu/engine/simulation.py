@@ -650,7 +650,8 @@ class Simulation:
 
         return (
             _jax.default_backend() == "tpu"
-            and self.model.name in ("fenton", "br", "court", "court_ultra", "ms")
+            and self.model.name in ("fenton", "br", "court", "court_ultra",
+                                    "ms", "lr1")
             and not self.cfg.table
         )
 

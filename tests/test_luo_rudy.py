@@ -152,6 +152,35 @@ class TestKernelSelection:
             width=2048, height=2048, dt=0.02, duration=1))).define()
         assert not big._use_pallas()
 
+    def test_auto_picks_spmd_block_kernel_on_tpu(self, monkeypatch):
+        """Wide-halo mesh 'auto' runs the per-shard block kernel for lr1
+        (measured 37.0 vs 48.3 us/substep on a 1-device TPU mesh,
+        tools/spmd_bench.py)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from fib_tf_tpu.engine import Simulation
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("rows",))
+        sim = Simulation(
+            LuoRudy91(SimConfig(width=128, height=128, dt=0.02,
+                                duration=1)),
+            mesh=mesh, wide_halo=True)
+        assert sim._spmd_use_kernel()
+
+    def test_auto_picks_ensemble_kernel_on_tpu(self, monkeypatch):
+        """Ensemble 'auto' vmaps the whole-grid kernel for lr1 (measured
+        2.13 vs 3.46 us/substep/member, tools/ensemble_bench.py)."""
+        import jax
+
+        from fib_tf_tpu.engine.ensemble import _ensemble_use_kernel
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        model = LuoRudy91(SimConfig(width=128, height=128, dt=0.02,
+                                    duration=1))
+        assert _ensemble_use_kernel(model, "auto", per_member_phase=False)
+
 
 class TestTissue:
     def test_2d_propagation(self):
