@@ -170,6 +170,12 @@ class LuoRudy91(IonicModel):
     dt_per_step = 10
     pot_key = "V"
     default_dt = 0.02
+    # slow-inward conductance, overridable per instance (a trace-time
+    # constant): the classic LR91 spiral/breakup literature tunes g_si
+    # down from the paper's 0.09 to shorten APD — e.g. Qu, Weiss &
+    # Garfinkel, Am J Physiol 1999 use 0.045 (APD ~200 ms) and 0
+    # (~50 ms); examples/lr1_spiral.py drives this
+    g_si = G_SI
     # Cai feeds log() in E_si — the adaptive-dt acceptance test keeps it
     # strictly positive (ops/adaptive.py)
     positive_states = ("Cai",)
@@ -213,7 +219,7 @@ class LuoRudy91(IonicModel):
         (the zoo's Beeler-Reuter ordering convention, br.py:160-168)."""
         i_na = G_NA * gates["m"] ** 3 * gates["h"] * gates["j"] * (v0 - E_NA)
         e_si = 7.7 - 13.0287 * jnp.log(cai)
-        i_si = G_SI * gates["d"] * gates["f"] * (v0 - e_si)
+        i_si = self.g_si * gates["d"] * gates["f"] * (v0 - e_si)
         i_k = G_K * gates["x"] * xi_factor(v0) * (v0 - E_K)
         i_k1 = G_K1 * k1_inf(v0) * (v0 - E_K1)
         kp = 1.0 / (1.0 + jnp.exp((7.488 - v0) / 5.98))
