@@ -40,6 +40,15 @@ class TestExamples:
         run_example(tmp_path, "br_spiral.py",
                     "--size", "64", "--duration", "40")
 
+    def test_lr1_spiral(self, tmp_path):
+        out = run_example(tmp_path, "lr1_spiral.py",
+                          "--size", "48", "--duration", "20")
+        assert "cut@" in out
+        assert os.path.exists(tmp_path / "cube.npy")
+        cube = np.load(tmp_path / "cube.npy")
+        assert cube.shape[1:] == (48, 48)
+        assert np.isfinite(cube).all()
+
     def test_court_run_chained(self, tmp_path):
         out = run_example(tmp_path, "court_run.py",
                           "--size", "48", "--duration", "20")
