@@ -30,7 +30,9 @@ from fib_tf_tpu.models import MODEL_REGISTRY
 
 
 S2_DEFAULT_V = {"fenton": 1.0, "br": 10.0, "beeler_reuter": 10.0,
-                "court": 10.0, "courtemanche": 10.0, "court_ultra": 10.0}
+                "court": 10.0, "courtemanche": 10.0, "court_ultra": 10.0,
+                "ms": 1.0, "mitchell_schaeffer": 1.0,
+                "lr1": 20.0, "luo_rudy": 20.0}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -106,6 +108,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "per outer step from inside the compiled scan")
     r.add_argument("--rotor-tau", type=float, default=10.0,
                    help="rotor-probe embedding delay (ms)")
+    r.add_argument("--mesh", default=None, metavar="R[xC]",
+                   help="shard the grid over a device mesh: '8' = 8 row "
+                        "shards, '4x2' = 4x2 rows x cols.  The default "
+                        "mesh-mode 'auto' lands on the measured-best "
+                        "path (shard_map wide halos + the per-shard "
+                        "fused block kernel, docs/OPTIMIZATIONS.md §10b)")
+    r.add_argument("--mesh-mode", choices=["auto", "spmd", "gspmd"],
+                   default="auto",
+                   help="sharded execution path for --mesh: 'spmd' "
+                        "forces the explicit shard_map wide-halo path, "
+                        "'gspmd' the XLA-inferred-collectives path "
+                        "(no fused kernels), 'auto' picks spmd when the "
+                        "model/grid qualify")
+    r.add_argument("--gspmd", dest="mesh_mode", action="store_const",
+                   const="gspmd",
+                   help="shorthand for --mesh-mode gspmd")
 
     b = sub.add_parser("bench", help="reference Table-1 benchmark matrix")
     b.add_argument("--duration", type=float, default=1000)
@@ -291,6 +309,16 @@ def _resolve_dt(args, floor: float = None) -> float:
     return dt
 
 
+def _parse_mesh(spec: Optional[str]):
+    """'8' -> (8,), '4x2' -> (4, 2)."""
+    if spec is None:
+        return None
+    parts = spec.lower().split("x")
+    if not 1 <= len(parts) <= 2 or not all(p.isdigit() for p in parts):
+        raise SystemExit(f"--mesh expects R or RxC, got {spec!r}")
+    return tuple(int(p) for p in parts)
+
+
 def cmd_run(args) -> int:
     from fib_tf_tpu.engine import Simulation
     from fib_tf_tpu.utils import checkpoint, viz
@@ -309,6 +337,7 @@ def cmd_run(args) -> int:
         timeline=args.timeline, save_graph=args.save_graph,
         rotor_probe=args.rotor, rotor_tau_ms=args.rotor_tau,
         ultra_slow=(args.model == "court_ultra"),
+        mesh_shape=_parse_mesh(args.mesh), mesh_mode=args.mesh_mode,
     )
     model = MODEL_REGISTRY[args.model](cfg)
     sim = Simulation(model)

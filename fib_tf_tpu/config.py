@@ -119,9 +119,20 @@ class SimConfig:
 
     # -- parallelism (new; reference is single-device, SURVEY.md §2) ----------
     # When set, Simulation builds a device mesh of this shape and shards
-    # the grid over it (GSPMD path); e.g. (8,) rows or (4, 2) rows x cols.
+    # the grid over it; e.g. (8,) rows or (4, 2) rows x cols.
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Tuple[str, ...] = ("x", "y")
+    # Which sharded execution path mesh_shape selects:
+    #   'auto'  — the measured-best path: explicit shard_map with wide
+    #             (K-row) halos + the per-shard fused block kernel when
+    #             the model/grid qualify (BR 512x512 on a 1-device TPU
+    #             mesh: 12.6 us/substep vs 25.4 wide-XLA vs ~45 GSPMD-XLA,
+    #             docs/OPTIMIZATIONS.md §10b), falling back to GSPMD with
+    #             a warning naming the disqualifier;
+    #   'spmd'  — force the shard_map wide-halo path (raise if it can't);
+    #   'gspmd' — force the GSPMD NamedSharding path (XLA infers the halo
+    #             collectives; Pallas kernels unavailable there).
+    mesh_mode: str = "auto"
 
     def __post_init__(self):
         if self.width <= 2 or self.height <= 2:
@@ -132,6 +143,8 @@ class SimConfig:
             raise ValueError("duration must be non-negative")
         if self.kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unsupported kernel: {self.kernel}")
+        if self.mesh_mode not in ("auto", "spmd", "gspmd"):
+            raise ValueError(f"unsupported mesh_mode: {self.mesh_mode}")
         if not 0.0 < self.fiber_ratio <= 1.0:
             raise ValueError("fiber_ratio must be in (0, 1] "
                              "(cross-fiber fraction of diff)")
@@ -163,20 +176,25 @@ class SimConfig:
                     "derivative history has no consistent meaning across "
                     "substeps of varying dt"
                 )
-            if self.mesh_shape is not None:
+            if self.mesh_shape is not None and self.mesh_mode == "spmd":
                 raise ValueError(
-                    "adaptive_dv is a single-chip feature: shard_map halos "
+                    "adaptive_dv cannot run on the shard_map path: halos "
                     "are exchanged once per committed substep, so a shard "
-                    "refining locally would read stale neighbor halos"
+                    "refining locally would read stale neighbor halos.  "
+                    "GSPMD has no manual halos — the global acceptance "
+                    "predicate partitions (tested) — so mesh_mode='auto' "
+                    "routes adaptive runs there"
                 )
         if self.rotor_probe:
             if self.rotor_tau_ms <= 0:
                 raise ValueError("rotor_tau_ms must be positive")
-            if self.mesh_shape is not None:
+            if self.mesh_shape is not None and self.mesh_mode == "gspmd":
                 raise ValueError(
-                    "rotor_probe is a single-chip feature (the delay ring "
-                    "buffer is not sharded); drop mesh_shape or compute "
-                    "rotors post-hoc with utils.tips on a saved cube"
+                    "rotor_probe is not supported on the GSPMD path (the "
+                    "delay ring is not partitioned there); use "
+                    "mesh_mode='auto'/'spmd' (the shard_map census, "
+                    "parallel/spmd.py) or compute rotors post-hoc with "
+                    "utils.tips on a saved cube"
                 )
 
     # -- reference-dict interop ------------------------------------------------

@@ -72,12 +72,37 @@ class Simulation:
         self._geom: Optional[Geometry] = None
         self._chunk_cache: Dict[Tuple, Callable] = {}
         if mesh is None and sharding is None and self.cfg.mesh_shape:
-            # config-driven GSPMD sharding (SimConfig.mesh_shape)
+            # config-driven sharding (SimConfig.mesh_shape + mesh_mode):
+            # 'auto' lands on the measured-best path — shard_map wide
+            # halos + per-shard fused block kernel (OPTIMIZATIONS §10b) —
+            # and falls back to GSPMD with a warning naming the
+            # disqualifier; 'spmd'/'gspmd' force one
             from fib_tf_tpu.parallel.sharding import make_mesh, plane_sharding
 
-            sharding = plane_sharding(
-                make_mesh(self.cfg.mesh_shape, self.cfg.mesh_axes)
-            )
+            m = make_mesh(self.cfg.mesh_shape, self.cfg.mesh_axes)
+            mode = self.cfg.mesh_mode
+            reason = (self._spmd_disqualifier(m) if mode != "gspmd"
+                      else None)
+            if mode == "spmd" and reason:
+                raise ValueError(
+                    f"mesh_mode='spmd' cannot run this configuration: "
+                    f"{reason}"
+                )
+            if mode == "gspmd" or reason:
+                if reason:
+                    import warnings
+
+                    warnings.warn(
+                        f"mesh_mode='auto': falling back to the GSPMD "
+                        f"path ({reason}); the fused Pallas kernels are "
+                        f"unavailable there — expect the XLA-path rate "
+                        f"(docs/OPTIMIZATIONS.md §10b)",
+                        stacklevel=2,
+                    )
+                sharding = plane_sharding(m)
+            else:
+                mesh = m
+                wide_halo = True
         self._mesh = mesh
         self._wide_halo = wide_halo
         if (mesh is not None and self.cfg.fiber_angle is not None
@@ -119,6 +144,35 @@ class Simulation:
         self._probe_window: Optional[Tuple[int, Dict]] = None
         self._timeline_done = False
 
+    def _spmd_disqualifier(self, mesh) -> Optional[str]:
+        """Why this configuration can't take the shard_map wide-halo path
+        (None = it can).  Single source of truth for the mesh_mode
+        routing above."""
+        cfg = self.cfg
+        if cfg.adaptive_dv is not None:
+            return ("adaptive_dv refines substeps locally, which would "
+                    "read stale shard_map halos (GSPMD's global "
+                    "acceptance predicate partitions)")
+        if self.model.fast_slow_ratio:
+            return ("fast_slow_ratio models scan ratio-groups outside "
+                    "the spmd chunk")
+        n_rows = int(mesh.devices.shape[0])
+        n_cols = int(mesh.devices.shape[1]) if mesh.devices.ndim > 1 else 1
+        if cfg.height % n_rows or cfg.width % n_cols:
+            return (f"grid {cfg.height}x{cfg.width} is not divisible by "
+                    f"the {n_rows}x{n_cols} mesh (shard_map needs even "
+                    f"shards; GSPMD pads)")
+        from fib_tf_tpu.parallel.spmd import check_wide_halo_shards
+
+        try:
+            check_wide_halo_shards(
+                cfg.height // n_rows, cfg.width // n_cols,
+                self.model.dt_per_step, n_cols > 1,
+            )
+        except ValueError as e:
+            return str(e)
+        return None
+
     # -- geometry construction (before define) ----------------------------------
 
     def add_hole_to_phase_field(self, x, y, radius, neg: bool = False):
@@ -148,14 +202,16 @@ class Simulation:
         source term — a true far-field potential where `add_electrode`
         (reference egm.py:5-12 parity) samples a local masked mean.
         Rides the probe stream under `'ecg'` ([n_steps, n_electrodes]).
-        Works on the XLA, fused-kernel, padded, and GSPMD paths; not on
-        the shard_map mesh (its probe schedule carries masked means
-        only)."""
-        if self._mesh is not None:
+        Works on the XLA, fused-kernel, padded, GSPMD, and shard_map mesh
+        paths (on the mesh each shard psums its local partial sum of
+        lap·w, parallel/spmd.py); the one unsupported combination is
+        fiber anisotropy + mesh (the sharded probe Laplacian is
+        isotropic — use GSPMD there)."""
+        if self._mesh is not None and self.cfg.fiber_angle is not None:
             raise ValueError(
-                "add_ecg_electrode is not supported on the shard_map "
-                "mesh path; use GSPMD sharding (SimConfig without "
-                "mesh_shape, Simulation(sharding=...)) or run unsharded"
+                "add_ecg_electrode with fiber anisotropy is not supported "
+                "on the shard_map mesh (the sharded probe Laplacian is "
+                "isotropic); use GSPMD sharding or run unsharded"
             )
         self._ecg_weights.append(
             stencil.ecg_weights(self.cfg.height, self.cfg.width, x, y, z)
@@ -272,11 +328,15 @@ class Simulation:
 
     def _seed_rotor(self, dev_state: Dict) -> Dict:
         """Attach the delay ring buffer (tiled with the current image, so
-        early counts use V(0) as the delayed sample) to a device state."""
-        if self._sharding is not None or self._mesh is not None:
+        early counts use V(0) as the delayed sample) to a device state.
+        On a shard_map mesh the ring shards with the grid
+        (parallel/spmd.py computes the census with psums)."""
+        if self._sharding is not None and self._mesh is None:
             raise ValueError(
-                "rotor_probe is a single-chip feature; compute rotors "
-                "post-hoc with utils.tips on a saved cube instead"
+                "rotor_probe is not supported on the GSPMD path (the "
+                "delay ring is not partitioned there); use the shard_map "
+                "mesh (Simulation(mesh=...) / mesh_mode='spmd') or run "
+                "unsharded"
             )
         if self.model.fast_slow_ratio:
             raise ValueError(
@@ -285,9 +345,17 @@ class Simulation:
             )
         img = self.model.image(dev_state)
         tau = self._rotor_tau_steps()
+        buf = jnp.tile(img[None], (tau, 1, 1))
+        if self._mesh is not None:
+            # ring shards with the grid: [tau, H(, W)] over the mesh axes
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            buf = jax.device_put(buf, NamedSharding(
+                self._mesh, PartitionSpec(None, *self._mesh.axis_names)
+            ))
         return {
             **dev_state,
-            self.ROTOR_BUF: jnp.tile(img[None], (tau, 1, 1)),
+            self.ROTOR_BUF: buf,
             self.ROTOR_IDX: jnp.zeros((), jnp.int32),
         }
 
@@ -658,10 +726,17 @@ class Simulation:
     def _spmd_chunk_fn(self, length: int):
         """Chunk via the explicit shard_map halo-exchange path
         (parallel/spmd.py), with the engine's (state, probes, finite)
-        interface.  Supports the 'v' wavefront probe and electrode means;
-        the per-pixel trend probe is a GSPMD/single-chip feature."""
+        interface.  Carries the full probe schedule: 'v' wavefront,
+        per-pixel 'trend' (masked psums), electrode means, far-field
+        'ecg' partial sums, and the 'rotors' census (the delay ring
+        shards with the grid) — sharded == unsharded for all of them
+        (tests/test_sharding.py)."""
+        from fib_tf_tpu.parallel import spmd
         from fib_tf_tpu.parallel.spmd import make_spmd_chunk
 
+        assert (spmd.ROTOR_BUF, spmd.ROTOR_IDX) == (
+            self.ROTOR_BUF, self.ROTOR_IDX
+        )
         inner = make_spmd_chunk(
             self.model,
             self._mesh,
@@ -671,6 +746,10 @@ class Simulation:
             wide_halo=self._wide_halo,
             use_kernel=self._spmd_use_kernel(),
             fiber=self._fiber(),
+            trend_points=getattr(self.model, "trend_points", None),
+            ecg_weights=self._ecg_weights or None,
+            rotor=((self._rotor_tau_steps(), self.cfg.rotor_v_star)
+                   if self.cfg.rotor_probe else None),
         )
         model = self.model
 

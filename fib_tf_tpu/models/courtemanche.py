@@ -664,11 +664,18 @@ class Courtemanche(IonicModel):
         fast = jax.lax.fori_loop(0, SLOW_RATIO - 1, body, fast0)
         return {**frozen, **fast}
 
+    @property
+    def trend_points(self):
+        """((state_key, row, col), ...) of the trend probe — the single
+        source of truth shared by trend_probe (single-chip/GSPMD) and the
+        shard_map masked-psum probe (parallel/spmd.py)."""
+        w2 = self.cfg.width // 2
+        return (("V", w2, 20), ("Na_i", w2, 20))
+
     def trend_probe(self, state: State) -> jnp.ndarray:
         """The on-graph trend probe: V and Na_i at pixel
         [width//2, 20] (court.py:107-112)."""
-        w2 = self.cfg.width // 2
-        return jnp.stack([state["V"][w2, 20], state["Na_i"][w2, 20]])
+        return jnp.stack([state[k][r, c] for k, r, c in self.trend_points])
 
 
 class CourtemancheUltra(Courtemanche):
@@ -704,13 +711,15 @@ class CourtemancheUltra(Courtemanche):
             lambda s: self.solve(s, geom), state, SLOW_RATIO, unroll
         )
 
-    def trend_probe(self, state: State) -> jnp.ndarray:
-        """court_ultra probes V at [width//2, height//8]
+    @property
+    def trend_points(self):
+        """court_ultra probes V and us at [width//2, height//8]
         (court_ultra.py:116-121)."""
-        return jnp.stack([
-            state["V"][self.cfg.width // 2, self.cfg.height // 8],
-            state["us"][self.cfg.width // 2, self.cfg.height // 8],
-        ])
+        r, c = self.cfg.width // 2, self.cfg.height // 8
+        return (("V", r, c), ("us", r, c))
+
+    def trend_probe(self, state: State) -> jnp.ndarray:
+        return jnp.stack([state[k][r, c] for k, r, c in self.trend_points])
 
     # key order of the stacked `ultra` probe stream (engine _probes)
     ULTRA_KEYS = ("mean_na", "mean_ca", "mean_us",
@@ -725,17 +734,16 @@ class CourtemancheUltra(Courtemanche):
         Only the two us-gate rate fields are recomputed (us_rates), not the
         full 30-intermediate set — this rides the per-step probe stream."""
         v = state["V"]
-        us_inf, tau_us = us_rates(v, jnp)
         w = jnp.asarray(phase) if phase is not None else jnp.ones_like(v)
         wsum = jnp.sum(w)
-
-        def mean(x):
-            return jnp.sum(x * w) / wsum
-
         return jnp.stack([
-            mean(state["Na_i"]),
-            mean(state["f_Ca"]),
-            mean(state["us"]),
-            mean(us_inf),
-            mean(tau_us),
+            jnp.sum(x * w) / wsum for x in self.ultra_fields(state)
         ])
+
+    def ultra_fields(self, state: State):
+        """The five local planes whose phase-weighted means form the
+        `ultra` probe (ULTRA_KEYS order) — exposed so the shard_map path
+        can compute the same means as psums of local partial sums
+        (parallel/spmd.py)."""
+        us_inf, tau_us = us_rates(state["V"], jnp)
+        return (state["Na_i"], state["f_Ca"], state["us"], us_inf, tau_us)

@@ -25,6 +25,14 @@ from jax import shard_map
 from fib_tf_tpu.models.base import IonicModel
 from fib_tf_tpu.parallel.halo import extend_phase, halo_geometry
 
+# Rotor-census ring-buffer state keys — must match Simulation.ROTOR_BUF /
+# ROTOR_IDX (engine/simulation.py seeds these planes; the spmd chunk
+# shards the [tau, H, W] ring with the grid and replicates the slot index).
+ROTOR_BUF = "_rotor_buf_"
+ROTOR_IDX = "_rotor_idx_"
+
+_TWO_PI = 2.0 * np.pi
+
 
 def probe_at(img_local: jnp.ndarray, row: int, col: int,
              axis_name: str) -> jnp.ndarray:
@@ -94,6 +102,48 @@ def _exchange_cols(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def _ghost_bottom(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """[h, w] -> [h+1, w]: append the lower neighbor's first row (ring
+    ppermute; the last shard's wrapped row is masked by the caller)."""
+    n = lax.axis_size(axis_name)
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    return jnp.concatenate([x, lax.ppermute(x[:1], axis_name, bwd)], axis=0)
+
+
+def _ghost_right(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """[h, w] -> [h, w+1]: append the right neighbor's first column.
+    Applied to a bottom-extended block, the ghost column carries the
+    sender's own bottom ghost — the diagonal corner cell each 2x2
+    plaquette needs (same two-phase trick as halo.extend_2d)."""
+    n = lax.axis_size(axis_name)
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    return jnp.concatenate(
+        [x, lax.ppermute(x[:, :1], axis_name, bwd)], axis=1
+    )
+
+
+def _plaquette_charge(now_e: jnp.ndarray, old_e: jnp.ndarray,
+                      v_star: float) -> jnp.ndarray:
+    """Topological charge of every 2x2 plaquette of the (ghost-extended)
+    local block — the sharded half of ops.stencil.rotor_metrics: the
+    winding of theta = atan2(V_now - v*, V_old - v*) around each
+    plaquette, in units of 2 pi."""
+    theta = jnp.arctan2(now_e - v_star, old_e - v_star)
+    t00 = theta[:-1, :-1]
+    t01 = theta[:-1, 1:]
+    t11 = theta[1:, 1:]
+    t10 = theta[1:, :-1]
+
+    def wrap(x):
+        return x - _TWO_PI * jnp.round(x / _TWO_PI)
+
+    circ = (
+        wrap(t01 - t00) + wrap(t11 - t01)
+        + wrap(t10 - t11) + wrap(t00 - t10)
+    )
+    return jnp.round(circ / _TWO_PI)
+
+
 def check_wide_halo_shards(
     h_local: int, w_local: int, k: int, is_2d: bool
 ) -> None:
@@ -118,6 +168,9 @@ def make_spmd_chunk(
     wide_halo: bool = False,
     use_kernel: bool = False,
     fiber: Optional[tuple] = None,
+    trend_points: Optional[tuple] = None,
+    ecg_weights: Optional[list] = None,
+    rotor: Optional[tuple] = None,
 ):
     """Build a jitted chunk(state) -> (state, probes) running `length`
     outer steps entirely inside shard_map over `mesh`'s first axis.
@@ -146,6 +199,23 @@ def make_spmd_chunk(
     `fiber` = (dxx, dxy, dyy) from stencil.fiber_tensor selects the
     anisotropic tensor operator (also requires wide_halo — the
     per-substep halo geometries are isotropic).
+
+    Sharded observables (probe parity with the single-chip path):
+      * `trend_points` = ((state_key, row, col), ...) emits the per-pixel
+        trend stream as masked psums (reference court.py:107-112; rides
+        the probes under 'trend');
+      * `ecg_weights` = list of [H, W] lead-field weight planes emits the
+        far-field pseudo-ECG: each shard computes sum(lap(V) * w_local)
+        with a 1-ring halo Laplacian (the same discrete source term as
+        the unsharded stencil.ecg_weights path) and psums the partials
+        ('ecg').  Isotropic runs only — with `fiber` the source term
+        would need the tensor operator;
+      * `rotor` = (tau_steps, v_star) runs the live rotor census: the
+        [tau, H, W] delay ring (state keys ROTOR_BUF / ROTOR_IDX, seeded
+        by the engine) shards with the grid; each shard computes the
+        phase-singularity charge of its own 2x2 plaquettes (one ghost
+        row/column fetches the cross-shard plaquettes) and count/net are
+        psums ('rotors').
     """
     if use_kernel and not wide_halo:
         raise ValueError(
@@ -158,6 +228,12 @@ def make_spmd_chunk(
             "wide_halo=True (the per-substep halo geometries implement "
             "the isotropic stencil only)"
         )
+    if ecg_weights and fiber is not None:
+        raise ValueError(
+            "pseudo-ECG on the shard_map mesh supports isotropic runs "
+            "only (the sharded probe Laplacian is the isotropic 9-point "
+            "operator); use the GSPMD path for fiber + ECG"
+        )
     is_2d = len(mesh.axis_names) >= 2 and mesh.devices.shape[1] > 1
     axis = mesh.axis_names[0]
     col_axis = mesh.axis_names[1] if is_2d else None
@@ -168,6 +244,14 @@ def make_spmd_chunk(
     all_axes = (axis, col_axis) if is_2d else axis
     plane = P(axis, col_axis) if is_2d else P(axis)
     state_spec = {k: plane for k in model.state_keys()}
+    if rotor is not None:
+        tau_steps, v_star = rotor
+        # the delay ring shards with the plane; the slot index replicates
+        state_spec = {
+            **state_spec,
+            ROTOR_BUF: P(None, axis, col_axis) if is_2d else P(None, axis),
+            ROTOR_IDX: P(),
+        }
 
     has_phase = phase is not None
     phase_arr = jnp.asarray(phase) if has_phase else None
@@ -177,6 +261,7 @@ def make_spmd_chunk(
         float(np.asarray(phase)[probe_row, probe_col]) if has_phase else 1.0
     )
     masks = [jnp.asarray(m) for m in (egm_masks or [])]
+    ecg_w_arrs = [jnp.asarray(w) for w in (ecg_weights or [])]
 
     def local_fn(state, *extras):
         i = 0
@@ -184,21 +269,15 @@ def make_spmd_chunk(
         if has_phase:
             phase_local = extras[i]
             i += 1
-        local_masks = extras[i:]
+        local_masks = extras[i:i + len(masks)]
+        local_ecg_w = extras[i + len(masks):]
 
-        def probes_of(s):
-            img = model.image(s)
-            if is_2d:
-                v = probe_at_2d(img, probe_row, probe_col, axis, col_axis)
-            else:
-                v = probe_at(img, probe_row, probe_col, axis)
-            probes = {"v": v * probe_scale}
-            if local_masks:
-                probes["egm"] = jnp.stack([
-                    masked_mean(img, m, all_axes, float(n_cells))
-                    for m in local_masks
-                ])
-            return probes
+        buf = state.get(ROTOR_BUF)
+        idx = state.get(ROTOR_IDX)
+        state = {k: v for k, v in state.items()
+                 if k not in (ROTOR_BUF, ROTOR_IDX)}
+
+        ecg_geom = None  # set per-branch below when ECG rides the stream
 
         if wide_halo:
             from fib_tf_tpu.ops.pallas_tiled import block_geometry
@@ -233,6 +312,23 @@ def make_spmd_chunk(
                 def crop(v):
                     return v[k:-k]
             phase_ext = extend(phase_local) if has_phase else None
+            if local_ecg_w:
+                # probe-only 1-ring halo Laplacian (the K-row exchange
+                # above feeds the step; the ECG source term needs one
+                # extra 1-row/col ring per emission — cheap, per outer
+                # step, isotropic)
+                from fib_tf_tpu.parallel.halo import (
+                    extend_phase_2d, halo_geometry_2d,
+                )
+
+                if is_2d:
+                    pe1 = (extend_phase_2d(phase_local, axis, col_axis)
+                           if has_phase else None)
+                    ecg_geom = halo_geometry_2d(axis, col_axis, pe1)
+                else:
+                    pe1 = (extend_phase(phase_local, axis)
+                           if has_phase else None)
+                    ecg_geom = halo_geometry(axis, pe1)
             if use_kernel:
                 # per-shard fused Pallas kernel on the extended block:
                 # the halo rode ICI, the substep group runs VMEM-resident
@@ -247,21 +343,19 @@ def make_spmd_chunk(
                 )
                 cstart_val = cstart if is_2d else None
 
-                def body(s, _):
+                def advance(s):
                     ext = {kk: extend(v) for kk, v in s.items()}
                     ext = kern(ext, rstart, cstart_val, phase_ext)
-                    s = {kk: crop(v) for kk, v in ext.items()}
-                    return s, probes_of(s)
+                    return {kk: crop(v) for kk, v in ext.items()}
             else:
                 geom = block_geometry(
                     rg, cfg.height, cg, cfg.width, phase_ext, fiber
                 )
 
-                def body(s, _):
+                def advance(s):
                     ext = {kk: extend(v) for kk, v in s.items()}
                     ext = model.step(ext, geom)
-                    s = {kk: crop(v) for kk, v in ext.items()}
-                    return s, probes_of(s)
+                    return {kk: crop(v) for kk, v in ext.items()}
 
         elif is_2d:
             from fib_tf_tpu.parallel.halo import (
@@ -273,31 +367,139 @@ def make_spmd_chunk(
                 if has_phase else None
             )
             geom = halo_geometry_2d(axis, col_axis, phase_ext)
+            ecg_geom = geom
 
-            def body(s, _):
-                s = model.step(s, geom)
-                return s, probes_of(s)
+            def advance(s):
+                return model.step(s, geom)
 
         else:
             phase_ext = (
                 extend_phase(phase_local, axis) if has_phase else None
             )
             geom = halo_geometry(axis, phase_ext)
+            ecg_geom = geom
 
-            def body(s, _):
-                s = model.step(s, geom)
-                return s, probes_of(s)
+            def advance(s):
+                return model.step(s, geom)
 
-        return lax.scan(body, state, None, length=length)
+        has_ultra = hasattr(model, "ultra_fields")
+        if has_ultra:
+            # phase-weighted means as psums of local partial sums; the
+            # (static) weight total is reduced once per chunk
+            w_ultra = (phase_local if has_phase
+                       else jnp.ones((next(iter(state.values())).shape)))
+            wsum_ultra = lax.psum(jnp.sum(w_ultra), all_axes)
+
+        def probes_of(s):
+            img = model.image(s)
+            if is_2d:
+                v = probe_at_2d(img, probe_row, probe_col, axis, col_axis)
+            else:
+                v = probe_at(img, probe_row, probe_col, axis)
+            probes = {"v": v * probe_scale}
+            if has_ultra:
+                probes["ultra"] = jnp.stack([
+                    lax.psum(jnp.sum(x * w_ultra), all_axes) / wsum_ultra
+                    for x in model.ultra_fields(s)
+                ])
+            if trend_points:
+                if is_2d:
+                    vals = [probe_at_2d(s[kk], r, c, axis, col_axis)
+                            for kk, r, c in trend_points]
+                else:
+                    vals = [probe_at(s[kk], r, c, axis)
+                            for kk, r, c in trend_points]
+                probes["trend"] = jnp.stack(vals)
+            if local_masks:
+                probes["egm"] = jnp.stack([
+                    masked_mean(img, m, all_axes, float(n_cells))
+                    for m in local_masks
+                ])
+            if local_ecg_w:
+                lap = ecg_geom.laplace(
+                    ecg_geom.enforce_boundary(s[model.pot_key])
+                )
+                probes["ecg"] = jnp.stack([
+                    lax.psum(jnp.sum(lap * w), all_axes)
+                    for w in local_ecg_w
+                ])
+            return probes
+
+        if rotor is not None:
+            # static per-chunk plaquette masks: each shard owns the
+            # plaquettes anchored at its own rows (one ghost row/column
+            # fetches the cross-shard ones); the last shard's wrapped
+            # ghost is excluded by the global-edge mask, obstacle
+            # plaquettes by the phase corners — value-identical to the
+            # single-chip ops.stencil.rotor_metrics
+            h_loc, w_loc = state[model.pot_key].shape
+            pr = (lax.axis_index(axis) * h_loc
+                  + lax.broadcasted_iota(jnp.int32, (h_loc, 1), 0))
+            valid = pr < cfg.height - 1
+            if is_2d:
+                pc = (lax.axis_index(col_axis) * w_loc
+                      + lax.broadcasted_iota(jnp.int32, (1, w_loc), 1))
+                valid = valid & (pc < cfg.width - 1)
+
+            def ext1(x):
+                e = _ghost_bottom(x, axis)
+                return _ghost_right(e, col_axis) if is_2d else e
+
+            tissue = None
+            if has_phase:
+                pe = ext1(phase_local)
+                tissue = (
+                    (pe[:-1, :-1] >= 0.5) & (pe[:-1, 1:] >= 0.5)
+                    & (pe[1:, 1:] >= 0.5) & (pe[1:, :-1] >= 0.5)
+                )
+
+            def rotor_step(s, rbuf, ridx):
+                img = model.image(s)
+                old = lax.dynamic_index_in_dim(
+                    rbuf, ridx, 0, keepdims=False
+                )
+                q = _plaquette_charge(ext1(img), ext1(old), v_star)
+                q = jnp.where(valid, q, 0.0)
+                if tissue is not None:
+                    q = jnp.where(tissue, q, 0.0)
+                metrics = lax.psum(
+                    jnp.stack([jnp.sum(jnp.abs(q)), jnp.sum(q)]), all_axes
+                )
+                rbuf = lax.dynamic_update_index_in_dim(rbuf, img, ridx, 0)
+                return metrics, rbuf, (ridx + 1) % tau_steps
+
+        def body(carry, _):
+            s, rbuf, ridx = carry
+            s = advance(s)
+            p = probes_of(s)
+            if rbuf is not None:
+                p["rotors"], rbuf, ridx = rotor_step(s, rbuf, ridx)
+            return (s, rbuf, ridx), p
+
+        (state, buf, idx), out = lax.scan(
+            body, (state, buf, idx), None, length=length
+        )
+        if buf is not None:
+            state = {**state, ROTOR_BUF: buf, ROTOR_IDX: idx}
+        return state, out
 
     in_specs = [state_spec]
     if has_phase:
         in_specs.append(plane)
     in_specs.extend(plane for _ in masks)
+    in_specs.extend(plane for _ in ecg_w_arrs)
 
     probes_spec: Dict[str, P] = {"v": P()}
+    if hasattr(model, "ultra_fields"):
+        probes_spec["ultra"] = P()
+    if trend_points:
+        probes_spec["trend"] = P()
     if masks:
         probes_spec["egm"] = P()
+    if ecg_w_arrs:
+        probes_spec["ecg"] = P()
+    if rotor is not None:
+        probes_spec["rotors"] = P()
 
     fn = shard_map(
         local_fn,
@@ -312,6 +514,7 @@ def make_spmd_chunk(
     # is per-shard HBM only
     @jax.jit
     def chunk(state):
-        return fn(state, *( [phase_arr] if has_phase else [] ), *masks)
+        return fn(state, *( [phase_arr] if has_phase else [] ), *masks,
+                  *ecg_w_arrs)
 
     return chunk

@@ -34,6 +34,32 @@ class TestRun:
                        "--load-state", "s.npz"])
         assert rc == 0
 
+    def test_run_with_mesh(self, tmp_path, monkeypatch, capsys):
+        """--mesh reaches the shard_map wide-halo path ('auto' routing,
+        VERDICT r3 #1) on the 8 virtual devices."""
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "run", "--model", "br", "--width", "64", "--height", "128",
+            "--duration", "5", "--mesh", "8",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["outer_steps"] == 10
+
+    def test_run_with_mesh_gspmd(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "run", "--model", "fenton", "--width", "64", "--height", "64",
+            "--duration", "5", "--mesh", "4x2", "--gspmd",
+        ])
+        assert rc == 0
+
+    def test_mesh_spec_rejected(self, tmp_path, monkeypatch):
+        import pytest
+
+        with pytest.raises(SystemExit):
+            cli.main(["run", "--mesh", "8y2", "--duration", "1"])
+
     def test_br_with_electrode(self, tmp_path, monkeypatch, capsys):
         monkeypatch.chdir(tmp_path)
         rc = cli.main([

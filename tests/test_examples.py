@@ -70,8 +70,15 @@ class TestExamples:
         assert np.isfinite(dat).all()
 
     def test_egm_sharded(self, tmp_path):
+        # default = the measured-best wide-halo shard_map path
         run_example(tmp_path, "egm_sharded.py",
                     "--width", "64", "--height", "64", "--duration", "10")
+
+    def test_egm_sharded_alt_paths(self, tmp_path):
+        run_example(tmp_path, "egm_sharded.py", "--width", "64",
+                    "--height", "64", "--duration", "5", "--narrow")
+        run_example(tmp_path, "egm_sharded.py", "--width", "64",
+                    "--height", "64", "--duration", "5", "--gspmd")
 
     def test_fenton_simple_and_jit(self, tmp_path):
         run_example(tmp_path, "fenton_simple.py",

@@ -459,3 +459,166 @@ class TestSpmdAutoKernel:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         sim = Simulation(Fenton4v(cfg()), mesh=make_mesh())
         assert not sim._spmd_use_kernel()
+
+
+class TestMeshModeRouting:
+    """SimConfig.mesh_shape + mesh_mode reach the measured-best path
+    (VERDICT r3 #1): 'auto' lands on shard_map wide-halo when the
+    model/grid qualify, falls back to GSPMD with a warning naming the
+    disqualifier, and 'spmd'/'gspmd' force one."""
+
+    def test_auto_routes_to_spmd_wide_halo(self):
+        import pytest
+
+        c = cfg(height=128, duration=3).replace(
+            mesh_shape=(8,), mesh_axes=("x",))
+        sim = Simulation(Fenton4v(c))
+        assert sim._mesh is not None and sim._wide_halo
+        res = sim.define().simulate()
+        want = Simulation(Fenton4v(cfg(height=128, duration=3))
+                          ).define().simulate()
+        np.testing.assert_allclose(
+            res.state["u"], want.state["u"], rtol=2e-5, atol=1e-5
+        )
+
+    def test_auto_falls_back_to_gspmd_with_warning(self):
+        import pytest
+
+        # 64 rows / 8 shards = 8 < fenton's K=10 wide halo
+        c = cfg(duration=3).replace(mesh_shape=(8,), mesh_axes=("x",))
+        with pytest.warns(UserWarning, match="falling back to the GSPMD"):
+            sim = Simulation(Fenton4v(c))
+        assert sim._mesh is None and sim._sharding is not None
+
+    def test_spmd_forced_raises_when_disqualified(self):
+        import pytest
+
+        c = cfg(duration=3).replace(
+            mesh_shape=(8,), mesh_axes=("x",), mesh_mode="spmd")
+        with pytest.raises(ValueError, match="mesh_mode='spmd'"):
+            Simulation(Fenton4v(c))
+
+    def test_gspmd_forced(self):
+        c = cfg(height=128, duration=3).replace(
+            mesh_shape=(8,), mesh_axes=("x",), mesh_mode="gspmd")
+        sim = Simulation(Fenton4v(c))
+        assert sim._mesh is None and sim._sharding is not None
+
+    def test_adaptive_routes_to_gspmd(self):
+        import pytest
+
+        c = cfg(height=128, duration=3).replace(
+            mesh_shape=(8,), mesh_axes=("x",), adaptive_dv=5.0)
+        with pytest.warns(UserWarning, match="adaptive_dv"):
+            sim = Simulation(Fenton4v(c))
+        assert sim._mesh is None and sim._sharding is not None
+
+    def test_adaptive_spmd_forced_raises_in_config(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="adaptive_dv"):
+            cfg(height=128).replace(
+                mesh_shape=(8,), mesh_mode="spmd", adaptive_dv=5.0)
+
+
+class TestShardedObservables:
+    """Probe parity on the shard_map mesh (VERDICT r3 #5): trend, ECG,
+    ultra means, and the live rotor census match the unsharded run."""
+
+    def _court(self, mesh=False, rotor=False, ultra=False):
+        from fib_tf_tpu.models import MODEL_REGISTRY
+
+        kw = dict(width=64, height=128, dt=0.1, dt_per_plot=10,
+                  diff=0.809, duration=3, rotor_probe=rotor,
+                  ultra_slow=ultra)
+        if mesh:
+            kw.update(mesh_shape=(8,), mesh_axes=("x",))
+        c = SimConfig(**kw)
+        name = "court_ultra" if ultra else "court"
+        sim = Simulation(MODEL_REGISTRY[name](c))
+        sim.add_hole_to_phase_field(20, 64, 6)
+        sim.add_electrode(40, 64, 5)
+        sim.add_ecg_electrode(30, 60, 4.0)
+        sim.define()
+        return sim
+
+    def test_court_trend_egm_ecg_rotor_match(self):
+        sim = self._court(mesh=True, rotor=True)
+        assert sim._mesh is not None and sim._wide_halo
+        res = sim.simulate()
+        want = self._court(rotor=True).simulate()
+        assert sorted(res.probes) == sorted(want.probes)
+        for k in ("v", "trend", "egm"):
+            np.testing.assert_allclose(
+                res.probes[k], want.probes[k], rtol=2e-5, atol=2e-5,
+                err_msg=k,
+            )
+        np.testing.assert_allclose(
+            res.probes["ecg"], want.probes["ecg"], rtol=1e-4, atol=1e-4
+        )
+        # plaquette charges are exact small integers: counts match exactly
+        np.testing.assert_array_equal(
+            res.probes["rotors"], want.probes["rotors"]
+        )
+
+    def test_ultra_means_match(self):
+        sim = self._court(mesh=True, ultra=True)
+        res = sim.simulate()
+        want = self._court(ultra=True).simulate()
+        np.testing.assert_allclose(
+            res.probes["ultra"], want.probes["ultra"],
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            res.probes["trend"], want.probes["trend"],
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_rotor_census_nonzero_2d_mesh(self):
+        """A synthetic vortex (sin/cos phase pair around a center) has a
+        guaranteed ±1 winding; the sharded census (2D mesh, ghost
+        row+col+corner exchange) must count exactly what the single-chip
+        stencil.rotor_metrics counts."""
+        from fib_tf_tpu.ops import stencil
+        from fib_tf_tpu.parallel.spmd import (
+            ROTOR_BUF, ROTOR_IDX, make_spmd_chunk,
+        )
+
+        h, w = 128, 64
+        c = SimConfig(width=w, height=h, dt=0.1, dt_per_plot=10,
+                      diff=1.5, duration=2)
+        model = Fenton4v(c)
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32),
+                             indexing="ij")
+        phi = np.arctan2(yy - h / 2, xx - w / 2)
+        base = model.initial_state(s1=False)
+        base["u"] = (0.5 + 0.45 * np.sin(phi)).astype(np.float32)
+        buf = (0.5 + 0.45 * np.cos(phi)).astype(np.float32)[None]
+        phase = stencil.add_hole_to_phase_field(None, h, w, 20, 64, 6)
+
+        # single-chip reference: one step, then the census vs the ring
+        geom = grid_geometry(phase)
+        s = {k: jnp.asarray(v) for k, v in base.items()}
+        ref_after = jax.jit(lambda st: model.step(st, geom))(s)
+        want = np.asarray(stencil.rotor_metrics(
+            model.image(ref_after), jnp.asarray(buf[0]), v_star=0.5,
+            phase=jnp.asarray(phase),
+        ))
+        assert want[0] > 0  # the vortex is actually counted
+
+        mesh = make_mesh(shape=(4, 2))
+        chunk = make_spmd_chunk(model, mesh, length=1, phase=phase,
+                                rotor=(1, 0.5))
+        state = {**{k: jnp.asarray(v) for k, v in base.items()},
+                 ROTOR_BUF: jnp.asarray(buf),
+                 ROTOR_IDX: jnp.zeros((), jnp.int32)}
+        out, probes = chunk(state)
+        np.testing.assert_array_equal(
+            np.asarray(probes["rotors"][0]), want
+        )
+        for k in base:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref_after[k]),
+                rtol=2e-5, atol=1e-5, err_msg=k,
+            )
