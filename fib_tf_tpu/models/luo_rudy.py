@@ -53,6 +53,17 @@ from fib_tf_tpu.models.base import Geometry, IonicModel, State
 from fib_tf_tpu.ops.integrators import rush_larsen
 
 GATES = ("m", "h", "j", "d", "f", "x")
+# Multi-rate split for cfg.skip (the reference's flagship Beeler-Reuter
+# technique, br.py:96-107, applied here): the Na-current gates m/h/j act
+# on sub-millisecond scales during the upstroke and advance every 0.02 ms
+# substep; x/d/f have taus of tens to hundreds of ms everywhere on the AP
+# (tau_d >= ~20 ms, tau_f >= ~100 ms, tau_x >= ~200 ms) and advance once
+# per outer step at 10 dt = 0.2 ms — still 2.5x finer than the
+# reference's own 0.5 ms slow-gate cadence for BR.  Cai was audited and
+# stays per-substep: its update is two FMAs on the i_si already computed
+# for V, so skipping it saves nothing.
+FAST_GATES = ("m", "h", "j")
+SLOW_GATES = ("x", "d", "f")
 
 # -- membrane constants (Luo & Rudy 1991, Table 1 / text) --------------------
 RTF = 26.71          # RT/F at 310 K, mV
@@ -80,59 +91,72 @@ C_M = 1.0
 DT_MAX = 0.05
 
 
-def gate_rates(v, xp=jnp):
-    """All six alpha/beta pairs (Luo & Rudy 1991, p. 1510 rate table).
+def gate_rates(v, xp=jnp, which=GATES):
+    """Alpha/beta pairs of the requested gates (Luo & Rudy 1991, p. 1510
+    rate table; default all six).
 
     `xp` is jnp (traced path) or np (definition-time steady-state
     initialization).  The V = -47.13 singularity of alpha_m is removable
     (limit 3.2 ms^-1); h/j branch at V = -40 mV via where() with both
     branches evaluated — every sub-expression is finite in float32 over
     V in [-110, +70], so the unselected branch never poisons the lane.
+    `which` lets the multi-rate step skip the slow-gate transcendentals
+    on the substeps that freeze them.
     """
-    dm = v + 47.13
-    a_m = xp.where(
-        xp.abs(dm) < 1e-3, 3.2,
-        0.32 * dm / (1.0 - xp.exp(-0.1 * dm)),
-    )
-    b_m = 0.08 * xp.exp(-v / 11.0)
+    out = {}
+    if "m" in which:
+        dm = v + 47.13
+        a_m = xp.where(
+            xp.abs(dm) < 1e-3, 3.2,
+            0.32 * dm / (1.0 - xp.exp(-0.1 * dm)),
+        )
+        out["m"] = (a_m, 0.08 * xp.exp(-v / 11.0))
 
-    lo = v < -40.0
-    a_h = xp.where(lo, 0.135 * xp.exp(-(80.0 + v) / 6.8), 0.0)
-    b_h = xp.where(
-        lo,
-        3.56 * xp.exp(0.079 * v) + 3.1e5 * xp.exp(0.35 * v),
-        1.0 / (0.13 * (1.0 + xp.exp(-(v + 10.66) / 11.1))),
-    )
-    a_j = xp.where(
-        lo,
-        (-1.2714e5 * xp.exp(0.2444 * v) - 3.474e-5 * xp.exp(-0.04391 * v))
-        * (v + 37.78) / (1.0 + xp.exp(0.311 * (v + 79.23))),
-        0.0,
-    )
-    b_j = xp.where(
-        lo,
-        0.1212 * xp.exp(-0.01052 * v)
-        / (1.0 + xp.exp(-0.1378 * (v + 40.14))),
-        0.3 * xp.exp(-2.535e-7 * v) / (1.0 + xp.exp(-0.1 * (v + 32.0))),
-    )
+    if "h" in which or "j" in which:
+        lo = v < -40.0
+    if "h" in which:
+        a_h = xp.where(lo, 0.135 * xp.exp(-(80.0 + v) / 6.8), 0.0)
+        b_h = xp.where(
+            lo,
+            3.56 * xp.exp(0.079 * v) + 3.1e5 * xp.exp(0.35 * v),
+            1.0 / (0.13 * (1.0 + xp.exp(-(v + 10.66) / 11.1))),
+        )
+        out["h"] = (a_h, b_h)
+    if "j" in which:
+        a_j = xp.where(
+            lo,
+            (-1.2714e5 * xp.exp(0.2444 * v)
+             - 3.474e-5 * xp.exp(-0.04391 * v))
+            * (v + 37.78) / (1.0 + xp.exp(0.311 * (v + 79.23))),
+            0.0,
+        )
+        b_j = xp.where(
+            lo,
+            0.1212 * xp.exp(-0.01052 * v)
+            / (1.0 + xp.exp(-0.1378 * (v + 40.14))),
+            0.3 * xp.exp(-2.535e-7 * v) / (1.0 + xp.exp(-0.1 * (v + 32.0))),
+        )
+        out["j"] = (a_j, b_j)
 
-    a_d = 0.095 * xp.exp(-0.01 * (v - 5.0)) / (
-        1.0 + xp.exp(-0.072 * (v - 5.0)))
-    b_d = 0.07 * xp.exp(-0.017 * (v + 44.0)) / (
-        1.0 + xp.exp(0.05 * (v + 44.0)))
-    a_f = 0.012 * xp.exp(-0.008 * (v + 28.0)) / (
-        1.0 + xp.exp(0.15 * (v + 28.0)))
-    b_f = 0.0065 * xp.exp(-0.02 * (v + 30.0)) / (
-        1.0 + xp.exp(-0.2 * (v + 30.0)))
-    a_x = 0.0005 * xp.exp(0.083 * (v + 50.0)) / (
-        1.0 + xp.exp(0.057 * (v + 50.0)))
-    b_x = 0.0013 * xp.exp(-0.06 * (v + 20.0)) / (
-        1.0 + xp.exp(-0.04 * (v + 20.0)))
-
-    return {
-        "m": (a_m, b_m), "h": (a_h, b_h), "j": (a_j, b_j),
-        "d": (a_d, b_d), "f": (a_f, b_f), "x": (a_x, b_x),
-    }
+    if "d" in which:
+        a_d = 0.095 * xp.exp(-0.01 * (v - 5.0)) / (
+            1.0 + xp.exp(-0.072 * (v - 5.0)))
+        b_d = 0.07 * xp.exp(-0.017 * (v + 44.0)) / (
+            1.0 + xp.exp(0.05 * (v + 44.0)))
+        out["d"] = (a_d, b_d)
+    if "f" in which:
+        a_f = 0.012 * xp.exp(-0.008 * (v + 28.0)) / (
+            1.0 + xp.exp(0.15 * (v + 28.0)))
+        b_f = 0.0065 * xp.exp(-0.02 * (v + 30.0)) / (
+            1.0 + xp.exp(-0.2 * (v + 30.0)))
+        out["f"] = (a_f, b_f)
+    if "x" in which:
+        a_x = 0.0005 * xp.exp(0.083 * (v + 50.0)) / (
+            1.0 + xp.exp(0.057 * (v + 50.0)))
+        b_x = 0.0013 * xp.exp(-0.06 * (v + 20.0)) / (
+            1.0 + xp.exp(-0.04 * (v + 20.0)))
+        out["x"] = (a_x, b_x)
+    return out
 
 
 def xi_factor(v, xp=jnp):
@@ -227,19 +251,29 @@ class LuoRudy91(IonicModel):
         i_b = G_B * (v0 - E_B)
         return i_na, i_si, i_k, i_k1, i_kp, i_b
 
-    def solve(self, state: State, geom: Geometry) -> State:
-        """One substep: Rush-Larsen on the six gates, explicit Euler on V
+    def solve(self, state: State, geom: Geometry, n: int = 1) -> State:
+        """One substep: Rush-Larsen on the gates, explicit Euler on V
         (reaction + diffusion) and on the Ca pool
-        d[Ca]i/dt = -1e-4 I_si + 0.07 (1e-4 - [Ca]i)."""
+        d[Ca]i/dt = -1e-4 I_si + 0.07 (1e-4 - [Ca]i).
+
+        `n` is how many dt the slow x/d/f gates advance (0 = frozen —
+        the multi-rate trick, reference br.py:125-173 form); the fast
+        m/h/j Na gates always advance one dt."""
         dt = self.cfg.dt
         v0 = geom.enforce_boundary(state["V"])
         cai = state["Cai"]
 
-        rates = gate_rates(v0)
         out = {}
-        for g, (a, b) in rates.items():
+        for g, (a, b) in gate_rates(v0, which=FAST_GATES).items():
             tau = 1.0 / (a + b)
             out[g] = rush_larsen(state[g], a * tau, tau, dt)
+        if n > 0:
+            for g, (a, b) in gate_rates(v0, which=SLOW_GATES).items():
+                tau = 1.0 / (a + b)
+                out[g] = rush_larsen(state[g], a * tau, tau, dt * n)
+        else:
+            for g in SLOW_GATES:
+                out[g] = state[g]
 
         i_na, i_si, i_k, i_k1, i_kp, i_b = self.currents(v0, cai, state)
         i_sum = i_na + i_si + i_k + i_k1 + i_kp + i_b
@@ -249,3 +283,41 @@ class LuoRudy91(IonicModel):
         )
         out["Cai"] = cai + dt * (-1e-4 * i_si + 0.07 * (1e-4 - cai))
         return out
+
+    @property
+    def has_uniform_substeps(self) -> bool:
+        """Without `skip` the 10 substeps are identical solve(n=1) calls;
+        the skip schedule (one n=10 + nine n=0) is not splittable at
+        arbitrary boundaries."""
+        return not self.cfg.skip and self.cfg.adaptive_dv is None
+
+    def step(self, state: State, geom: Geometry,
+             unroll: bool = True) -> State:
+        """One outer step = 10 substeps; with `skip`, the first substep
+        advances the slow x/d/f gates 10 dt and the rest freeze them
+        (the reference's BR multi-rate schedule, br.py:96-107, applied
+        to the model that needs it most — VERDICT r3 #2)."""
+        from fib_tf_tpu.models.base import repeat_substeps
+
+        k = self.dt_per_step
+        if self.cfg.adaptive_dv is not None:
+            # step-doubling: each substep keeps its skip-group `n` — a
+            # refined n=10 substep becomes two half-dt n=10 solves, so
+            # the slow gates still advance 2 x 10 x dt/2 = 10 dt
+            def sub(n):
+                return self.adaptive_substep(
+                    geom, lambda m, s: m.solve(s, geom, n=n)
+                )
+
+            if self.cfg.skip:
+                state = sub(k)(state)
+                return repeat_substeps(sub(0), state, k - 1, unroll)
+            return repeat_substeps(sub(1), state, k, unroll)
+        if self.cfg.skip:
+            state = self.solve(state, geom, n=k)
+            return repeat_substeps(
+                lambda s: self.solve(s, geom, n=0), state, k - 1, unroll
+            )
+        return repeat_substeps(
+            lambda s: self.solve(s, geom, n=1), state, k, unroll
+        )

@@ -67,6 +67,7 @@ class TestPallasStep:
         (Courtemanche, dict(diff=0.809)),
         (MitchellSchaeffer, {}),
         (LuoRudy91, dict(dt=0.02, diff=0.809)),
+        (LuoRudy91, dict(dt=0.02, diff=0.809, skip=True)),
     ])
     def test_matches_xla_step(self, model_cls, extra):
         c = cfg(**extra)
