@@ -7,6 +7,7 @@ gives every baseline configuration a reproducible invocation:
   python -m fib_tf_tpu run --model fenton --hole 256,256,30 --s2 210 \
       --s2-loc luq --s2-v 1.0 --frames 10 --save-cube cube
   python -m fib_tf_tpu bench            # the reference Table-1 matrix
+  python -m fib_tf_tpu warmup           # precompile the kernel matrix
   python -m fib_tf_tpu table            # native lookup-table generation
   python -m fib_tf_tpu replay cube.npy
   python -m fib_tf_tpu tips cube.npy    # spiral-tip trajectories
@@ -124,6 +125,23 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--gspmd", dest="mesh_mode", action="store_const",
                    const="gspmd",
                    help="shorthand for --mesh-mode gspmd")
+
+    w = sub.add_parser(
+        "warmup",
+        help="precompile the fused-kernel matrix into .jax_cache (the "
+             "Mosaic compiles take 300-1000 s per model on first run; "
+             "run this once per machine so sessions start hot)",
+    )
+    w.add_argument("--model", action="append", default=[],
+                   choices=sorted(MODEL_REGISTRY),
+                   help="model(s) to warm (default: the whole zoo)")
+    w.add_argument("--size", type=int, default=512,
+                   help="canonical grid edge (kernels recompile per "
+                        "shape; warm the size you will run)")
+    w.add_argument("--kernels", default="whole,block",
+                   help="comma list from whole,block,volume "
+                        "(default whole,block; volume adds the fused "
+                        "3D kernels at 8 x size/4 x size)")
 
     b = sub.add_parser("bench", help="reference Table-1 benchmark matrix")
     b.add_argument("--duration", type=float, default=1000)
@@ -393,6 +411,96 @@ def cmd_run(args) -> int:
         viz.save_cube(args.save_cube, res.frames)
     if args.save_state:
         checkpoint.save_state(args.save_state, res.state, cfg)
+    return 0
+
+
+def cmd_warmup(args) -> int:
+    """Precompile the fused-kernel matrix (VERDICT r3 #6: the Mosaic
+    cliff needs an operational mitigation, not just a cache).
+
+    Compiles each model's canonical-config kernels once so the dominant
+    cost — the Mosaic kernel compile, 300-1000 s per model body — is
+    paid ahead of a session.  Measured on v5e: a later scan around an
+    already-compiled fenton whole-grid kernel takes ~40-46 s (the
+    enclosing XLA program) vs 140-300 s cold, so warming cuts first-run
+    latency ~3-7x even when the exact executable differs; identical
+    reruns hit .jax_cache in under a second.  Warm the size/flags you
+    will run — the kernels are shape- and constant-specialized."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fib_tf_tpu.utils import cache
+
+    cache.enable()
+
+    names = args.model or ["fenton", "br", "court", "court_ultra", "ms",
+                           "lr1"]
+    fams = [k.strip() for k in args.kernels.split(",") if k.strip()]
+    bad = set(fams) - {"whole", "block", "volume"}
+    if bad:
+        raise SystemExit(f"unknown kernel families: {sorted(bad)}")
+
+    # each model's canonical benchmark configuration (the flags the
+    # examples/bench run with — kernels are specialized to them)
+    recommended = {"br": dict(cheby=True, skip=True),
+                   "beeler_reuter": dict(cheby=True, skip=True),
+                   "lr1": dict(skip=True), "luo_rudy": dict(skip=True)}
+
+    def timed(label, fn):
+        t0 = time.perf_counter()
+        fn()
+        print(f"  {label}: {time.perf_counter() - t0:.1f} s", flush=True)
+
+    for name in names:
+        cfg = SimConfig(
+            width=args.size, height=args.size,
+            dt=MODEL_REGISTRY[name].default_dt, duration=1,
+            diff=_default_diff(name),
+            ultra_slow=(name == "court_ultra"),
+            **recommended.get(name, {}),
+        )
+        model = MODEL_REGISTRY[name](cfg)
+        state = {k: jnp.asarray(v)
+                 for k, v in model.initial_state().items()}
+        print(f"{name} @ {args.size}x{args.size}:", flush=True)
+        if "whole" in fams:
+            from fib_tf_tpu.ops.pallas_step import make_pallas_step
+
+            step = make_pallas_step(model)
+
+            @jax.jit
+            def chunk(s, step=step):
+                return jax.lax.scan(
+                    lambda st, _: (step(st), None), s, None, length=2
+                )[0]
+
+            timed("whole-grid kernel",
+                  lambda: float(jnp.sum(chunk(state)[model.pot_key])))
+        if "block" in fams:
+            from fib_tf_tpu.parallel.sharding import make_mesh
+            from fib_tf_tpu.parallel.spmd import make_spmd_chunk
+
+            mesh = make_mesh(n_devices=1)
+            chunk_b = make_spmd_chunk(model, mesh, length=2,
+                                      wide_halo=True, use_kernel=True)
+            timed("spmd block kernel", lambda: float(
+                jnp.sum(chunk_b(state)[0][model.pot_key])))
+        if "volume" in fams:
+            if name not in ("fenton", "br", "beeler_reuter", "ms"):
+                print("  volume kernel: skipped (the fused volume "
+                      "kernel is XLA-fallback for this model — "
+                      "docs/OPTIMIZATIONS.md §14)", flush=True)
+                continue
+            from fib_tf_tpu.engine.volume import run_volume
+
+            vcfg = cfg.replace(height=max(32, args.size // 4),
+                               dt=min(0.05, cfg.dt))
+            vmodel = MODEL_REGISTRY[name](vcfg)
+            timed(f"volume kernel (8x{vcfg.height}x{vcfg.width})",
+                  lambda: run_volume(vmodel, depth=8, n_outer=1,
+                                     kernel="pallas"))
     return 0
 
 
@@ -773,6 +881,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     return {
         "run": cmd_run,
+        "warmup": cmd_warmup,
         "bench": cmd_bench,
         "table": cmd_table,
         "replay": cmd_replay,

@@ -54,6 +54,23 @@ class TestRun:
         ])
         assert rc == 0
 
+    def test_warmup(self, tmp_path, monkeypatch, capsys):
+        """warmup compiles+runs the requested kernel families (interpret
+        mode on CPU) and prints per-kernel timings (VERDICT r3 #6)."""
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(["warmup", "--model", "fenton", "--size", "32",
+                       "--kernels", "whole,block"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "whole-grid kernel:" in out
+        assert "spmd block kernel:" in out
+
+    def test_warmup_bad_family(self):
+        import pytest
+
+        with pytest.raises(SystemExit):
+            cli.main(["warmup", "--kernels", "tiled,nope"])
+
     def test_mesh_spec_rejected(self, tmp_path, monkeypatch):
         import pytest
 
