@@ -43,10 +43,10 @@ from fib_tf_tpu.models import LuoRudy91
 from fib_tf_tpu.utils import viz
 
 
-def build_sim(size, duration, gsi, kernel):
+def build_sim(size, duration, gsi, kernel, skip=False):
     cfg = SimConfig(
         width=size, height=size, dt=0.02, dt_per_plot=10, diff=0.809,
-        duration=duration, kernel=kernel,
+        duration=duration, kernel=kernel, skip=skip,
     )
     model = LuoRudy91(cfg)
     model.g_si = gsi
@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--cut-at", type=float, default=None,
                     help="ms of S1 propagation before the wave is cut "
                          "(default: mid-sheet at CV ~2.2 cells/ms)")
+    ap.add_argument("--skip", action="store_true",
+                    help="multi-rate slow gates (x/d/f once per outer "
+                         "step; measured 1.34-1.47x, AP error <0.01 mV "
+                         "- docs/OPTIMIZATIONS.md 8c)")
     ap.add_argument("--kernel", default="xla",
                     choices=["xla", "auto", "pallas"],
                     help="'xla' (default) avoids re-paying the ~18 min "
@@ -76,7 +80,8 @@ def main():
         cut_at = round(n / 2 / 2.2)  # S1 front at mid-sheet
 
     # stage 1: S1 plane wave (the built-in 1-column stripe) to mid-sheet
-    res1 = build_sim(n, cut_at, args.gsi, args.kernel).simulate()
+    res1 = build_sim(n, cut_at, args.gsi, args.kernel,
+                     args.skip).simulate()
 
     # the cut: lower half of every plane back to rest -> a free end at
     # mid-height facing fully recovered tissue
@@ -87,7 +92,8 @@ def main():
         state[k][n // 2:, :] = rest[k][n // 2:, :]
 
     # stage 2: the free end curls
-    sim = build_sim(n, args.duration, args.gsi, args.kernel)
+    sim = build_sim(n, args.duration, args.gsi, args.kernel,
+                    args.skip)
     every = min(25, max(args.duration / 4, sim.model.dt_per_step * 0.02))
     res = sim.simulate(state=state, record_frames_every_ms=every)
 

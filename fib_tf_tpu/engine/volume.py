@@ -9,12 +9,14 @@ model zoo reused UNCHANGED — ionic math is elementwise, and the two
 spatial operators come from the injected 3D `Geometry`
 (models/base.volume_geometry, ops/stencil3d).
 
-Scaling: with a `mesh`, the z axis is sharded via GSPMD — the z-coupling
-term is one slice of halo each way, which XLA turns into neighbor
-collectives, and the in-plane stencil is z-elementwise.  The Pallas
-kernels are sheet-shaped (2D), so volumes run the XLA path; at volume
-sizes the step is HBM-streaming, which is exactly the regime where the
-XLA path's fusion already does well (docs/OPTIMIZATIONS.md §8c).
+Kernels: volumes run the fused Pallas VOLUME kernel by default on TPU
+(`_use_volume_kernel`; ops/pallas_volume.py — [D*H, W]-flattened with
+slice-edge masks, measured 2.5-3.7x over XLA for fenton/br, with the
+row-tiled variant past the whole-volume compile cap and court staying
+XLA — docs/OPTIMIZATIONS.md §14).  Scaling: with a `mesh`, the z axis is
+sharded — GSPMD (one ghost slice each way as XLA collectives) or the
+wide-halo shard_map path feeding the per-shard volume kernel
+(parallel/volume_spmd.py), with `halo_k` sub-cadence for shallow shards.
 """
 
 from __future__ import annotations

@@ -25,6 +25,10 @@ from fib_tf_tpu.models.courtemanche import Courtemanche, CourtemancheUltra
 from fib_tf_tpu.models.fenton import Fenton4v
 
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 def _state(model):
     return {k: jnp.asarray(v) for k, v in model.initial_state().items()}
 
@@ -156,9 +160,16 @@ class TestConfigValidation:
         with pytest.raises(ValueError, match="ab2"):
             SimConfig(adaptive_dv=25.0, ab2=True)
 
-    def test_rejects_mesh(self):
-        with pytest.raises(ValueError, match="single-chip"):
-            SimConfig(adaptive_dv=25.0, mesh_shape=(2,))
+    def test_rejects_spmd_mesh_only(self):
+        """The shard_map path would read stale halos under local
+        refinement, so forcing it raises; 'auto'/'gspmd' are allowed —
+        GSPMD has no manual halos and the global acceptance predicate
+        partitions (see TestAdaptiveGSPMD; VERDICT r3 #7 buried the
+        untested 'adaptive can't shard' assumption)."""
+        with pytest.raises(ValueError, match="shard_map"):
+            SimConfig(adaptive_dv=25.0, mesh_shape=(2,), mesh_mode="spmd")
+        SimConfig(adaptive_dv=25.0, mesh_shape=(2,))  # auto: ok
+        SimConfig(adaptive_dv=25.0, mesh_shape=(2,), mesh_mode="gspmd")
 
     def test_rejects_bad_values(self):
         with pytest.raises(ValueError):
@@ -174,6 +185,40 @@ class TestConfigValidation:
         sim = Simulation(Courtemanche(cfg))
         with pytest.raises(ValueError, match="XLA path"):
             sim._use_pallas()
+
+
+class TestAdaptiveGSPMD:
+    """adaptive_dv partitions under GSPMD (VERDICT r3 #7): the
+    acceptance predicate is a global reduction under lax.cond, XLA
+    inserts the collectives, and there are no manual halos to go stale.
+    Triggered and untriggered runs both match the unsharded trajectory."""
+
+    def _run(self, sharded: bool):
+        from fib_tf_tpu.engine.simulation import Simulation
+        from fib_tf_tpu.models.luo_rudy import LuoRudy91
+
+        # lr1 at dt=0.1 (5x its stable dt) GENUINELY triggers the
+        # refinement on every upstroke substep (TestStiffRescue pattern)
+        kw = dict(width=64, height=64, dt=0.1, dt_per_plot=1,
+                  duration=4, diff=0.809, adaptive_dv=2.0,
+                  adaptive_depth=3)
+        if sharded:
+            kw.update(mesh_shape=(8,), mesh_axes=("x",),
+                      mesh_mode="gspmd")
+        sim = Simulation(LuoRudy91(SimConfig(**kw))).define()
+        assert sim._mesh is None
+        assert (sim._sharding is not None) == sharded
+        return sim.simulate()
+
+    def test_triggered_matches_unsharded(self):
+        want = self._run(False)
+        got = self._run(True)
+        np.testing.assert_allclose(
+            got.state["V"], want.state["V"], rtol=2e-5, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            got.probes["v"], want.probes["v"], rtol=2e-5, atol=2e-5
+        )
 
 
 class TestEngineIntegration:

@@ -1,0 +1,149 @@
+"""Trace-level dt-convergence evidence (VERDICT r3 #3).
+
+The golden traces pin THIS implementation against itself and the C++
+integrators share ancestry with the Python rate code, so neither catches
+an error both could co-inherit.  These tests are the independent anchor:
+integrate each model 0D at dt, dt/2, dt/4 from a stimulated state,
+Richardson-extrapolate the two finest trajectories (first-order methods:
+y* = 2 y(h/2) - y(h)), and pin
+
+  * the observed convergence order of the substep integrator
+    (||y(dt)-y(dt/2)|| / ||y(dt/2)-y(dt/4)|| -> 2 for a first-order
+    method; Euler V/Cai updates + Rush-Larsen gates are all first order
+    in the V-coupling),
+  * the default-dt trace error against the extrapolant — quantifying
+    BASELINE's "1e-3" north-star claim: the MEAN normalized-trace error
+    at the recommended dt is <= 2e-3 for every model (fenton 2.0e-3,
+    br 3.5e-4, court 5.2e-4, ms 1e-4, lr1 6.0e-4 measured; budgets below
+    carry ~2x headroom),
+  * APD90 of the default-dt trace vs the extrapolant's.
+
+The max pointwise error concentrates at the upstroke (a sub-substep
+timing shift at ~100-400 V/s is several mV) — that is a phase error the
+mean/APD metrics bound physically, so no pointwise upstroke pin.
+
+Measured observed orders (docs/OPTIMIZATIONS.md §15): fenton 1.02,
+br (direct rates) 1.12, lr1 0.99; court 0.63 (its hard rate branches at
+fixed voltages make crossing times quantize to substeps, shaving the
+observed order below 1 — the error MAGNITUDE still shrinks ~1.5x per
+halving); ms errors sit at the float32 noise floor, where the order
+ratio is meaningless, so it pins the floor instead.
+
+BR runs direct rates here (cheby=False): the Chebyshev fit error is
+dt-independent, so it would contaminate the order estimate; the
+fit-vs-direct gap has its own pin (test_chebyshev / goldens).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fib_tf_tpu.config import SimConfig
+from fib_tf_tpu.models import (
+    BeelerReuter,
+    Courtemanche,
+    Fenton4v,
+    LuoRudy91,
+    MitchellSchaeffer,
+    cell_geometry,
+)
+
+GEOM = cell_geometry()
+
+
+def _trace(model_cls, kw, stim, dt, t_ms, stride):
+    """0D V trace sampled every `stride` substeps (= every dt0)."""
+    cfg = SimConfig(width=4, height=4, dt=dt, duration=10, **kw)
+    m = model_cls(cfg)
+    st = {k: np.array(v) for k, v in m.initial_state(s1=False).items()}
+    st[m.pot_key] = np.full_like(st[m.pot_key], stim)
+    st = {k: jnp.asarray(v) for k, v in st.items()}
+    n = int(round(t_ms / dt))
+
+    def body(s, _):
+        s = m.solve(s, GEOM)
+        return s, s[m.pot_key][0, 0]
+
+    _, tr = jax.jit(lambda s: jax.lax.scan(body, s, None, length=n))(st)
+    return np.asarray(tr)[stride - 1::stride]
+
+
+def _apd90(tr, dt_sample, rest):
+    peak = tr.max()
+    thr = peak - 0.9 * (peak - rest)
+    i_peak = int(tr.argmax())
+    up = np.where(tr >= thr)[0][0]
+    below = np.where(tr[i_peak:] < thr)[0]
+    assert len(below), "trace did not repolarize inside the horizon"
+    return (i_peak + below[0] - up) * dt_sample
+
+
+# (cls, cfg overrides, stimulus mV, dt0, horizon ms,
+#  expected order window or None (None = errors at the noise floor),
+#  mean-|err| budget in model units, APD90 tolerance ms)
+CASES = [
+    ("fenton", Fenton4v, {}, 0.3, 0.1, 400.0, (0.8, 1.3), 4e-3, 3.0),
+    ("br", BeelerReuter, dict(cheby=False, diff=0.809), -30.0, 0.1,
+     400.0, (0.8, 1.4), 0.09, 2.0),
+    ("court", Courtemanche, dict(diff=0.809), 20.0, 0.1, 400.0,
+     (0.4, 1.3), 0.11, 2.0),
+    ("ms", MitchellSchaeffer, {}, 0.5, 0.1, 400.0, None, 3e-4, 2.0),
+    ("lr1", LuoRudy91, {}, -50.0, 0.02, 450.0, (0.8, 1.3), 0.17, 2.0),
+]
+
+
+@pytest.fixture(scope="module")
+def richardson():
+    out = {}
+    for name, cls, kw, stim, dt0, t_ms, order_win, budget, apd_tol in CASES:
+        t1 = _trace(cls, kw, stim, dt0, t_ms, 1)
+        t2 = _trace(cls, kw, stim, dt0 / 2, t_ms, 2)
+        t4 = _trace(cls, kw, stim, dt0 / 4, t_ms, 4)
+        out[name] = (t1, t2, t4, dt0)
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,cls,kw,stim,dt0,t_ms,order_win,budget,apd_tol",
+    CASES, ids=[c[0] for c in CASES])
+class TestDtConvergence:
+    def test_observed_order(self, richardson, name, cls, kw, stim, dt0,
+                            t_ms, order_win, budget, apd_tol):
+        t1, t2, t4, _ = richardson[name]
+        d12 = np.linalg.norm(t1 - t2)
+        d24 = np.linalg.norm(t2 - t4)
+        if order_win is None:
+            # errors at the float32 noise floor: the ratio is noise,
+            # pin the floor itself
+            n = len(t1)
+            assert d12 / np.sqrt(n) < 1e-3 and d24 / np.sqrt(n) < 1e-3
+            return
+        order = np.log2(d12 / d24)
+        assert order_win[0] < order < order_win[1], (
+            f"{name}: observed order {order:.2f} outside {order_win}"
+        )
+
+    def test_default_dt_error_budget(self, richardson, name, cls, kw,
+                                     stim, dt0, t_ms, order_win, budget,
+                                     apd_tol):
+        t1, t2, t4, _ = richardson[name]
+        extrap = 2 * t4 - t2
+        mean_err = float(np.abs(t1 - extrap).mean())
+        assert mean_err < budget, (
+            f"{name}: mean |V(dt) - extrapolant| = {mean_err:.4f} "
+            f"exceeds the {budget} budget"
+        )
+
+    def test_apd90_matches_extrapolant(self, richardson, name, cls, kw,
+                                       stim, dt0, t_ms, order_win,
+                                       budget, apd_tol):
+        t1, t2, t4, dt_sample = richardson[name]
+        extrap = 2 * t4 - t2
+        rest = float(extrap[-1])
+        apd_dt = _apd90(t1, dt_sample, rest)
+        apd_star = _apd90(extrap, dt_sample, rest)
+        assert apd_dt == pytest.approx(apd_star, abs=apd_tol), (
+            f"{name}: APD90(dt)={apd_dt:.1f} vs extrapolant "
+            f"{apd_star:.1f} ms"
+        )

@@ -15,6 +15,10 @@ import sys
 import numpy as np
 import pytest
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, sys
 pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]

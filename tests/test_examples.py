@@ -10,6 +10,10 @@ import sys
 import numpy as np
 import pytest
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 

@@ -17,6 +17,10 @@ from fib_tf_tpu.config import SimConfig
 from fib_tf_tpu.models import LuoRudy91, cell_geometry
 from fib_tf_tpu.models.luo_rudy import gate_rates, k1_inf, xi_factor
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 GEOM = cell_geometry()
 CFG = SimConfig(width=4, height=4, dt=0.02, duration=10)
 

@@ -28,6 +28,10 @@ from fib_tf_tpu.config import SimConfig
 from fib_tf_tpu.models import BeelerReuter, Fenton4v, grid_geometry
 
 # diff_conduction_velcoty.dat rows (cm/s)
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 FENTON_TABLE = {
     0.4: 45.9, 0.5: 52.8, 0.6: 59.3, 0.7: 64.8, 0.8: 70.1,
     0.9: 75.7, 1.0: 80.0, 1.1: 84.4, 1.25: 90.9, 1.5: 101.0,

@@ -15,6 +15,10 @@ from fib_tf_tpu.engine.restitution import (
 from fib_tf_tpu.models import Fenton4v
 
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 class TestApdAtLevel:
     def test_square_pulse(self):
         tr = np.zeros(100, np.float32)

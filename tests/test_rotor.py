@@ -15,6 +15,10 @@ from fib_tf_tpu.ops import stencil
 from fib_tf_tpu.utils.tips import phase_singularities
 
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 def synth_spiral(t, omega=np.pi / 8, h=32, w=32, cy=15.5, cx=15.5):
     y, x = np.mgrid[0:h, 0:w]
     th0 = np.arctan2(y - cy, x - cx)

@@ -21,6 +21,10 @@ from fib_tf_tpu.engine.volume import VolumeEvent, run_volume, volume_state
 from fib_tf_tpu.ops import stencil3d
 
 
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 class TestOperators:
     def test_z_uniform_laplace_equals_2d(self):
         rng = np.random.default_rng(0)
