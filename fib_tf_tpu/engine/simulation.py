@@ -202,17 +202,11 @@ class Simulation:
         source term — a true far-field potential where `add_electrode`
         (reference egm.py:5-12 parity) samples a local masked mean.
         Rides the probe stream under `'ecg'` ([n_steps, n_electrodes]).
-        Works on the XLA, fused-kernel, padded, GSPMD, and shard_map mesh
-        paths (on the mesh each shard psums its local partial sum of
-        lap·w, parallel/spmd.py); the one unsupported combination is
-        fiber anisotropy + mesh (the sharded probe Laplacian is
-        isotropic — use GSPMD there)."""
-        if self._mesh is not None and self.cfg.fiber_angle is not None:
-            raise ValueError(
-                "add_ecg_electrode with fiber anisotropy is not supported "
-                "on the shard_map mesh (the sharded probe Laplacian is "
-                "isotropic); use GSPMD sharding or run unsharded"
-            )
+        Works on every path — XLA, fused-kernel, padded, GSPMD, and the
+        shard_map mesh (each shard psums its local partial sum of lap·w,
+        parallel/spmd.py), including fiber anisotropy on the mesh (the
+        sharded probe evaluates the tensor operator over a 1-ring ghost
+        extension — r4, closing the last mesh observable gap)."""
         self._ecg_weights.append(
             stencil.ecg_weights(self.cfg.height, self.cfg.width, x, y, z)
         )

@@ -208,8 +208,12 @@ def make_spmd_chunk(
         far-field pseudo-ECG: each shard computes sum(lap(V) * w_local)
         with a 1-ring halo Laplacian (the same discrete source term as
         the unsharded stencil.ecg_weights path) and psums the partials
-        ('ecg').  Isotropic runs only — with `fiber` the source term
-        would need the tensor operator;
+        ('ecg').  With `fiber` the source term is the anisotropic tensor
+        operator: the probe extends V by ONE ghost ring and evaluates
+        block_geometry's fiber branch (value-identical to
+        stencil.anisotropic_laplace), cropping the ring — enforce_boundary
+        is mask-based and costs no halo validity, the operator costs
+        exactly one ring;
       * `rotor` = (tau_steps, v_star) runs the live rotor census: the
         [tau, H, W] delay ring (state keys ROTOR_BUF / ROTOR_IDX, seeded
         by the engine) shards with the grid; each shard computes the
@@ -227,12 +231,6 @@ def make_spmd_chunk(
             "fiber anisotropy on the shard_map path requires "
             "wide_halo=True (the per-substep halo geometries implement "
             "the isotropic stencil only)"
-        )
-    if ecg_weights and fiber is not None:
-        raise ValueError(
-            "pseudo-ECG on the shard_map mesh supports isotropic runs "
-            "only (the sharded probe Laplacian is the isotropic 9-point "
-            "operator); use the GSPMD path for fiber + ECG"
         )
     is_2d = len(mesh.axis_names) >= 2 and mesh.devices.shape[1] > 1
     axis = mesh.axis_names[0]
@@ -277,7 +275,7 @@ def make_spmd_chunk(
         state = {k: v for k, v in state.items()
                  if k not in (ROTOR_BUF, ROTOR_IDX)}
 
-        ecg_geom = None  # set per-branch below when ECG rides the stream
+        ecg_lap = None  # set per-branch below when ECG rides the stream
 
         if wide_halo:
             from fib_tf_tpu.ops.pallas_tiled import block_geometry
@@ -312,11 +310,11 @@ def make_spmd_chunk(
                 def crop(v):
                     return v[k:-k]
             phase_ext = extend(phase_local) if has_phase else None
-            if local_ecg_w:
+            if local_ecg_w and fiber is None:
                 # probe-only 1-ring halo Laplacian (the K-row exchange
                 # above feeds the step; the ECG source term needs one
                 # extra 1-row/col ring per emission — cheap, per outer
-                # step, isotropic)
+                # step)
                 from fib_tf_tpu.parallel.halo import (
                     extend_phase_2d, halo_geometry_2d,
                 )
@@ -324,11 +322,54 @@ def make_spmd_chunk(
                 if is_2d:
                     pe1 = (extend_phase_2d(phase_local, axis, col_axis)
                            if has_phase else None)
-                    ecg_geom = halo_geometry_2d(axis, col_axis, pe1)
+                    eg = halo_geometry_2d(axis, col_axis, pe1)
                 else:
                     pe1 = (extend_phase(phase_local, axis)
                            if has_phase else None)
-                    ecg_geom = halo_geometry(axis, pe1)
+                    eg = halo_geometry(axis, pe1)
+
+                def ecg_lap(v, _g=eg):
+                    return _g.laplace(_g.enforce_boundary(v))
+            elif local_ecg_w:
+                # fiber source term: extend V by ONE ghost ring and run
+                # block_geometry's anisotropic tensor operator on the
+                # extension (enforce_boundary is mask-based — costs no
+                # ring; the operator costs exactly one), then crop.
+                # Value-identical to the unsharded
+                # stencil.anisotropic_laplace source.
+                rg1 = (lax.axis_index(axis) * h_local - 1
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (h_local + 2, 1), 0))
+                if is_2d:
+                    cg1 = (lax.axis_index(col_axis) * w_local - 1
+                           + jax.lax.broadcasted_iota(
+                               jnp.int32, (1, w_local + 2), 1))
+
+                    def ext1e(v):
+                        return _exchange_cols(
+                            _exchange_rows(v, 1, axis), 1, col_axis
+                        )
+
+                    def crop1(v):
+                        return v[1:-1, 1:-1]
+                else:
+                    cg1 = None
+
+                    def ext1e(v):
+                        return _exchange_rows(v, 1, axis)
+
+                    def crop1(v):
+                        return v[1:-1]
+                geom1 = block_geometry(
+                    rg1, cfg.height, cg1,
+                    cfg.width if is_2d else None,
+                    ext1e(phase_local) if has_phase else None, fiber,
+                )
+
+                def ecg_lap(v):
+                    return crop1(
+                        geom1.laplace(geom1.enforce_boundary(ext1e(v)))
+                    )
             if use_kernel:
                 # per-shard fused Pallas kernel on the extended block:
                 # the halo rode ICI, the substep group runs VMEM-resident
@@ -367,7 +408,9 @@ def make_spmd_chunk(
                 if has_phase else None
             )
             geom = halo_geometry_2d(axis, col_axis, phase_ext)
-            ecg_geom = geom
+
+            def ecg_lap(v, _g=geom):
+                return _g.laplace(_g.enforce_boundary(v))
 
             def advance(s):
                 return model.step(s, geom)
@@ -377,7 +420,9 @@ def make_spmd_chunk(
                 extend_phase(phase_local, axis) if has_phase else None
             )
             geom = halo_geometry(axis, phase_ext)
-            ecg_geom = geom
+
+            def ecg_lap(v, _g=geom):
+                return _g.laplace(_g.enforce_boundary(v))
 
             def advance(s):
                 return model.step(s, geom)
@@ -416,9 +461,7 @@ def make_spmd_chunk(
                     for m in local_masks
                 ])
             if local_ecg_w:
-                lap = ecg_geom.laplace(
-                    ecg_geom.enforce_boundary(s[model.pot_key])
-                )
+                lap = ecg_lap(s[model.pot_key])
                 probes["ecg"] = jnp.stack([
                     lax.psum(jnp.sum(lap * w), all_axes)
                     for w in local_ecg_w

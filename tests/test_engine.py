@@ -134,7 +134,10 @@ class TestProbes:
             np.testing.assert_allclose(e[i], expect, rtol=1e-4,
                                        atol=1e-5)
 
-    def test_ecg_shard_map_mesh_rejected(self):
+    def test_ecg_accepted_on_shard_map_mesh(self):
+        """ECG rides the shard_map mesh — including fiber runs (r4
+        closed the last mesh observable gap; parity is asserted in
+        test_sharding.TestShardedAnisotropy::test_fiber_ecg_matches)."""
         import jax
         from jax.sharding import Mesh
 
@@ -142,10 +145,10 @@ class TestProbes:
         if len(devs) < 2:
             pytest.skip("needs >= 2 devices")
         mesh = Mesh(np.array(devs[:2]), ("rows",))
-        sim = Simulation(Fenton4v(small_cfg()), mesh=mesh,
-                         wide_halo=True)
-        with pytest.raises(ValueError, match="shard_map"):
-            sim.add_ecg_electrode(24, 24)
+        for kw in ({}, dict(fiber_angle=0.5, fiber_ratio=0.5)):
+            sim = Simulation(Fenton4v(small_cfg(**kw)), mesh=mesh,
+                             wide_halo=True)
+            sim.add_ecg_electrode(24, 24)  # must not raise
 
     def test_frames_recorded(self):
         cfg = small_cfg(duration=10)

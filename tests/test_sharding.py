@@ -13,6 +13,11 @@ from fib_tf_tpu.parallel import make_mesh, plane_sharding, shard_state
 from fib_tf_tpu.parallel.spmd import make_spmd_chunk
 
 
+import pytest
+
+# long tail: excluded from the smoke tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 def cfg(**kw):
     base = dict(width=64, height=64, dt=0.1, dt_per_plot=10,
                 diff=1.5, duration=5)
@@ -415,6 +420,30 @@ class TestShardedAnisotropy:
                     rtol=1e-5, atol=1e-5,
                     err_msg=f"kernel={use_kernel} {k}",
                 )
+
+    def test_fiber_ecg_matches(self):
+        """far-field pseudo-ECG on a fiber run rides the shard_map mesh
+        (the sharded probe evaluates the tensor operator — incl. the
+        phase correction — over a 1-ring ghost extension; r4 closed this
+        last mesh observable gap): sharded == unsharded stream."""
+        def build(**kw):
+            c = SimConfig(width=64, height=128, dt=0.1, duration=5,
+                          dt_per_plot=10, diff=1.5,
+                          fiber_angle=0.6, fiber_ratio=0.3)
+            sim = Simulation(Fenton4v(c), **kw)
+            sim.add_hole_to_phase_field(32, 64, 10)
+            sim.add_ecg_electrode(32, 64, z=4.0)
+            sim.add_ecg_electrode(10, 100, z=0.0)
+            return sim.define().simulate()
+
+        want = build()
+        got = build(mesh=make_mesh(), wide_halo=True)
+        np.testing.assert_allclose(
+            got.probes["ecg"], want.probes["ecg"], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            got.state["u"], want.state["u"], rtol=1e-5, atol=1e-6
+        )
 
     def test_fiber_requires_wide_halo(self):
         import pytest
