@@ -320,10 +320,12 @@ def run_volume(
       reference's 2D Gaussian-mask electrogram (egm.py:5-12): a true
       far-field potential rather than a local masked mean.  With
       electrodes, `probes` is a dict with an `'ecg'` stream of shape
-      `[n_outer, n_electrodes]`.  Works on the XLA, fused-kernel
-      (sampled on the true-size crop of padded planes), and GSPMD mesh
-      paths; not on `wide_halo` (the shard_map body sees z-local
-      blocks).
+      `[n_outer, n_electrodes]`.  Works on every path: XLA, fused-kernel
+      (sampled on the true-size crop of padded planes), GSPMD mesh, and
+      the z-sharded `wide_halo` shard_map path (each shard evaluates the
+      source term over a one-ghost-slice extension and the electrode
+      sums are psums of local partials — r4, parity with the 2D engine's
+      sharded ECG).
     - `rotor_probe`: also emit a LIVE per-slice rotor census from inside
       the compiled scan — `[n_outer, D, 2]` of (count, net topological
       charge) per z-slice vs the sample `rotor_tau_ms` ago (the same
@@ -439,12 +441,6 @@ def run_volume(
                 "wide_halo (the shard_map body sees z-local blocks); "
                 "use the default probe or the GSPMD path"
             )
-        if electrodes:
-            raise ValueError(
-                "electrodes are not supported with wide_halo (the "
-                "shard_map body sees z-local blocks); use the GSPMD "
-                "mesh path, which shards the ECG reduction"
-            )
         from fib_tf_tpu.parallel.volume_spmd import (
             check_volume_shards, resolve_halo_k,
         )
@@ -553,6 +549,7 @@ def run_volume(
                 dz_ratio=dz_ratio, fiber=fiber, use_kernel=spmd_kernel,
                 rotor=rotor_probe, tau_steps=tau_steps,
                 rotor_v_star=rotor_v_star, halo_k=halo_k,
+                ecg_weights=ew,
             )
             _cache[key] = chunk
             return chunk

@@ -102,6 +102,7 @@ def make_volume_spmd_chunk(
     tau_steps: int = 0,
     rotor_v_star: float = 0.5,
     halo_k: Optional[int] = None,
+    ecg_weights: Optional[jnp.ndarray] = None,
 ):
     """Build a jitted `chunk(state, buf, idx) -> (state, buf, idx,
     probes)` advancing `length` outer steps of a z-sharded `[D, H, W]`
@@ -112,7 +113,16 @@ def make_volume_spmd_chunk(
     masks are z-sharded alongside the state.  `fiber` is the tuple of
     `[D]` per-slice tensor arrays (stencil3d.fiber_tensors) or None.
     With `rotor`, `buf` is the [tau, D, H, W] delay ring buffer (sharded
-    on D) and probes gain the per-slice census stream."""
+    on D) and probes gain the per-slice census stream.
+
+    `ecg_weights` = [E, D, H, W] lead-field planes (z-sharded with the
+    state): each shard evaluates the model's own discrete source term —
+    zblock_geometry's laplace (incl. dz_ratio, phase correction, and the
+    per-slice fiber tensors) over a ONE-ghost-slice extension of its
+    block (enforce_boundary is mask-based and costs no halo validity;
+    the operator costs exactly one slice each way) — and the electrode
+    potentials are psums of the local einsum partials ('ecg' stream,
+    value-identical to run_volume's unsharded path)."""
     axis = mesh.axis_names[0]
     n_shards = int(mesh.devices.shape[0])
     k = resolve_halo_k(model, halo_k)
@@ -137,6 +147,7 @@ def make_volume_spmd_chunk(
     ]
     ev_masks = [jnp.asarray(m) for _, m in fire]
     ev_steps = [int(t) for t, _ in fire]
+    has_ecg = ecg_weights is not None
 
     kern = None
     if use_kernel:
@@ -146,13 +157,16 @@ def make_volume_spmd_chunk(
             substeps=(k if n_groups > 1 else None),
         )
 
-    def extend(v):
+    def extend_k(v, kk):
         n = lax.axis_size(axis)
         fwd = [(i, (i + 1) % n) for i in range(n)]
         bwd = [(i, (i - 1) % n) for i in range(n)]
-        top = lax.ppermute(v[-k:], axis, fwd)
-        bottom = lax.ppermute(v[:k], axis, bwd)
+        top = lax.ppermute(v[-kk:], axis, fwd)
+        bottom = lax.ppermute(v[:kk], axis, bwd)
         return jnp.concatenate([top, v, bottom], axis=0)
+
+    def extend(v):
+        return extend_k(v, k)
 
     def local_fn(state, buf, idx, *extras):
         i = 0
@@ -164,6 +178,10 @@ def make_volume_spmd_chunk(
         if has_fiber:
             fiber_local = tuple(extras[i:i + 3])
             i += 3
+        ew_local = None
+        if has_ecg:
+            ew_local = extras[i]
+            i += 1
         masks_local = extras[i:]
 
         h = cfg.height
@@ -196,6 +214,27 @@ def make_volume_spmd_chunk(
             geom = zblock_geometry(
                 zg, depth, phase_local, dz_ratio, fiber_ext
             )
+
+        ecg_lap = None
+        if has_ecg:
+            # probe-only source term over a ONE-ghost-slice extension:
+            # enforce_boundary is mask-based (costs no halo validity),
+            # the operator's z-coupling costs exactly one slice each way
+            zg1 = (lax.axis_index(axis) * d_local - 1
+                   + lax.broadcasted_iota(
+                       jnp.int32, (d_local + 2, 1, 1), 0))
+            fiber_e1 = (
+                tuple(extend_k(f, 1) for f in fiber_local)
+                if has_fiber else None
+            )
+            geom1 = zblock_geometry(
+                zg1, depth, phase_local, dz_ratio, fiber_e1
+            )
+
+            def ecg_lap(v):
+                return geom1.laplace(
+                    geom1.enforce_boundary(extend_k(v, 1))
+                )[1:-1]
 
         def probe_v(s):
             lz = zmid - lax.axis_index(axis) * d_local
@@ -231,6 +270,12 @@ def make_volume_spmd_chunk(
                 pot = jnp.where(i == t, jnp.maximum(pot, m), pot)
             s = {**s, pot_key: pot}
             out = {"v": probe_v(s)}
+            if has_ecg:
+                out["ecg"] = lax.psum(
+                    jnp.einsum("dhw,edhw->e", ecg_lap(s[pot_key]),
+                               ew_local),
+                    axis,
+                )
             if rotor:
                 from fib_tf_tpu.ops import stencil
 
@@ -258,8 +303,12 @@ def make_volume_spmd_chunk(
         in_specs.append(P(None, None))
     if has_fiber:
         in_specs.extend([zplane] * 3)
+    if has_ecg:
+        in_specs.append(P(None, axis, None, None))
     in_specs.extend(zplane for _ in ev_masks)
     probes_spec: Dict[str, P] = {"v": P()}
+    if has_ecg:
+        probes_spec["ecg"] = P()
     if rotor:
         probes_spec["rotors"] = P(None, axis)
 
@@ -277,6 +326,7 @@ def make_volume_spmd_chunk(
             state, buf, idx,
             *([phase_arr] if has_phase else []),
             *fiber_arrs,
+            *([jnp.asarray(ecg_weights)] if has_ecg else []),
             *ev_masks,
         )
 

@@ -555,7 +555,8 @@ class TestWideHaloVolume:
         ph = stencil.add_hole_to_phase_field(None, 24, 24, 12, 12, 4)
         kw = dict(depth=20, n_outer=20, phase=ph, dz_ratio=0.6,
                   fiber_twist=1.5, fiber_ratio=0.4, rotor_probe=True,
-                  events=[VolumeEvent(step=5, loc="luq")])
+                  events=[VolumeEvent(step=5, loc="luq")],
+                  electrodes=[(-3.0, 12.0, 12.0), (24.0, 8.0, 8.0)])
         f_u, p_u, _ = run_volume(m, **kw)
         f_w, p_w, _ = run_volume(m, mesh=mesh, wide_halo=True,
                                  kernel=kern, **kw)
@@ -564,6 +565,11 @@ class TestWideHaloVolume:
                                        atol=1e-6, err_msg=k)
         np.testing.assert_allclose(p_w["v"], p_u["v"], atol=1e-5)
         np.testing.assert_allclose(p_w["rotors"], p_u["rotors"],
+                                   atol=1e-5)
+        # the z-sharded ECG partial-sum probe (r4: the source term rides
+        # a one-ghost-slice extension incl. phase + per-slice fiber +
+        # dz_ratio) == the unsharded stream
+        np.testing.assert_allclose(p_w["ecg"], p_u["ecg"], rtol=1e-4,
                                    atol=1e-5)
 
     def test_br_eight_shards_matches_unsharded(self):
@@ -733,7 +739,10 @@ class TestPseudoECG:
         np.testing.assert_allclose(p_s["ecg"], p_u["ecg"], rtol=1e-4,
                                    atol=1e-5)
 
-    def test_wide_halo_rejection(self):
+    def test_wide_halo_matches_unsharded(self):
+        """electrodes ride the z-sharded wide-halo path too (r4 closed
+        this; the full-coverage variant — phase + fiber + dz_ratio — is
+        asserted in TestWideHaloVolume::test_fenton_matches_unsharded)."""
         from jax.sharding import Mesh
 
         devs = jax.devices()
@@ -741,9 +750,14 @@ class TestPseudoECG:
             pytest.skip("needs the 8-device virtual mesh")
         mesh = Mesh(np.array(devs), ("z",))
         m = Fenton4v(SimConfig(width=24, height=24, dt=0.05))
-        with pytest.raises(ValueError, match="electrodes"):
-            run_volume(m, depth=80, n_outer=1, mesh=mesh,
-                       wide_halo=True, electrodes=[(-3.0, 12.0, 12.0)])
+        kw = dict(depth=80, n_outer=6,
+                  events=[VolumeEvent(step=2, loc="luq")],
+                  electrodes=[(-3.0, 12.0, 12.0)])
+        _, p_u, _ = run_volume(m, **kw)
+        _, p_w, _ = run_volume(m, mesh=mesh, wide_halo=True,
+                               kernel="xla", **kw)
+        np.testing.assert_allclose(p_w["ecg"], p_u["ecg"], rtol=1e-4,
+                                   atol=1e-5)
 
 
 class TestFullTensorAnisotropy:
