@@ -31,7 +31,8 @@ from fib_tf_tpu.config import SimConfig
 from fib_tf_tpu.engine.restitution import restitution_scan
 from fib_tf_tpu.models import MODEL_REGISTRY
 
-DIFF = {"fenton": 1.5, "br": 0.809, "court": 0.809}
+DIFF = {"fenton": 1.5, "br": 0.809, "court": 0.809, "ms": 1.5,
+        "lr1": 0.809, "tp06": 0.809}
 
 
 def main():
@@ -53,9 +54,11 @@ def main():
     ap.add_argument("--save-plot", default=None, metavar="PATH")
     args = ap.parse_args()
 
-    cfg = SimConfig(width=args.size, height=args.size, dt=0.1,
+    model_cls = MODEL_REGISTRY[args.model]
+    cfg = SimConfig(width=args.size, height=args.size,
+                    dt=model_cls.default_dt,
                     diff=DIFF[args.model], duration=10)
-    model = MODEL_REGISTRY[args.model](cfg)
+    model = model_cls(cfg)
 
     coupling = np.linspace(args.ci_from, args.ci_to, args.members)
     r = restitution_scan(

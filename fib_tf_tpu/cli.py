@@ -33,7 +33,8 @@ from fib_tf_tpu.models import MODEL_REGISTRY
 S2_DEFAULT_V = {"fenton": 1.0, "br": 10.0, "beeler_reuter": 10.0,
                 "court": 10.0, "courtemanche": 10.0, "court_ultra": 10.0,
                 "ms": 1.0, "mitchell_schaeffer": 1.0,
-                "lr1": 20.0, "luo_rudy": 20.0}
+                "lr1": 20.0, "luo_rudy": 20.0,
+                "tp06": 20.0, "tentusscher": 20.0}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -50,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dt", type=float, default=None,
                    help="integration dt in ms (default: the model's "
                         "recommended dt — 0.1 for the reference models, "
-                        "0.02 for the stiff lr1)")
+                        "0.02 for the stiff lr1/tp06)")
     r.add_argument("--dt-per-plot", type=float, default=10)
     r.add_argument("--diff", type=float, default=None,
                    help="diffusion coefficient (model default if omitted)")

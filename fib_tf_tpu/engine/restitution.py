@@ -31,7 +31,8 @@ from fib_tf_tpu.models.base import IonicModel
 # plane is lifted to max(pot, v) everywhere, so diastolic tissue fires
 # while refractory tissue (already above v) is unaffected — the pacing
 # semantics of reference ionic.py:144-163 applied full-field
-STIM_V = {"fenton": 1.0, "br": 0.0, "court": 0.0, "court_ultra": 0.0}
+STIM_V = {"fenton": 1.0, "br": 0.0, "court": 0.0, "court_ultra": 0.0,
+          "ms": 1.0, "lr1": 0.0, "tp06": 0.0}
 
 
 def apd_at_level(

@@ -6,6 +6,7 @@ from fib_tf_tpu.models.beeler_reuter import BeelerReuter
 from fib_tf_tpu.models.courtemanche import Courtemanche, CourtemancheUltra
 from fib_tf_tpu.models.mitchell_schaeffer import MitchellSchaeffer
 from fib_tf_tpu.models.luo_rudy import LuoRudy91
+from fib_tf_tpu.models.tp06 import TenTusscher06
 
 MODEL_REGISTRY = {
     "fenton": Fenton4v,
@@ -18,6 +19,8 @@ MODEL_REGISTRY = {
     "mitchell_schaeffer": MitchellSchaeffer,
     "lr1": LuoRudy91,
     "luo_rudy": LuoRudy91,
+    "tp06": TenTusscher06,
+    "tentusscher": TenTusscher06,
 }
 
 __all__ = [
@@ -31,5 +34,6 @@ __all__ = [
     "CourtemancheUltra",
     "MitchellSchaeffer",
     "LuoRudy91",
+    "TenTusscher06",
     "MODEL_REGISTRY",
 ]

@@ -8,6 +8,7 @@
 //   cell_sim_fb fenton <ms> <dt> <stim_u> [--ab2]        -> "t u v w s"
 //   cell_sim_fb br <ms> <dt> <stim_mV> [--skip] [--ab2]  -> "t V C"
 //   cell_sim_fb lr1 <ms> <dt> <stim_mV>                  -> "t V Cai"
+//   cell_sim_fb tp06 <ms> <dt> <stim_mV>                 -> "t V Cai"
 
 #include <cstdio>
 #include <cstdlib>
@@ -15,6 +16,7 @@
 
 #include "fenton_br.h"
 #include "luo_rudy.h"
+#include "tp06.h"
 
 int main(int argc, char** argv) {
   if (argc < 5) {
@@ -24,6 +26,7 @@ int main(int argc, char** argv) {
   }
   const bool is_br = std::strcmp(argv[1], "br") == 0;
   const bool is_lr = std::strcmp(argv[1], "lr1") == 0;
+  const bool is_tp = std::strcmp(argv[1], "tp06") == 0;
   const double ms = std::atof(argv[2]);
   const double dt = std::atof(argv[3]);
   const double stim = std::atof(argv[4]);
@@ -36,7 +39,14 @@ int main(int argc, char** argv) {
   const long steps = static_cast<long>(ms / dt);
   const long per_ms = static_cast<long>(1.0 / dt);
 
-  if (is_lr) {
+  if (is_tp) {
+    fib::TPState s = fib::tpInitial(stim);
+    for (long i = 0; i < steps; ++i) {
+      s = fib::tpStep(s, dt);
+      if ((i + 1) % per_ms == 0)
+        std::printf("%.1f %.6f %.8f\n", (i + 1) * dt, s.v, s.cai);
+    }
+  } else if (is_lr) {
     fib::LRState s = fib::lrInitial(stim);
     for (long i = 0; i < steps; ++i) {
       s = fib::lrStep(s, dt);

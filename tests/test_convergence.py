@@ -14,8 +14,8 @@ y* = 2 y(h/2) - y(h)), and pin
   * the default-dt trace error against the extrapolant — quantifying
     BASELINE's "1e-3" north-star claim: the MEAN normalized-trace error
     at the recommended dt is <= 2e-3 for every model (fenton 2.0e-3,
-    br 3.5e-4, court 5.2e-4, ms 1e-4, lr1 6.0e-4 measured; budgets below
-    carry ~2x headroom),
+    br 3.5e-4, court 5.2e-4, ms 1e-4, lr1 6.0e-4, tp06 1.5e-4 measured;
+    budgets below carry ~2x headroom),
   * APD90 of the default-dt trace vs the extrapolant's.
 
 The max pointwise error concentrates at the upstroke (a sub-substep
@@ -23,7 +23,7 @@ timing shift at ~100-400 V/s is several mV) — that is a phase error the
 mean/APD metrics bound physically, so no pointwise upstroke pin.
 
 Measured observed orders (docs/OPTIMIZATIONS.md §15): fenton 1.02,
-br (direct rates) 1.12, lr1 0.99; court 0.63 (its hard rate branches at
+br (direct rates) 1.12, lr1 0.99, tp06 1.14; court 0.63 (its hard rate branches at
 fixed voltages make crossing times quantize to substeps, shaving the
 observed order below 1 — the error MAGNITUDE still shrinks ~1.5x per
 halving); ms errors sit at the float32 noise floor, where the order
@@ -46,6 +46,7 @@ from fib_tf_tpu.models import (
     Fenton4v,
     LuoRudy91,
     MitchellSchaeffer,
+    TenTusscher06,
     cell_geometry,
 )
 
@@ -90,6 +91,9 @@ CASES = [
      (0.4, 1.3), 0.11, 2.0),
     ("ms", MitchellSchaeffer, {}, 0.5, 0.1, 400.0, None, 3e-4, 2.0),
     ("lr1", LuoRudy91, {}, -50.0, 0.02, 450.0, (0.8, 1.3), 0.17, 2.0),
+    # measured: order 1.14, mean err 0.0196 mV, APD90 301.9 vs 301.9
+    ("tp06", TenTusscher06, {}, 20.0, 0.02, 400.0, (0.8, 1.4), 0.05,
+     2.0),
 ]
 
 

@@ -53,6 +53,16 @@ class TestExamples:
         assert cube.shape[1:] == (48, 48)
         assert np.isfinite(cube).all()
 
+    def test_tp06_spiral(self, tmp_path):
+        out = run_example(tmp_path, "tp06_spiral.py",
+                          "--size", "48", "--duration", "10",
+                          "--cut-at", "10")
+        assert "cut@" in out
+        assert os.path.exists(tmp_path / "cube.npy")
+        cube = np.load(tmp_path / "cube.npy")
+        assert cube.shape[1:] == (48, 48)
+        assert np.isfinite(cube).all()
+
     def test_court_run_chained(self, tmp_path):
         out = run_example(tmp_path, "court_run.py",
                           "--size", "48", "--duration", "20")

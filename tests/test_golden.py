@@ -18,6 +18,7 @@ from fib_tf_tpu.models import (
     CourtemancheUltra,
     Fenton4v,
     LuoRudy91,
+    TenTusscher06,
     cell_geometry,
 )
 
@@ -77,6 +78,9 @@ def test_golden_tissue():
      lambda: Courtemanche(CFG.replace(table=True)), 20.0, 400),
     ("court_ultra_ap", lambda: CourtemancheUltra(CFG), 20.0, 400),
     ("lr1_ap", lambda: LuoRudy91(CFG.replace(dt=0.02)), -30.0, 2200),
+    ("tp06_ap", lambda: TenTusscher06(CFG.replace(dt=0.02)), 20.0, 2000),
+    ("tp06_skip_ap",
+     lambda: TenTusscher06(CFG.replace(dt=0.02, skip=True)), 20.0, 2000),
 ])
 def test_golden_trace(name, factory, stim, n):
     model = factory()

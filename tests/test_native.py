@@ -281,3 +281,50 @@ class TestNativeTable:
                 np.testing.assert_array_equal(
                     np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
                 )
+
+    def test_cell_sim_tp06_matches_python(self):
+        """Native TP06 (tp06.h, written independently from the paper's
+        appendix) vs the JAX model — cross-language validation for the
+        sixth family, covering the SR-calcium subsystem and the Ca-gated
+        fCass gate that no other native model exercises."""
+        import subprocess
+
+        import jax
+        import jax.numpy as jnp
+
+        from fib_tf_tpu.config import SimConfig
+        from fib_tf_tpu.models import TenTusscher06, cell_geometry
+
+        exe = os.path.join(native.NATIVE_DIR, "cell_sim_fb")
+        out = subprocess.run(
+            [exe, "tp06", "400", "0.02", "-60"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        rows = [l.split() for l in out.strip().splitlines()]
+        v_native = np.asarray([float(r[1]) for r in rows])
+        ca_native = np.asarray([float(r[2]) for r in rows])
+
+        model = TenTusscher06(
+            SimConfig(width=8, height=8, dt=0.02, duration=1))
+        state = model.initial_state(s1=False)
+        state["V"][:] = -60.0
+        geom = cell_geometry()
+        s = {k: jnp.asarray(v) for k, v in state.items()}
+
+        def body(st, _):
+            st = model.step(st, geom)   # 10 substeps = 0.2 ms
+            return st, (st["V"][0, 0], st["Cai"][0, 0])
+
+        _, (v_py, ca_py) = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=2000)
+        )(s)
+        v_py_ms = np.asarray(v_py)[4::5]     # sample every 1 ms
+        ca_py_ms = np.asarray(ca_py)[4::5]
+        # f32 (JAX) vs f64 (C++) through a ~370 V/s upstroke: same
+        # budget shape as lr1's — loose at the stimulus, tight after
+        assert np.abs(v_native - v_py_ms).max() < 0.2
+        assert np.abs(v_native - v_py_ms)[10:].max() < 5e-2
+        # the calcium subsystem is the new native coverage: pin Cai to
+        # 1% of its dynamic range over the whole beat
+        ca_rng = ca_native.max() - ca_native.min()
+        assert np.abs(ca_native - ca_py_ms).max() < 0.01 * ca_rng

@@ -14,6 +14,7 @@ from fib_tf_tpu.models import (
     Fenton4v,
     LuoRudy91,
     MitchellSchaeffer,
+    TenTusscher06,
     grid_geometry,
 )
 from fib_tf_tpu.ops import stencil
@@ -68,6 +69,8 @@ class TestPallasStep:
         (MitchellSchaeffer, {}),
         (LuoRudy91, dict(dt=0.02, diff=0.809)),
         (LuoRudy91, dict(dt=0.02, diff=0.809, skip=True)),
+        (TenTusscher06, dict(dt=0.02, diff=0.809)),
+        (TenTusscher06, dict(dt=0.02, diff=0.809, skip=True)),
     ])
     def test_matches_xla_step(self, model_cls, extra):
         c = cfg(**extra)

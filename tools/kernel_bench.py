@@ -49,7 +49,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("model",
                    choices=["fenton", "br", "court", "court_ultra", "ms",
-                            "lr1"])
+                            "lr1", "tp06"])
     p.add_argument("--kernel", default="xla",
                    choices=["xla", "whole", "tiled"])
     p.add_argument("--tile-rows", type=int, default=128)

@@ -29,6 +29,7 @@ from fib_tf_tpu.models import (  # noqa: E402
     CourtemancheUltra,
     Fenton4v,
     LuoRudy91,
+    TenTusscher06,
     cell_geometry,
 )
 
@@ -66,6 +67,11 @@ def main():
         # lr1 is stiff: dt=0.02 (its recommended dt), 0.2 ms per outer
         # step, 2200 samples = 440 ms (APD90 ~367 ms fits in the trace)
         "lr1_ap": (LuoRudy91(cfg.replace(dt=0.02)), -30.0, 2200),
+        # tp06 shares lr1's stiffness: dt=0.02, 2000 samples = 400 ms
+        # (epi APD90 ~302 ms fits in the trace)
+        "tp06_ap": (TenTusscher06(cfg.replace(dt=0.02)), 20.0, 2000),
+        "tp06_skip_ap": (
+            TenTusscher06(cfg.replace(dt=0.02, skip=True)), 20.0, 2000),
     }
     for name, (model, stim, n) in specs.items():
         state = model.initial_state(s1=False)
