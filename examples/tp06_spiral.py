@@ -73,8 +73,9 @@ def main():
     n = args.size
     cut_at = args.cut_at
     if cut_at is None:
-        # tp06 CV at diff=0.809 is ~1.9 cells/ms (scales ~sqrt(diff))
-        cv = 1.9 * np.sqrt(args.diff / 0.809)
+        # tp06 CV at diff=0.809 measured 2.22 cells/ms (plane wave,
+        # -40 mV crossings at x=60/200 on a 256 strip); ~sqrt(diff)
+        cv = 2.22 * np.sqrt(args.diff / 0.809)
         cut_at = round(2 * n / 3 / cv)
 
     # stage 1: S1 plane wave (the built-in 1-column stripe) toward the

@@ -295,3 +295,35 @@ class TestCellTypes:
                                     cell_type="endo")["s"]
         assert inf_e != pytest.approx(inf_n, rel=1e-3)
         assert tau_e != pytest.approx(tau_n, rel=1e-3)
+
+
+class TestConduction:
+    def test_plane_wave_cv(self):
+        """Plane-wave conduction velocity at diff=0.809: measured 2.22
+        cells/ms (-40 mV upstroke crossings at x=60/200 on a 256-wide
+        strip).  The example's cut-the-wave timing derives from this
+        number (examples/tp06_spiral.py)."""
+        from fib_tf_tpu.models import grid_geometry
+
+        cfg = SimConfig(width=256, height=16, dt=0.02, diff=0.809,
+                        duration=1)
+        m = TenTusscher06(cfg)
+        st = m.initial_state(s1=True)
+        geom = grid_geometry()
+        s = {k: jnp.asarray(np.array(v)) for k, v in st.items()}
+
+        def body(c, _):
+            c = m.step(c, geom)
+            return c, c["V"][8, :]
+
+        _, tr = jax.jit(
+            lambda c: jax.lax.scan(body, c, None, length=600))(s)
+        tr = np.asarray(tr)   # 0.2 ms per outer step
+
+        def tcross(x):
+            idx = np.where(tr[:, x] > -40.0)[0]
+            assert len(idx), f"wave never reached x={x}"
+            return idx[0] * 0.2
+
+        cv = (200 - 60) / (tcross(200) - tcross(60))
+        assert cv == pytest.approx(2.22, rel=0.10)

@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["fenton", "br", "court", "ms", "lr1"])
+    p.add_argument("model", choices=["fenton", "br", "court", "ms", "lr1", "tp06"])
     p.add_argument("--members", type=int, default=16)
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--outer", type=int, default=1000)

@@ -27,7 +27,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("model", choices=["fenton", "br", "court", "court_ultra",
-                                     "ms", "lr1"])
+                                     "ms", "lr1", "tp06"])
     p.add_argument("--flavor", default="wide-kernel",
                    choices=["per-substep", "wide-xla", "wide-kernel"])
     p.add_argument("--width", type=int, default=512)
