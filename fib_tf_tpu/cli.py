@@ -437,7 +437,7 @@ def cmd_warmup(args) -> int:
     cache.enable()
 
     names = args.model or ["fenton", "br", "court", "court_ultra", "ms",
-                           "lr1"]
+                           "lr1", "tp06"]
     fams = [k.strip() for k in args.kernels.split(",") if k.strip()]
     bad = set(fams) - {"whole", "block", "volume"}
     if bad:
@@ -447,7 +447,8 @@ def cmd_warmup(args) -> int:
     # examples/bench run with — kernels are specialized to them)
     recommended = {"br": dict(cheby=True, skip=True),
                    "beeler_reuter": dict(cheby=True, skip=True),
-                   "lr1": dict(skip=True), "luo_rudy": dict(skip=True)}
+                   "lr1": dict(skip=True), "luo_rudy": dict(skip=True),
+                   "tp06": dict(skip=True), "tentusscher": dict(skip=True)}
 
     def timed(label, fn):
         t0 = time.perf_counter()

@@ -437,7 +437,7 @@ class Simulation:
         if (
             _jax.default_backend() != "tpu"
             or self.model.name not in ("fenton", "br", "court", "ms",
-                                       "court_ultra", "lr1")
+                                       "court_ultra", "lr1", "tp06")
         ):
             return False
         if not aligned:
@@ -447,12 +447,13 @@ class Simulation:
             overhead = (pad[0] * pad[1]) / (self.cfg.height * self.cfg.width)
             if overhead > self.PAD_OVERHEAD_MAX:
                 return False  # padding would eat the kernel's win
-        if self.model.name in ("court", "court_ultra", "lr1"):
+        if self.model.name in ("court", "court_ultra", "lr1", "tp06"):
             # table mode gathers don't lower in Mosaic; the tiled
             # kernel's halo recompute loses to XLA for these
             # compute-bound models, so past the whole-grid budget stay
             # on XLA (docs/OPTIMIZATIONS.md §8c).  lr1 whole-grid:
-            # measured 33.6 vs 50.1 XLA us/substep at 512² (1.5x)
+            # measured 33.6 vs 50.1 XLA us/substep at 512² (1.5x);
+            # tp06 whole-grid: 84.8 vs 140.0 (1.65x, §8)
             return not self.cfg.table and whole_grid_fits
         if self.model.name == "br":
             if whole_grid_fits:

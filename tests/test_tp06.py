@@ -297,6 +297,24 @@ class TestCellTypes:
         assert tau_e != pytest.approx(tau_n, rel=1e-3)
 
 
+class TestKernelSelection:
+    def test_auto_picks_whole_grid_on_tpu(self, monkeypatch):
+        """'auto' selects the fused whole-grid kernel for tp06 on TPU
+        (measured 84.8 vs 140.0 us/substep at 512², OPTIMIZATIONS §8)
+        within the 32 MB whole-grid budget, and stays XLA above it (no
+        tiled fallback for the compute-bound families)."""
+        from fib_tf_tpu.engine import Simulation
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        sim = Simulation(TenTusscher06(SimConfig(
+            width=512, height=512, dt=0.02, duration=1))).define()
+        assert sim._use_pallas()
+        # 19 planes * 2048^2 * 4 B = 318 MB >> the 32 MB whole-grid cap
+        big = Simulation(TenTusscher06(SimConfig(
+            width=2048, height=2048, dt=0.02, duration=1))).define()
+        assert not big._use_pallas()
+
+
 class TestConduction:
     def test_plane_wave_cv(self):
         """Plane-wave conduction velocity at diff=0.809: measured 2.22
