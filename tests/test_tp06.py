@@ -297,6 +297,48 @@ class TestCellTypes:
         assert tau_e != pytest.approx(tau_n, rel=1e-3)
 
 
+class TestRestitution:
+    """S1-S2 APD restitution (engine/restitution.py) for tp06.  The
+    paper's central theme is restitution-slope-controlled breakup; the
+    default parameter set is its steep variant, and this protocol
+    measures a steep short-DI limb here too.  Measured (BCL 700, 2 S1,
+    uniform 4x4 stimulation, 0.2 ms sampling): last-S1 APD90 296.4 ms,
+    refractory at S2 = 280 ms, capture from 320 ms, APD(DI) monotone
+    23.6->303.6 ms, max finite-difference slope 1.62."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from fib_tf_tpu.engine.restitution import restitution_scan
+
+        m = TenTusscher06(SimConfig(width=4, height=4, dt=0.02,
+                                    duration=10))
+        return restitution_scan(
+            m, coupling_ms=np.array([280.0, 320.0, 340.0, 400.0, 600.0]),
+            bcl_ms=700.0, n_s1=2, tail_ms=450.0)
+
+    def test_s1_apd(self, result):
+        assert result.apd_s1_ms == pytest.approx(296.4, abs=8.0)
+
+    def test_refractory_edge(self, result):
+        assert not result.captured[0]          # S2 280 ms: no capture
+        assert result.captured[1:].all()       # 320 ms onward captures
+
+    def test_apd_monotone_in_di(self, result):
+        di, apd = result.di_ms[1:], result.apd_ms[1:]
+        assert (np.diff(di) > 0).all()
+        assert (np.diff(apd) > 0).all()
+        assert apd[-1] <= result.apd_s1_ms + 5.0
+
+    def test_steep_short_di_slope(self, result):
+        # default-parameter tp06 is the steep-restitution regime the
+        # paper's breakup analysis builds on: slope well above 1 at
+        # short DI (measured 1.62 between DI 23.6 and 43.6 ms)
+        s = result.slope()
+        assert s is not None
+        assert s == pytest.approx(1.62, rel=0.2)
+        assert s > 1.0
+
+
 class TestKernelSelection:
     def test_auto_picks_whole_grid_on_tpu(self, monkeypatch):
         """'auto' selects the fused whole-grid kernel for tp06 on TPU
