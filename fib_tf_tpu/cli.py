@@ -301,6 +301,14 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--bcl", type=float, default=400.0,
                     help="S1 basic cycle length (ms)")
     rs.add_argument("--n-s1", type=int, default=2)
+    rs.add_argument("--dynamic", action="store_true",
+                    help="dynamic (steady-state-pacing) protocol instead "
+                         "of S1-S2: one basic cycle length per member "
+                         "(--ci-from/--ci-to become the BCL range), "
+                         "reporting the last two APDs and the "
+                         "beat-to-beat alternans per rate")
+    rs.add_argument("--beats", type=int, default=8,
+                    help="pacing-train length per member (--dynamic)")
     rs.add_argument("--kernel", choices=["auto", "xla", "pallas"],
                     default="auto")
     rs.add_argument("--json", action="store_true",
@@ -843,6 +851,8 @@ def cmd_restitution(args) -> int:
         ultra_slow=(args.model == "court_ultra"),
     )
     model = model_cls(cfg)
+    if args.dynamic:
+        return _cmd_restitution_dynamic(args, model)
     coupling = np.linspace(args.ci_from, args.ci_to, args.members)
     r = restitution_scan(
         model, coupling_ms=coupling, bcl_ms=args.bcl, n_s1=args.n_s1,
@@ -872,6 +882,48 @@ def cmd_restitution(args) -> int:
             print(f"{ci:8.1f} {'—':>8} {'no capture':>10}")
     if s is not None:
         print(f"max slope dAPD/dDI: {s:.2f}")
+    return 0
+
+
+def _cmd_restitution_dynamic(args, model) -> int:
+    """`restitution --dynamic`: steady-state pacing, one BCL per member
+    (engine/restitution.dynamic_restitution_scan).  Alternans and 2:1
+    block fall out of the last-two-beats readout — the experiment the
+    ten Tusscher-Panfilov 2006 breakup analysis is built on."""
+    from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+
+    bcl = np.linspace(args.ci_from, args.ci_to, args.members)
+    r = dynamic_restitution_scan(
+        model, bcl_ms=bcl, n_beats=args.beats,
+        tail_ms=max(500.0, float(bcl.max())), kernel=args.kernel,
+    )
+    s = r.slope()
+    if args.json:
+        print(json.dumps({
+            "model": args.model,
+            "protocol": "dynamic",
+            "n_beats": int(r.n_beats),
+            "bcl_ms": [float(b) for b in r.bcl_ms],
+            "di_ms": [None if not np.isfinite(d) else float(d)
+                      for d in r.di_ms],
+            "apd_ms": [None if not np.isfinite(a) else float(a)
+                       for a in r.apd_ms],
+            "alternans_ms": [None if not np.isfinite(a) else float(a)
+                             for a in r.alternans_ms],
+            "captured": [bool(c) for c in r.captured],
+            "max_slope": None if s is None else float(s),
+        }))
+        return 0
+    print(f"{'BCL (ms)':>9} {'DI (ms)':>8} {'APD90 (ms)':>10} "
+          f"{'alternans':>9}")
+    for b, di, apd, alt, cap in zip(r.bcl_ms, r.di_ms, r.apd_ms,
+                                    r.alternans_ms, r.captured):
+        if cap:
+            print(f"{b:9.1f} {di:8.1f} {apd:10.1f} {alt:9.1f}")
+        else:
+            print(f"{b:9.1f} {'—':>8} {'no 1:1 capture':>10}")
+    if s is not None:
+        print(f"max dynamic slope dAPD/dDI: {s:.2f}")
     return 0
 
 

@@ -79,16 +79,156 @@ class RestitutionResult:
     def slope(self) -> Optional[float]:
         """Max restitution slope dAPD/dDI over captured points (finite
         differences on the DI-sorted curve); None if < 2 points."""
-        m = self.captured & np.isfinite(self.apd_ms) & np.isfinite(self.di_ms)
-        if m.sum() < 2:
-            return None
-        order = np.argsort(self.di_ms[m])
-        di, apd = self.di_ms[m][order], self.apd_ms[m][order]
-        d_di = np.diff(di)
-        ok = d_di > 0
-        if not ok.any():
-            return None
-        return float((np.diff(apd)[ok] / d_di[ok]).max())
+        return _max_slope(self.di_ms, self.apd_ms, self.captured)
+
+
+def _max_slope(di_ms: np.ndarray, apd_ms: np.ndarray,
+               captured: np.ndarray) -> Optional[float]:
+    """Max dAPD/dDI by finite differences on the DI-sorted captured
+    points; None if fewer than two usable points."""
+    m = captured & np.isfinite(apd_ms) & np.isfinite(di_ms)
+    if m.sum() < 2:
+        return None
+    order = np.argsort(di_ms[m])
+    di, apd = di_ms[m][order], apd_ms[m][order]
+    d_di = np.diff(di)
+    ok = d_di > 0
+    if not ok.any():
+        return None
+    return float((np.diff(apd)[ok] / d_di[ok]).max())
+
+
+@dataclass
+class DynamicRestitutionResult:
+    bcl_ms: np.ndarray        # [n] pacing basic cycle length per member
+    apd_ms: np.ndarray        # [n] final-beat APD (NaN = capture failure)
+    apd_prev_ms: np.ndarray   # [n] penultimate-beat APD
+    di_ms: np.ndarray         # [n] DI preceding the final beat
+    alternans_ms: np.ndarray  # [n] |APD_last - APD_prev| (beat-to-beat)
+    captured: np.ndarray      # [n] both of the last two beats captured 1:1
+    traces: np.ndarray        # [n, n_outer] probe-pixel potential
+    dt_ms: float              # ms per trace sample (= outer step)
+    n_beats: int              # pacing-train length
+
+    def slope(self) -> Optional[float]:
+        """Max dynamic-restitution slope dAPD/dDI over 1:1-captured
+        members."""
+        return _max_slope(self.di_ms, self.apd_ms, self.captured)
+
+
+def dynamic_restitution_scan(
+    model: IonicModel,
+    bcl_ms: np.ndarray,
+    n_beats: int = 8,
+    tail_ms: float = 500.0,
+    stim_v: Optional[float] = None,
+    pixel: Optional[Tuple[int, int]] = None,
+    level: float = 0.9,
+    min_apd_ms: float = 20.0,
+    kernel: str = "auto",
+    mesh=None,
+) -> DynamicRestitutionResult:
+    """Dynamic (steady-state-pacing) restitution: one PACING RATE per
+    ensemble member.
+
+    The S1-S2 protocol (restitution_scan) probes the response to a
+    single premature beat from one adapted state; the dynamic protocol —
+    the one alternans analyses are built on (ten Tusscher & Panfilov
+    2006 use both) — paces each member at a fixed basic cycle length
+    `bcl_ms[i]` for `n_beats` beats and reads the last two APDs.  A
+    steep dynamic curve (slope > 1) predicts APD alternans, and the
+    per-member beat-to-beat difference `alternans_ms` measures it
+    directly; members driven past their refractory limit drop beats
+    (2:1 block), which the capture test reports as captured=False.
+
+    All rates run as ONE compiled scan: beat k of member i fires at the
+    per-member step `pre + k*round(bcl_i/dt)` via EnsembleEvent's
+    per-member step arrays.  `bcl_ms` values are snapped to the
+    outer-step interval with a warning, like restitution_scan's
+    couplings.  Uniform suprathreshold stimulation on a small sheet is
+    the cell-level setup — use 4x4..16x16 grids.
+    """
+    import warnings
+
+    cfg = model.cfg
+    dt_ms = model.dt_per_step * cfg.dt
+    if stim_v is None:
+        stim_v = STIM_V.get(model.name, model.max_v)
+    bcl_ms = np.atleast_1d(np.asarray(bcl_ms, np.float64))
+    n = len(bcl_ms)
+    if n_beats < 2:
+        raise ValueError("dynamic restitution needs n_beats >= 2 "
+                         "(the curve reads the last TWO beats)")
+
+    bcl_steps = np.asarray(np.round(bcl_ms / dt_ms), np.int32)
+    snapped = bcl_steps * dt_ms
+    if not np.allclose(snapped, bcl_ms):
+        warnings.warn(
+            f"bcl_ms snapped to the {dt_ms} ms outer-step interval"
+        )
+        bcl_ms = snapped
+
+    h, w = cfg.height, cfg.width
+    stim_mask = np.full((h, w), stim_v, np.float32)
+    pre = max(int(round(10.0 / dt_ms)), 1)
+    beat_steps = pre + bcl_steps[None, :] * np.arange(
+        n_beats, dtype=np.int32)[:, None]          # [n_beats, n]
+    n_outer = int(beat_steps.max()) + int(round(tail_ms / dt_ms)) + 1
+    events = [
+        EnsembleEvent(step=beat_steps[k].astype(np.int32), mask=stim_mask)
+        for k in range(n_beats)
+    ]
+
+    if pixel is None:
+        pixel = (h // 2, w // 2)
+    py, px = pixel
+    pot_key = model.pot_key
+
+    stacked = stack_states([model.initial_state(s1=False)] * n)
+    _, traces = run_ensemble(
+        model, stacked, int(n_outer),
+        events=events,
+        probe=lambda s: s[pot_key][py, px],
+        kernel=kernel, mesh=mesh,
+    )
+    traces = np.asarray(traces)
+
+    apd = np.full(n, np.nan)
+    apd_prev = np.full(n, np.nan)
+    di = np.full(n, np.nan)
+    alternans = np.full(n, np.nan)
+    captured = np.zeros(n, bool)
+    for i in range(n):
+        rest = float(traces[i][pre - 1])
+
+        def beat(k):
+            """(t_up_ms, apd_ms, captured) for beat k of member i."""
+            s = int(beat_steps[k, i])
+            t_up, a = apd_at_level(traces[i], rest, dt_ms,
+                                   start=s, level=level)
+            if not np.isfinite(a):
+                return t_up, a, False
+            win = traces[i][s:]
+            thr = win.max() - level * (win.max() - rest)
+            pre_ok = s == 0 or traces[i][s - 1] < thr
+            ok = (t_up <= s * dt_ms + 2 * dt_ms and pre_ok
+                  and a >= min_apd_ms)
+            return t_up, a, ok
+
+        t_up_p, a_p, ok_p = beat(n_beats - 2)
+        t_up_l, a_l, ok_l = beat(n_beats - 1)
+        apd_prev[i], apd[i] = a_p, a_l
+        if ok_p and ok_l:
+            captured[i] = True
+            di[i] = beat_steps[n_beats - 1, i] * dt_ms - (t_up_p + a_p)
+            alternans[i] = abs(a_l - a_p)
+        else:
+            apd[i] = np.nan
+    return DynamicRestitutionResult(
+        bcl_ms=bcl_ms, apd_ms=apd, apd_prev_ms=apd_prev, di_ms=di,
+        alternans_ms=alternans, captured=captured, traces=traces,
+        dt_ms=dt_ms, n_beats=n_beats,
+    )
 
 
 def restitution_scan(

@@ -84,3 +84,51 @@ class TestRestitutionScan:
     def test_traces_shape(self, result):
         assert result.traces.shape[0] == 3
         assert result.dt_ms == 1.0
+
+
+class TestDynamicRestitutionScan:
+    """Dynamic (steady-state-pacing) protocol: one BCL per member,
+    last-two-beats readout (engine/restitution.dynamic_restitution_scan).
+    Measured fenton (dt=0.1, 8x8, 4 beats): APD 164/175/182/194 ms at
+    BCL 220/260/300/400, DI 51..206, residual short-BCL beat-to-beat
+    difference 5 ms."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+
+        cfg = SimConfig(width=8, height=8, dt=0.1, duration=10, diff=1.5)
+        return dynamic_restitution_scan(
+            Fenton4v(cfg), np.array([220.0, 260.0, 300.0, 400.0]),
+            n_beats=4, tail_ms=350.0)
+
+    def test_all_rates_capture(self, result):
+        assert result.captured.all()
+
+    def test_apd_shortens_with_rate(self, result):
+        assert (np.diff(result.apd_ms) > 0).all()   # BCL-sorted ascending
+        assert (np.diff(result.di_ms) > 0).all()
+        assert result.apd_ms[0] == pytest.approx(164.0, abs=8.0)
+        assert result.apd_ms[-1] == pytest.approx(194.0, abs=8.0)
+
+    def test_alternans_small_and_rate_dependent(self, result):
+        # fenton at these rates adapts within a few beats: beat-to-beat
+        # difference largest at the shortest BCL, ~0 at BCL 400
+        alt = result.alternans_ms
+        assert np.isfinite(alt).all()
+        assert alt[0] <= 10.0
+        assert alt[-1] <= 0.5
+
+    def test_di_consistent_with_bcl_minus_apd(self, result):
+        # DI ~= BCL - APD_prev for 1:1 capture (measured, not assumed:
+        # the upstroke-to-upstroke interval is the BCL)
+        est = result.bcl_ms - result.apd_prev_ms
+        np.testing.assert_allclose(result.di_ms, est, atol=6.0)
+
+    def test_n_beats_validation(self):
+        from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+
+        cfg = SimConfig(width=8, height=8, dt=0.1, duration=10)
+        with pytest.raises(ValueError, match="n_beats"):
+            dynamic_restitution_scan(Fenton4v(cfg), np.array([300.0]),
+                                     n_beats=1)

@@ -339,6 +339,43 @@ class TestRestitution:
         assert s > 1.0
 
 
+class TestAlternans:
+    """Dynamic-restitution alternans — the phenomenon the tp06 paper is
+    built around.  Default (steep) parameters, measured with
+    dynamic_restitution_scan (6 beats, uniform 4x4 stimulation):
+    clear APD alternans at BCL 320 ms (253.2 / 207.2 ms, Δ = 46 ms),
+    vanishing by BCL 400 (Δ 2.2 ms) and 600 (Δ 0.4 ms); at BCL <= 280 ms
+    1:1 capture is lost (2:1 block — every other beat drops)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+
+        m = TenTusscher06(SimConfig(width=4, height=4, dt=0.02,
+                                    duration=10))
+        return dynamic_restitution_scan(
+            m, np.array([280.0, 320.0, 400.0, 600.0]),
+            n_beats=6, tail_ms=450.0)
+
+    def test_two_to_one_block_at_280(self, result):
+        assert not result.captured[0]
+        # the penultimate beat DID fire (it's 2:1 block, not quiescence)
+        assert np.isfinite(result.apd_prev_ms[0])
+
+    def test_alternans_at_320(self, result):
+        assert result.captured[1]
+        assert result.alternans_ms[1] == pytest.approx(46.0, abs=12.0)
+        assert result.apd_ms[1] == pytest.approx(207.2, abs=10.0)
+        assert result.apd_prev_ms[1] == pytest.approx(253.2, abs=10.0)
+
+    def test_alternans_vanishes_at_long_bcl(self, result):
+        assert result.captured[2:].all()
+        assert result.alternans_ms[2] < 6.0
+        assert result.alternans_ms[3] < 2.0
+        # steady-state APD at 1 Hz-ish pacing near the paper's 302 ms
+        assert result.apd_ms[3] == pytest.approx(293.8, abs=8.0)
+
+
 class TestKernelSelection:
     def test_auto_picks_whole_grid_on_tpu(self, monkeypatch):
         """'auto' selects the fused whole-grid kernel for tp06 on TPU
