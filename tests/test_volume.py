@@ -17,6 +17,7 @@ from fib_tf_tpu.config import SimConfig
 from fib_tf_tpu.models.base import grid_geometry, volume_geometry
 from fib_tf_tpu.models.beeler_reuter import BeelerReuter
 from fib_tf_tpu.models.fenton import Fenton4v
+from fib_tf_tpu.models.tp06 import TenTusscher06
 from fib_tf_tpu.engine.volume import VolumeEvent, run_volume, volume_state
 from fib_tf_tpu.ops import stencil3d
 
@@ -128,9 +129,10 @@ class TestZUniformDynamics:
     @pytest.mark.parametrize("model_cls,kw", [
         (Fenton4v, {}),
         (BeelerReuter, dict(cheby=True, skip=True)),
+        (TenTusscher06, dict(dt=0.02)),
     ])
     def test_matches_2d(self, model_cls, kw):
-        cfg = SimConfig(width=24, height=24, dt=0.1, **kw)
+        cfg = SimConfig(width=24, height=24, **{"dt": 0.1, **kw})
         m = model_cls(cfg)
         g2, g3 = grid_geometry(), volume_geometry()
         s2 = {k: jnp.asarray(v) for k, v in m.initial_state().items()}
