@@ -17,6 +17,14 @@ so this runs in seconds even on CPU.
   python examples/restitution.py                       # fenton, 24 points
   python examples/restitution.py --model br --bcl 500
   python examples/restitution.py --save-plot restitution.png
+
+The dynamic (steady-state-pacing) protocol — one BCL per member, the
+readout alternans analyses are built on (ten Tusscher & Panfilov 2006)
+— is `--dynamic`: the last two APDs per rate give the beat-to-beat
+alternans directly, and dropped beats report as loss of 1:1 capture.
+
+  python examples/restitution.py --model tp06 --dynamic \
+      --ci-from 260 --ci-to 600 --members 12
 """
 
 import os as _os, sys as _sys
@@ -49,6 +57,12 @@ def main():
     ap.add_argument("--bcl", type=float, default=400.0,
                     help="S1 basic cycle length (ms)")
     ap.add_argument("--n-s1", type=int, default=2)
+    ap.add_argument("--dynamic", action="store_true",
+                    help="steady-state-pacing protocol: --ci-from/--ci-to "
+                         "become the BCL range; reports per-rate APD "
+                         "alternans and 1:1-capture loss")
+    ap.add_argument("--beats", type=int, default=8,
+                    help="pacing-train length per member (--dynamic)")
     ap.add_argument("--kernel", choices=["auto", "xla", "pallas"],
                     default="auto")
     ap.add_argument("--save-plot", default=None, metavar="PATH")
@@ -59,6 +73,10 @@ def main():
                     dt=model_cls.default_dt,
                     diff=DIFF[args.model], duration=10)
     model = model_cls(cfg)
+
+    if args.dynamic:
+        run_dynamic(args, model)
+        return
 
     coupling = np.linspace(args.ci_from, args.ci_to, args.members)
     r = restitution_scan(
@@ -86,6 +104,64 @@ def main():
     if args.save_plot:
         save_plot(args.save_plot, args.model, r)
         print(f"saved {args.save_plot}")
+
+
+def run_dynamic(args, model):
+    from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+
+    bcl = np.linspace(args.ci_from, args.ci_to, args.members)
+    r = dynamic_restitution_scan(
+        model, bcl_ms=bcl, n_beats=args.beats,
+        tail_ms=max(500.0, float(bcl.max())), kernel=args.kernel,
+    )
+    print(f"{args.model} dynamic restitution: {args.members} rates in "
+          f"[{args.ci_from:.0f}, {args.ci_to:.0f}] ms x {args.beats} "
+          "beats, one batched program")
+    print(f"{'BCL (ms)':>9} {'DI (ms)':>8} {'APD90 (ms)':>10} "
+          f"{'alternans':>9}")
+    for b, di, apd, alt, cap in zip(r.bcl_ms, r.di_ms, r.apd_ms,
+                                    r.alternans_ms, r.captured):
+        if cap:
+            flag = "  <- alternans" if alt > 10.0 else ""
+            print(f"{b:9.1f} {di:8.1f} {apd:10.1f} {alt:9.1f}{flag}")
+        else:
+            print(f"{b:9.1f} {'—':>8} {'no 1:1 capture':>14}")
+    s = r.slope()
+    if s is not None:
+        print(f"max dynamic slope dAPD/dDI: {s:.2f}"
+              + ("  (>1: alternans-prone)" if s > 1 else ""))
+    if args.save_plot:
+        save_dynamic_plot(args.save_plot, args.model, r)
+        print(f"saved {args.save_plot}")
+
+
+def save_dynamic_plot(path, name, r):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax, ax2) = plt.subplots(
+        1, 2, figsize=(8.4, 3.6), constrained_layout=True)
+    m = r.captured
+    # last two beats per rate: the split marks alternans
+    ax.plot(r.bcl_ms[m], r.apd_prev_ms[m], "s-", color="#9a9892",
+            ms=4, lw=1.1, label="beat n-1")
+    ax.plot(r.bcl_ms[m], r.apd_ms[m], "o-", color="#3d6fd6", ms=4,
+            lw=1.4, label="beat n")
+    ax.set_xlabel("basic cycle length (ms)")
+    ax.set_ylabel("APD90 (ms)")
+    ax.set_title(f"{name} dynamic restitution", fontsize=10)
+    ax.legend(fontsize=8, frameon=False)
+    ax2.plot(r.bcl_ms[m], r.alternans_ms[m], "o-", color="#c24f3f",
+             ms=4, lw=1.4)
+    ax2.set_xlabel("basic cycle length (ms)")
+    ax2.set_ylabel("|ΔAPD| beat-to-beat (ms)")
+    ax2.set_title("APD alternans", fontsize=10)
+    for a in (ax, ax2):
+        for s in ("top", "right"):
+            a.spines[s].set_visible(False)
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
 
 
 def save_plot(path, name, r):

@@ -118,6 +118,15 @@ class TestExamples:
         assert "S1 APD90" in out
         assert os.path.exists(tmp_path / "rest.png")
 
+    def test_restitution_dynamic(self, tmp_path):
+        out = run_example(tmp_path, "restitution.py",
+                          "--dynamic", "--size", "8", "--members", "3",
+                          "--ci-from", "240", "--ci-to", "360",
+                          "--beats", "3", "--save-plot", "dyn.png")
+        assert "dynamic restitution: 3 rates" in out
+        assert "alternans" in out
+        assert os.path.exists(tmp_path / "dyn.png")
+
     def test_tip_trajectory(self, tmp_path):
         # synthetic one-rotor movie: cos(theta0 - omega t)
         y, x = np.mgrid[0:32, 0:32]
