@@ -309,6 +309,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "beat-to-beat alternans per rate")
     rs.add_argument("--beats", type=int, default=8,
                     help="pacing-train length per member (--dynamic)")
+    rs.add_argument("--cv", action="store_true",
+                    help="CV-restitution protocol instead of S1-S2 APD: "
+                         "conducting strips (8 x max(128, --size)) with "
+                         "left-edge column stimuli, reporting the S2 "
+                         "wave's conduction velocity vs the DI it "
+                         "propagates into")
     rs.add_argument("--kernel", choices=["auto", "xla", "pallas"],
                     default="auto")
     rs.add_argument("--json", action="store_true",
@@ -850,7 +856,13 @@ def cmd_restitution(args) -> int:
         duration=10,
         ultra_slow=(args.model == "court_ultra"),
     )
+    if args.cv and args.dynamic:
+        raise SystemExit("--cv and --dynamic are separate protocols")
+    if args.cv:
+        cfg = cfg.replace(width=max(128, args.size), height=8)
     model = model_cls(cfg)
+    if args.cv:
+        return _cmd_restitution_cv(args, model)
     if args.dynamic:
         return _cmd_restitution_dynamic(args, model)
     coupling = np.linspace(args.ci_from, args.ci_to, args.members)
@@ -882,6 +894,42 @@ def cmd_restitution(args) -> int:
             print(f"{ci:8.1f} {'—':>8} {'no capture':>10}")
     if s is not None:
         print(f"max slope dAPD/dDI: {s:.2f}")
+    return 0
+
+
+def _cmd_restitution_cv(args, model) -> int:
+    """`restitution --cv`: conduction-velocity restitution on conducting
+    strips (engine/restitution.cv_restitution_scan) — the dynamic CV
+    curve the reference's static diff_conduction_velcoty.dat
+    calibration never measured."""
+    from fib_tf_tpu.engine.restitution import cv_restitution_scan
+
+    coupling = np.linspace(args.ci_from, args.ci_to, args.members)
+    r = cv_restitution_scan(
+        model, coupling_ms=coupling, bcl_ms=args.bcl, n_s1=args.n_s1,
+        tail_ms=300.0, kernel=args.kernel,
+    )
+    if args.json:
+        print(json.dumps({
+            "model": args.model,
+            "protocol": "cv",
+            "cv_s1": None if not np.isfinite(r.cv_s1) else float(r.cv_s1),
+            "coupling_ms": [float(c) for c in r.coupling_ms],
+            "di_ms": [None if not np.isfinite(d) else float(d)
+                      for d in r.di_ms],
+            "cv": [None if not np.isfinite(v) else float(v)
+                   for v in r.cv],
+            "captured": [bool(c) for c in r.captured],
+        }))
+        return 0
+    print(f"S1 CV: {r.cv_s1:.3f} cells/ms")
+    print(f"{'CI (ms)':>8} {'DI (ms)':>8} {'CV (cells/ms)':>13}")
+    for ci, di, v, cap in zip(r.coupling_ms, r.di_ms, r.cv, r.captured):
+        if cap:
+            di_s = f"{di:8.1f}" if np.isfinite(di) else f"{'?':>8}"
+            print(f"{ci:8.1f} {di_s} {v:13.3f}")
+        else:
+            print(f"{ci:8.1f} {'—':>8} {'block':>13}")
     return 0
 
 

@@ -231,6 +231,159 @@ def dynamic_restitution_scan(
     )
 
 
+def _cross_time(tr: np.ndarray, thr: float, dt_ms: float,
+                start: int = 0) -> float:
+    """Time (ms, from trace[0]) of the first RISING crossing of `thr`
+    in trace[start:] (previous sample below, current at/above — a
+    genuine wavefront arrival, not an already-depolarized plateau),
+    linearly interpolated between samples; NaN if none."""
+    w = tr[start:]
+    above = w >= thr
+    rising = above[1:] & ~above[:-1]
+    if not rising.any():
+        return float("nan")
+    i = int(np.argmax(rising)) + 1
+    v0, v1 = w[i - 1], w[i]
+    frac = 0.0 if v1 == v0 else float((thr - v0) / (v1 - v0))
+    return float((start + i - 1 + frac) * dt_ms)
+
+
+@dataclass
+class CVRestitutionResult:
+    coupling_ms: np.ndarray  # [n] S2 coupling interval (last S1 -> S2)
+    di_ms: np.ndarray        # [n] diastolic interval at the near site
+    cv: np.ndarray           # [n] S2 conduction velocity (cells/ms)
+    cv_s1: float             # S1 conduction velocity (cells/ms)
+    captured: np.ndarray     # [n] S2 propagated across both sites
+    traces: np.ndarray       # [n, n_outer, 2] potential at the two sites
+    dt_ms: float
+
+
+def cv_restitution_scan(
+    model: IonicModel,
+    coupling_ms: np.ndarray,
+    bcl_ms: float = 400.0,
+    n_s1: int = 1,
+    tail_ms: float = 300.0,
+    stim_v: Optional[float] = None,
+    stim_cols: int = 4,
+    sites: Optional[Tuple[int, int]] = None,
+    level: float = 0.9,
+    kernel: str = "auto",
+    mesh=None,
+) -> CVRestitutionResult:
+    """Conduction-velocity restitution: CV of a premature (S2) wave vs
+    the diastolic interval it propagates into.
+
+    CV restitution is the second half of the wavebreak story: alternans
+    needs a steep APD curve, but conduction BLOCK — the actual break —
+    happens where a premature wavefront meets tissue whose DI is inside
+    the CV curve's steep collapse.  The reference's CV machinery
+    (diff_conduction_velcoty.dat) is a static dt/diff calibration; this
+    measures the dynamic curve, one S2 coupling per ensemble member.
+
+    Unlike the APD protocols (uniform field stimulation, no
+    propagation), each member here is a genuine conducting strip: S1
+    (and the per-member S2) are `stim_cols`-wide column stimuli at the
+    left edge, and upstroke arrival is read at two sites `sites =
+    (xA, xB)` on the mid row (defaults W/3 and 2W/3).  CV = (xB - xA) /
+    (t_B - t_A) in cells/ms, with sub-sample linear interpolation of
+    the threshold crossing; DI at the near site = S2 arrival minus the
+    end of the local S1 APD (apd_at_level).  Members whose S2 falls
+    into refractory tissue fail to reach both sites -> captured=False
+    (the conduction-block edge of the curve).  Use a short strip
+    (8 x 128..256); `coupling_ms` snaps to the outer-step interval.
+    """
+    import warnings
+
+    cfg = model.cfg
+    dt_ms = model.dt_per_step * cfg.dt
+    if stim_v is None:
+        stim_v = STIM_V.get(model.name, model.max_v)
+    coupling_ms = np.atleast_1d(np.asarray(coupling_ms, np.float64))
+    n = len(coupling_ms)
+
+    def to_steps(t_ms):
+        return np.asarray(np.round(np.asarray(t_ms) / dt_ms), np.int32)
+
+    snapped = to_steps(coupling_ms) * dt_ms
+    if not np.allclose(snapped, coupling_ms):
+        warnings.warn(
+            f"coupling_ms snapped to the {dt_ms} ms outer-step interval"
+        )
+        coupling_ms = snapped
+
+    h, w = cfg.height, cfg.width
+    if sites is None:
+        sites = (w // 3, 2 * w // 3)
+    x_a, x_b = sites
+    if not (stim_cols < x_a < x_b < w):
+        raise ValueError(f"sites {sites} must satisfy "
+                         f"stim_cols < xA < xB < width ({w})")
+    mask = np.full((h, w), model.min_v, np.float32)
+    mask[:, :stim_cols] = stim_v
+
+    pre = max(int(round(10.0 / dt_ms)), 1)
+    s1_steps = pre + to_steps(bcl_ms) * np.arange(n_s1, dtype=np.int32)
+    last_s1 = int(s1_steps[-1])
+    s2_steps = last_s1 + to_steps(coupling_ms)
+    n_outer = int(s2_steps.max()) + to_steps(tail_ms) + 1
+
+    events = [
+        EnsembleEvent(step=int(s), mask=mask) for s in s1_steps
+    ] + [EnsembleEvent(step=s2_steps.astype(np.int32), mask=mask)]
+
+    y = h // 2
+    pot_key = model.pot_key
+    stacked = stack_states([model.initial_state(s1=False)] * n)
+    import jax.numpy as jnp
+    _, traces = run_ensemble(
+        model, stacked, int(n_outer),
+        events=events,
+        probe=lambda s: jnp.stack([s[pot_key][y, x_a],
+                                   s[pot_key][y, x_b]]),
+        kernel=kernel, mesh=mesh,
+    )
+    traces = np.asarray(traces)  # [n, n_outer, 2]
+
+    di = np.full(n, np.nan)
+    cv = np.full(n, np.nan)
+    captured = np.zeros(n, bool)
+    cv_s1 = float("nan")
+    dist = float(x_b - x_a)
+    for i in range(n):
+        tr_a, tr_b = traces[i, :, 0], traces[i, :, 1]
+        rest = float(tr_a[pre - 1])
+        s2 = int(s2_steps[i])
+        # thresholds from the S1 beat's local amplitude (mid-level)
+        pk_a = float(tr_a[last_s1:s2].max()) if s2 > last_s1 else rest
+        pk_b = float(tr_b[last_s1:s2].max())
+        thr_a = rest + 0.5 * (pk_a - rest)
+        thr_b = rest + 0.5 * (pk_b - rest)
+        if i == 0 and pk_a > rest and pk_b > rest:
+            ta1 = _cross_time(tr_a, thr_a, dt_ms, start=last_s1)
+            tb1 = _cross_time(tr_b, thr_b, dt_ms, start=last_s1)
+            if np.isfinite(ta1) and np.isfinite(tb1) and tb1 > ta1:
+                cv_s1 = dist / (tb1 - ta1)
+        # S1 APD end at the near site, measured in the PRE-S2 window so
+        # the S2 beat cannot capture the peak/repolarization search
+        t_up_a1, apd_a = apd_at_level(tr_a[:s2], rest, dt_ms,
+                                      start=last_s1, level=level)
+        # S2 arrivals
+        ta2 = _cross_time(tr_a, thr_a, dt_ms, start=s2)
+        tb2 = _cross_time(tr_b, thr_b, dt_ms, start=s2)
+        if not (np.isfinite(ta2) and np.isfinite(tb2)) or tb2 <= ta2:
+            continue  # block before/between the sites: no capture
+        captured[i] = True
+        cv[i] = dist / (tb2 - ta2)
+        if np.isfinite(apd_a) and np.isfinite(t_up_a1):
+            di[i] = ta2 - (t_up_a1 + apd_a)
+    return CVRestitutionResult(
+        coupling_ms=coupling_ms, di_ms=di, cv=cv, cv_s1=cv_s1,
+        captured=captured, traces=traces, dt_ms=dt_ms,
+    )
+
+
 def restitution_scan(
     model: IonicModel,
     coupling_ms: np.ndarray,

@@ -132,3 +132,78 @@ class TestDynamicRestitutionScan:
         with pytest.raises(ValueError, match="n_beats"):
             dynamic_restitution_scan(Fenton4v(cfg), np.array([300.0]),
                                      n_beats=1)
+
+
+class TestCVRestitutionScan:
+    """CV restitution (engine/restitution.cv_restitution_scan): the S2
+    wave's conduction velocity vs the diastolic interval it propagates
+    into, on genuine conducting strips (left-edge column stimuli), one
+    coupling per member.
+
+    Measured BR (dt=0.1, diff=0.809, cheby+skip, 8x128 strip, BCL 500):
+    S1 CV 1.535 cells/ms; the classic collapse toward the refractory
+    edge — CV 1.306 at DI 34.8, 1.426 at 48.7, 1.499 at 67.1, plateau
+    1.542; conduction block at CI 210."""
+
+    @pytest.fixture(scope="class")
+    def br(self):
+        from fib_tf_tpu.engine.restitution import cv_restitution_scan
+        from fib_tf_tpu.models import BeelerReuter
+
+        cfg = SimConfig(width=128, height=8, dt=0.1, duration=10,
+                        diff=0.809, cheby=True, skip=True)
+        return cv_restitution_scan(
+            BeelerReuter(cfg), np.array([210.0, 230.0, 250.0, 270.0,
+                                         400.0]),
+            bcl_ms=500.0, n_s1=1, tail_ms=250.0)
+
+    def test_block_at_refractory_coupling(self, br):
+        assert not br.captured[0]
+        assert np.isnan(br.cv[0])
+
+    def test_cv_collapses_toward_block(self, br):
+        assert br.captured[1:].all()
+        cv = br.cv[1:]
+        assert (np.diff(cv) > 0).all()       # monotone recovery with DI
+        assert cv[0] == pytest.approx(1.306, abs=0.06)
+        # >= 10% depression at DI ~35 vs the plateau
+        assert cv[0] < 0.90 * cv[-1]
+
+    def test_plateau_matches_s1_cv(self, br):
+        assert br.cv_s1 == pytest.approx(1.535, abs=0.05)
+        assert br.cv[-1] == pytest.approx(br.cv_s1, rel=0.02)
+
+    def test_di_monotone_in_coupling(self, br):
+        di = br.di_ms[1:]
+        assert np.isfinite(di).all()
+        assert (np.diff(di) > 0).all()
+
+    def test_traces_shape(self, br):
+        assert br.traces.ndim == 3 and br.traces.shape[2] == 2
+
+    def test_sites_validation(self):
+        from fib_tf_tpu.engine.restitution import cv_restitution_scan
+
+        cfg = SimConfig(width=64, height=8, dt=0.1, duration=10)
+        with pytest.raises(ValueError, match="sites"):
+            cv_restitution_scan(Fenton4v(cfg), np.array([300.0]),
+                                sites=(60, 40))
+
+    def test_fenton_strip(self):
+        """Fenton: block at CI 150, capture from 225, plateau CV equals
+        the S1 wave's 3.32 cells/ms at diff=1.5 (this parameter set
+        shows a mildly SUPERNORMAL short-DI limb — the premature front
+        propagates into incompletely repolarized, still-excitable
+        tissue — so only the plateau and the block edge are pinned)."""
+        from fib_tf_tpu.engine.restitution import cv_restitution_scan
+
+        cfg = SimConfig(width=128, height=8, dt=0.1, duration=10,
+                        diff=1.5)
+        r = cv_restitution_scan(
+            Fenton4v(cfg), np.array([150.0, 225.0, 400.0]),
+            bcl_ms=400.0, n_s1=1, tail_ms=250.0)
+        assert not r.captured[0]
+        assert r.captured[1:].all()
+        assert r.cv_s1 == pytest.approx(3.32, abs=0.10)
+        assert r.cv[2] == pytest.approx(r.cv_s1, rel=0.02)
+        assert r.di_ms[1] == pytest.approx(23.1, abs=5.0)
