@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from fib_tf_tpu import cli
 
@@ -265,3 +266,32 @@ class TestRestitution:
         assert len(rec["apd_ms"]) == 2
         assert all(rec["captured"])
         assert 150.0 <= rec["apd_s1_ms"] <= 230.0
+
+    def test_restitution_dynamic_json(self, capsys):
+        rc = cli.main([
+            "restitution", "--model", "fenton", "--size", "8",
+            "--members", "2", "--ci-from", "260", "--ci-to", "360",
+            "--dynamic", "--beats", "3", "--json",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["protocol"] == "dynamic"
+        assert len(rec["apd_ms"]) == 2 and len(rec["alternans_ms"]) == 2
+        assert all(rec["captured"])
+
+    def test_restitution_cv_json(self, capsys):
+        rc = cli.main([
+            "restitution", "--model", "fenton", "--cv",
+            "--members", "2", "--ci-from", "250", "--ci-to", "400",
+            "--bcl", "400", "--n-s1", "1", "--json",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["protocol"] == "cv"
+        assert rec["cv_s1"] is not None and rec["cv_s1"] > 0
+        assert all(rec["captured"])
+        assert all(v is not None for v in rec["cv"])
+
+    def test_restitution_cv_dynamic_conflict(self):
+        with pytest.raises(SystemExit):
+            cli.main(["restitution", "--cv", "--dynamic"])
