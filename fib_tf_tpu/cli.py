@@ -206,6 +206,19 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--json", action="store_true")
     df.add_argument("--save-plot", default=None, metavar="PATH")
 
+    am = sub.add_parser(
+        "apdmap",
+        help="per-pixel APD + alternans maps (spatially discordant "
+             "alternans) from a saved cube.npy movie",
+    )
+    am.add_argument("path")
+    am.add_argument("--frame-ms", type=float, default=10.0,
+                    help="movie cadence (ms/frame)")
+    am.add_argument("--level", type=float, default=0.9,
+                    help="repolarization level (0.9 = APD90)")
+    am.add_argument("--json", action="store_true")
+    am.add_argument("--save-plot", default=None, metavar="PATH")
+
     s2 = sub.add_parser(
         "s2scan",
         help="S2-timing vulnerable-window scan as one batched ensemble",
@@ -700,6 +713,47 @@ def cmd_dfmap(args) -> int:
     return 0
 
 
+def cmd_apdmap(args) -> int:
+    """Per-pixel APD/alternans maps of a saved movie (utils/apd.py) —
+    the spatial alternans quantification (discordant alternans is the
+    standard wavebreak precursor); the reference had no per-pixel
+    quantification at all."""
+    from fib_tf_tpu.utils.apd import apd_map, plot_apd_map
+
+    cube = np.load(args.path)
+    r = apd_map(cube, frame_ms=args.frame_ms, level=args.level)
+    disc = r.discordance
+    if args.json:
+        print(json.dumps({
+            "frames": int(cube.shape[0]),
+            "valid_fraction": round(float(r.valid.mean()), 3),
+            "median_apd_ms": None if not r.valid.any() else round(
+                float(np.nanmedian(r.apd_last[r.valid])), 2),
+            "max_alternans_ms": None if not r.valid.any() else round(
+                float(np.nanmax(r.alternans)), 2),
+            "median_alternans_ms": None if not r.valid.any() else round(
+                float(np.nanmedian(r.alternans[r.valid])), 2),
+            "discordance": None if disc is None else round(disc, 3),
+        }))
+    else:
+        if r.valid.any():
+            print(f"{args.path}: median APD{int(args.level * 100)} "
+                  f"{np.nanmedian(r.apd_last[r.valid]):.1f} ms, "
+                  f"alternans median "
+                  f"{np.nanmedian(r.alternans[r.valid]):.1f} / max "
+                  f"{np.nanmax(r.alternans):.1f} ms, "
+                  f"{r.valid.mean() * 100:.0f}% of pixels with >= 2 "
+                  "beats"
+                  + (f", discordance {disc:.2f}" if disc is not None
+                     else ""))
+        else:
+            print(f"{args.path}: no pixel saw two complete beats")
+    if args.save_plot:
+        plot_apd_map(args.save_plot, r)
+        print(f"saved {args.save_plot}")
+    return 0
+
+
 def cmd_s2scan(args) -> int:
     """The vulnerable-window experiment as one batched device program
     (engine/ensemble.s2_scan; the reference needed one process per S2
@@ -989,6 +1043,7 @@ def main(argv=None) -> int:
         "replay": cmd_replay,
         "tips": cmd_tips,
         "dfmap": cmd_dfmap,
+        "apdmap": cmd_apdmap,
         "filaments": cmd_filaments,
         "s2scan": cmd_s2scan,
         "volume": cmd_volume,
