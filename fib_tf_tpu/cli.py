@@ -721,6 +721,11 @@ def cmd_apdmap(args) -> int:
     from fib_tf_tpu.utils.apd import apd_map, plot_apd_map
 
     cube = np.load(args.path)
+    if cube.ndim == 4:
+        # [T, D, H, W] volume movie: per-cell APD is slice-local, so
+        # stack the z-slices vertically (the maps read as D tiles)
+        t, d, h, w = cube.shape
+        cube = cube.reshape(t, d * h, w)
     r = apd_map(cube, frame_ms=args.frame_ms, level=args.level)
     disc = r.discordance
     if args.json:

@@ -169,6 +169,20 @@ class TestCli:
         assert rec["max_alternans_ms"] == pytest.approx(20.0, abs=0.5)
         assert rec["discordance"] == pytest.approx(0.5, abs=0.01)
 
+    def test_apdmap_volume_movie(self, tmp_path, capsys):
+        """[T, D, H, W] volume movies stack z-slices for the maps."""
+        from fib_tf_tpu import cli
+
+        mv = _square_movie()
+        vol = np.stack([mv, mv], axis=1)   # [T, 2, 4, 6]
+        p = tmp_path / "vol.npy"
+        np.save(p, vol)
+        rc = cli.main(["apdmap", str(p), "--frame-ms", "1", "--json"])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["valid_fraction"] == 1.0
+        assert rec["max_alternans_ms"] == pytest.approx(20.0, abs=0.5)
+
     def test_apdmap_plot(self, tmp_path, capsys):
         from fib_tf_tpu import cli
 
