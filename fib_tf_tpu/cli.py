@@ -508,14 +508,20 @@ def cmd_warmup(args) -> int:
             timed("whole-grid kernel",
                   lambda: float(jnp.sum(chunk(state)[model.pot_key])))
         if "block" in fams:
-            from fib_tf_tpu.parallel.sharding import make_mesh
-            from fib_tf_tpu.parallel.spmd import make_spmd_chunk
+            if name in ("tp06", "tentusscher"):
+                print("  spmd block kernel: skipped (Mosaic compile "
+                      "diverges for the 19-plane block body — sharded "
+                      "tp06 runs wide-halo XLA, docs/OPTIMIZATIONS.md "
+                      "§8)", flush=True)
+            else:
+                from fib_tf_tpu.parallel.sharding import make_mesh
+                from fib_tf_tpu.parallel.spmd import make_spmd_chunk
 
-            mesh = make_mesh(n_devices=1)
-            chunk_b = make_spmd_chunk(model, mesh, length=2,
-                                      wide_halo=True, use_kernel=True)
-            timed("spmd block kernel", lambda: float(
-                jnp.sum(chunk_b(state)[0][model.pot_key])))
+                mesh = make_mesh(n_devices=1)
+                chunk_b = make_spmd_chunk(model, mesh, length=2,
+                                          wide_halo=True, use_kernel=True)
+                timed("spmd block kernel", lambda: float(
+                    jnp.sum(chunk_b(state)[0][model.pot_key])))
         if "volume" in fams:
             if name not in ("fenton", "br", "beeler_reuter", "ms"):
                 print("  volume kernel: skipped (the fused volume "

@@ -706,11 +706,28 @@ class Simulation:
         if self._mesh is None or not self._wide_halo:
             return False
         if self.cfg.kernel == "pallas":
+            import jax as _jax
+
+            if (_jax.default_backend() == "tpu"
+                    and self.model.name == "tp06"):
+                # fail fast instead of letting the user sit through a
+                # Mosaic compile that never returns (see below)
+                raise ValueError(
+                    "the tp06 per-shard block kernel's Mosaic compile "
+                    "diverges (docs/OPTIMIZATIONS.md §8); use "
+                    "kernel='auto'/'xla' on the mesh (wide-halo XLA, "
+                    "measured 103.2 us/substep)"
+                )
             return True
         if self.cfg.kernel != "auto":
             return False
         import jax as _jax
 
+        # tp06 is deliberately absent: its per-shard block kernel's
+        # Mosaic compile DIVERGED (killed at 126 min vs 26 min for the
+        # whole-grid body — OPTIMIZATIONS §8), so sharded tp06 runs
+        # wide-halo XLA (measured 103.2 us/substep on a 1-device mesh,
+        # still ahead of single-chip XLA's 140.0)
         return (
             _jax.default_backend() == "tpu"
             and self.model.name in ("fenton", "br", "court", "court_ultra",

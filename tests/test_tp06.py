@@ -393,6 +393,28 @@ class TestKernelSelection:
             width=2048, height=2048, dt=0.02, duration=1))).define()
         assert not big._use_pallas()
 
+    def test_mesh_auto_stays_wide_xla(self, monkeypatch):
+        """Sharded tp06 does NOT whitelist the per-shard block kernel
+        (its Mosaic compile diverges — OPTIMIZATIONS §8): mesh 'auto'
+        runs wide-halo XLA (measured 103.2 us/substep on a 1-device
+        mesh), and forcing kernel='pallas' raises instead of hanging
+        in the compiler."""
+        from jax.sharding import Mesh
+
+        from fib_tf_tpu.engine import Simulation
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("rows",))
+        cfg = SimConfig(width=128, height=128, dt=0.02, duration=1)
+        sim = Simulation(TenTusscher06(cfg), mesh=mesh,
+                         wide_halo=True).define()
+        assert not sim._spmd_use_kernel()
+        forced = Simulation(
+            TenTusscher06(cfg.replace(kernel="pallas")), mesh=mesh,
+            wide_halo=True).define()
+        with pytest.raises(ValueError, match="diverges"):
+            forced._spmd_use_kernel()
+
 
 class TestConduction:
     def test_plane_wave_cv(self):
