@@ -103,7 +103,10 @@ def _ensemble_use_kernel(model, kernel: str, per_member_phase: bool,
     if jax.default_backend() != "tpu":
         return False
     if model.name not in ("fenton", "br", "court", "court_ultra", "ms",
-                          "lr1"):
+                          "lr1", "tp06"):
+        # (tp06 measured 5.85 vs 9.14 us/substep/member vmapped-XLA at
+        # 16 x 128² — the member-axis kernel compiles fine even though
+        # the per-shard BLOCK kernel diverges, OPTIMIZATIONS §8/§13)
         return False
     if getattr(model.cfg, "table", False):
         return False

@@ -393,6 +393,18 @@ class TestKernelSelection:
             width=2048, height=2048, dt=0.02, duration=1))).define()
         assert not big._use_pallas()
 
+    def test_auto_picks_ensemble_kernel_on_tpu(self, monkeypatch):
+        """Ensemble 'auto' vmaps the whole-grid kernel for tp06
+        (measured 5.85 vs 9.14 us/substep/member at 16 x 128²,
+        tools/ensemble_bench.py)."""
+        from fib_tf_tpu.engine.ensemble import _ensemble_use_kernel
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        model = TenTusscher06(SimConfig(width=128, height=128, dt=0.02,
+                                        duration=1))
+        assert _ensemble_use_kernel(model, "auto",
+                                    per_member_phase=False)
+
     def test_mesh_auto_stays_wide_xla(self, monkeypatch):
         """Sharded tp06 does NOT whitelist the per-shard block kernel
         (its Mosaic compile diverges — OPTIMIZATIONS §8): mesh 'auto'
