@@ -130,6 +130,12 @@ class TestRotorProbe:
         with pytest.raises(ValueError, match="fast_slow_ratio"):
             sim.simulate()
 
-    def test_mesh_shape_rejected_in_config(self):
-        with pytest.raises(ValueError, match="single-chip"):
-            SimConfig(rotor_probe=True, mesh_shape=(8,))
+    def test_mesh_mode_contract_in_config(self):
+        """r4: the rotor census shards with the plane on the shard_map
+        mesh ('auto'/'spmd'); only the GSPMD path (no partitioned delay
+        ring) still rejects."""
+        cfg = SimConfig(rotor_probe=True, mesh_shape=(8,))
+        assert cfg.mesh_mode == "auto"
+        with pytest.raises(ValueError, match="GSPMD"):
+            SimConfig(rotor_probe=True, mesh_shape=(8,),
+                      mesh_mode="gspmd")
