@@ -13,9 +13,18 @@ Initiation is the robust cut-the-wave protocol (as in lr1_spiral.py):
 an S1 plane wave is advanced to mid-sheet, the lower half of EVERY
 state plane is reset to the paper's initial conditions (cutting the
 wavefront and leaving fully recovered tissue below), and the free end
-curls into a rotor.  The full wavelength (APD90 302 ms x CV) exceeds
-the sheet, but the rotor's own short-DI dynamics shorten APD near the
-core — the same mechanism that sustains the paper's Fig 7 reentry.
+curls into a rotor.
+
+The default diff=0.15 is MEASURED, not arbitrary: at the zoo's
+standard 0.809 the wavelength (APD90 302 ms x CV 2.22 cells/ms ~ 660
+cells) exceeds the 512 sheet and the free end escapes off the edge
+before completing a turn (active fraction -> 0 by ~500 ms, real-TPU
+runs at 0.809 and 0.3 both extinguish).  At 0.15 (CV ~ 0.96) a single
++1 rotor sustains: tracked 58/60 frames over 1500 ms, meander
+20 x 111 cells, period ~375 ms, rotor-shortened median APD 220 ms
+(vs 302 paced) with 22 ms median APD alternans and 13% discordant
+area (`tips` / `dfmap` / `apdmap` on the saved cube) — the steep-
+restitution regime the paper's breakup analysis studies.
 
 The default kernel is 'auto': with no parameter knobs baked into the
 kernel body, one Mosaic compile per grid size serves every run of this
@@ -54,9 +63,12 @@ def main():
                     help="sim time after the cut (ms); the paper's "
                          "rotation period is ~265 ms, so >=1000 shows "
                          "several turns")
-    ap.add_argument("--diff", type=float, default=0.809,
-                    help="diffusion coefficient (cells^2/ms); lower "
-                         "slows CV and shrinks the rotor")
+    ap.add_argument("--diff", type=float, default=0.15,
+                    help="diffusion coefficient (cells^2/ms); the "
+                         "default 0.15 fits the rotor on a 512 sheet "
+                         "(at 0.809 the ~660-cell wavelength escapes "
+                         "before the first turn — measured, see "
+                         "docstring); lower shrinks the rotor further")
     ap.add_argument("--cell-type", default="epi",
                     choices=["epi", "endo", "m"])
     ap.add_argument("--cut-at", type=float, default=None,
