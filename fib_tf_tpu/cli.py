@@ -508,11 +508,15 @@ def cmd_warmup(args) -> int:
             timed("whole-grid kernel",
                   lambda: float(jnp.sum(chunk(state)[model.pot_key])))
         if "block" in fams:
-            if name in ("tp06", "tentusscher"):
-                print("  spmd block kernel: skipped (Mosaic compile "
-                      "diverges for the 19-plane block body — sharded "
-                      "tp06 runs wide-halo XLA, docs/OPTIMIZATIONS.md "
-                      "§8)", flush=True)
+            from fib_tf_tpu.engine.simulation import Simulation
+
+            if model.name not in Simulation.SPMD_KERNEL_MODELS:
+                # the engine's sharded-kernel whitelist is the single
+                # source of truth (tp06's block body compile-diverges)
+                print("  spmd block kernel: skipped (not on the "
+                      "engine's sharded-kernel whitelist — sharded "
+                      f"{model.name} runs wide-halo XLA, "
+                      "docs/OPTIMIZATIONS.md §8)", flush=True)
             else:
                 from fib_tf_tpu.parallel.sharding import make_mesh
                 from fib_tf_tpu.parallel.spmd import make_spmd_chunk

@@ -82,6 +82,23 @@ class RestitutionResult:
         return _max_slope(self.di_ms, self.apd_ms, self.captured)
 
 
+def _snap_to_steps(values_ms: np.ndarray, dt_ms: float,
+                   name: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Snap interval values to the outer-step grid, warning once if any
+    moved.  Returns (snapped_ms, steps); shared by all three protocols
+    so the tolerance/warning stays in one place."""
+    import warnings
+
+    values_ms = np.atleast_1d(np.asarray(values_ms, np.float64))
+    steps = np.asarray(np.round(values_ms / dt_ms), np.int32)
+    snapped = steps * dt_ms
+    if not np.allclose(snapped, values_ms):
+        warnings.warn(
+            f"{name} snapped to the {dt_ms} ms outer-step interval"
+        )
+    return snapped, steps
+
+
 def _max_slope(di_ms: np.ndarray, apd_ms: np.ndarray,
                captured: np.ndarray) -> Optional[float]:
     """Max dAPD/dDI by finite differences on the DI-sorted captured
@@ -148,25 +165,15 @@ def dynamic_restitution_scan(
     couplings.  Uniform suprathreshold stimulation on a small sheet is
     the cell-level setup — use 4x4..16x16 grids.
     """
-    import warnings
-
     cfg = model.cfg
     dt_ms = model.dt_per_step * cfg.dt
     if stim_v is None:
         stim_v = STIM_V.get(model.name, model.max_v)
-    bcl_ms = np.atleast_1d(np.asarray(bcl_ms, np.float64))
-    n = len(bcl_ms)
     if n_beats < 2:
         raise ValueError("dynamic restitution needs n_beats >= 2 "
                          "(the curve reads the last TWO beats)")
-
-    bcl_steps = np.asarray(np.round(bcl_ms / dt_ms), np.int32)
-    snapped = bcl_steps * dt_ms
-    if not np.allclose(snapped, bcl_ms):
-        warnings.warn(
-            f"bcl_ms snapped to the {dt_ms} ms outer-step interval"
-        )
-        bcl_ms = snapped
+    bcl_ms, bcl_steps = _snap_to_steps(bcl_ms, dt_ms, "bcl_ms")
+    n = len(bcl_ms)
 
     h, w = cfg.height, cfg.width
     stim_mask = np.full((h, w), stim_v, np.float32)
@@ -202,13 +209,19 @@ def dynamic_restitution_scan(
         rest = float(traces[i][pre - 1])
 
         def beat(k):
-            """(t_up_ms, apd_ms, captured) for beat k of member i."""
+            """(t_up_ms, apd_ms, captured) for beat k of member i.  The
+            search window is BOUNDED at the next stimulus so a later
+            beat with a higher peak can never capture this beat's
+            peak/repolarization search (two-beat-spanning APDs were the
+            failure mode for odd n_beats before this bound)."""
             s = int(beat_steps[k, i])
-            t_up, a = apd_at_level(traces[i], rest, dt_ms,
-                                   start=s, level=level)
+            end = (int(beat_steps[k + 1, i]) if k + 1 < n_beats
+                   else traces.shape[1])
+            tr = traces[i][:end]
+            t_up, a = apd_at_level(tr, rest, dt_ms, start=s, level=level)
             if not np.isfinite(a):
                 return t_up, a, False
-            win = traces[i][s:]
+            win = tr[s:]
             thr = win.max() - level * (win.max() - rest)
             pre_ok = s == 0 or traces[i][s - 1] < thr
             ok = (t_up <= s * dt_ms + 2 * dt_ms and pre_ok
@@ -294,24 +307,16 @@ def cv_restitution_scan(
     (the conduction-block edge of the curve).  Use a short strip
     (8 x 128..256); `coupling_ms` snaps to the outer-step interval.
     """
-    import warnings
-
     cfg = model.cfg
     dt_ms = model.dt_per_step * cfg.dt
     if stim_v is None:
         stim_v = STIM_V.get(model.name, model.max_v)
-    coupling_ms = np.atleast_1d(np.asarray(coupling_ms, np.float64))
+    coupling_ms, coupling_steps = _snap_to_steps(coupling_ms, dt_ms,
+                                                 "coupling_ms")
     n = len(coupling_ms)
 
     def to_steps(t_ms):
         return np.asarray(np.round(np.asarray(t_ms) / dt_ms), np.int32)
-
-    snapped = to_steps(coupling_ms) * dt_ms
-    if not np.allclose(snapped, coupling_ms):
-        warnings.warn(
-            f"coupling_ms snapped to the {dt_ms} ms outer-step interval"
-        )
-        coupling_ms = snapped
 
     h, w = cfg.height, cfg.width
     if sites is None:
@@ -326,7 +331,7 @@ def cv_restitution_scan(
     pre = max(int(round(10.0 / dt_ms)), 1)
     s1_steps = pre + to_steps(bcl_ms) * np.arange(n_s1, dtype=np.int32)
     last_s1 = int(s1_steps[-1])
-    s2_steps = last_s1 + to_steps(coupling_ms)
+    s2_steps = last_s1 + coupling_steps
     n_outer = int(s2_steps.max()) + to_steps(tail_ms) + 1
 
     events = [
@@ -351,16 +356,25 @@ def cv_restitution_scan(
     captured = np.zeros(n, bool)
     cv_s1 = float("nan")
     dist = float(x_b - x_a)
+    # S1 CV from the LONGEST-coupling member: its pre-S2 window is the
+    # most likely to hold the whole S1 passage (member 0 alone would
+    # make cv_s1 NaN whenever coupling_ms[0] is shorter than the S1
+    # transit to site B)
+    i_ref = int(np.argmax(s2_steps))
     for i in range(n):
         tr_a, tr_b = traces[i, :, 0], traces[i, :, 1]
         rest = float(tr_a[pre - 1])
         s2 = int(s2_steps[i])
+        if s2 <= last_s1 + 1:
+            continue  # coupling snapped to <= one step: not a premature
         # thresholds from the S1 beat's local amplitude (mid-level)
-        pk_a = float(tr_a[last_s1:s2].max()) if s2 > last_s1 else rest
+        pk_a = float(tr_a[last_s1:s2].max())
         pk_b = float(tr_b[last_s1:s2].max())
+        if not (pk_a > rest and pk_b > rest):
+            continue  # the S1 never reached a site: nothing to measure
         thr_a = rest + 0.5 * (pk_a - rest)
         thr_b = rest + 0.5 * (pk_b - rest)
-        if i == 0 and pk_a > rest and pk_b > rest:
+        if i == i_ref:
             ta1 = _cross_time(tr_a, thr_a, dt_ms, start=last_s1)
             tb1 = _cross_time(tr_b, thr_b, dt_ms, start=last_s1)
             if np.isfinite(ta1) and np.isfinite(tb1) and tb1 > ta1:
@@ -412,24 +426,16 @@ def restitution_scan(
     the refractory period simply fail to capture (NaN APD), tracing the
     refractory edge of the curve.
     """
-    import warnings
-
     cfg = model.cfg
     dt_ms = model.dt_per_step * cfg.dt
     if stim_v is None:
         stim_v = STIM_V.get(model.name, model.max_v)
-    coupling_ms = np.atleast_1d(np.asarray(coupling_ms, np.float64))
+    coupling_ms, coupling_steps = _snap_to_steps(coupling_ms, dt_ms,
+                                                 "coupling_ms")
     n = len(coupling_ms)
 
     def to_steps(t_ms):
         return np.asarray(np.round(np.asarray(t_ms) / dt_ms), np.int32)
-
-    snapped = to_steps(coupling_ms) * dt_ms
-    if not np.allclose(snapped, coupling_ms):
-        warnings.warn(
-            f"coupling_ms snapped to the {dt_ms} ms outer-step interval"
-        )
-        coupling_ms = snapped
 
     h, w = cfg.height, cfg.width
     stim_mask = np.full((h, w), stim_v, np.float32)
@@ -437,7 +443,7 @@ def restitution_scan(
     pre = max(int(round(10.0 / dt_ms)), 1)
     s1_steps = pre + to_steps(bcl_ms) * np.arange(n_s1, dtype=np.int32)
     last_s1 = int(s1_steps[-1])
-    s2_steps = last_s1 + to_steps(coupling_ms)
+    s2_steps = last_s1 + coupling_steps
     n_outer = int(s2_steps.max()) + to_steps(tail_ms) + 1
 
     # one extra CONTROL member whose S2 never fires: its trace gives the

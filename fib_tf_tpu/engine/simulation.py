@@ -709,31 +709,36 @@ class Simulation:
             import jax as _jax
 
             if (_jax.default_backend() == "tpu"
-                    and self.model.name == "tp06"):
+                    and self.model.name not in self.SPMD_KERNEL_MODELS):
                 # fail fast instead of letting the user sit through a
-                # Mosaic compile that never returns (see below)
+                # Mosaic compile that never returns (tp06's block body
+                # compile-diverges — see SPMD_KERNEL_MODELS below)
                 raise ValueError(
-                    "the tp06 per-shard block kernel's Mosaic compile "
-                    "diverges (docs/OPTIMIZATIONS.md §8); use "
-                    "kernel='auto'/'xla' on the mesh (wide-halo XLA, "
-                    "measured 103.2 us/substep)"
+                    f"the {self.model.name} per-shard block kernel is "
+                    "not Mosaic-compilable (tp06's compile diverges — "
+                    "docs/OPTIMIZATIONS.md §8); use kernel='auto'/'xla' "
+                    "on the mesh (wide-halo XLA)"
                 )
             return True
         if self.cfg.kernel != "auto":
             return False
         import jax as _jax
 
-        # tp06 is deliberately absent: its per-shard block kernel's
-        # Mosaic compile DIVERGED (killed at 126 min vs 26 min for the
-        # whole-grid body — OPTIMIZATIONS §8), so sharded tp06 runs
-        # wide-halo XLA (measured 103.2 us/substep on a 1-device mesh,
-        # still ahead of single-chip XLA's 140.0)
         return (
             _jax.default_backend() == "tpu"
-            and self.model.name in ("fenton", "br", "court", "court_ultra",
-                                    "ms", "lr1")
+            and self.model.name in self.SPMD_KERNEL_MODELS
             and not self.cfg.table
         )
+
+    # Models whose per-shard fused block kernel is measured profitable
+    # AND Mosaic-compilable.  tp06 is deliberately absent: its block
+    # kernel's Mosaic compile DIVERGED (killed at 126 min vs 26 min for
+    # the whole-grid body — OPTIMIZATIONS §8), so sharded tp06 runs
+    # wide-halo XLA (measured 103.2 us/substep on a 1-device mesh,
+    # still ahead of single-chip XLA's 140.0).  cli.py's warmup matrix
+    # consults this same tuple.
+    SPMD_KERNEL_MODELS = ("fenton", "br", "court", "court_ultra",
+                          "ms", "lr1")
 
     def _spmd_chunk_fn(self, length: int):
         """Chunk via the explicit shard_map halo-exchange path

@@ -106,8 +106,10 @@ def apd_map(
     rising[1:] = above[1:] & ~above[:-1]
     falling[1:] = ~above[1:] & above[:-1]
 
-    r_rank = np.cumsum(rising, axis=0)
-    f_rank = np.cumsum(falling, axis=0)
+    # int32 ranks: beat counts are tiny, and int64 cumsums over a
+    # 512² x 100+-frame movie would cost hundreds of MB on this host
+    r_rank = np.cumsum(rising, axis=0, dtype=np.int32)
+    f_rank = np.cumsum(falling, axis=0, dtype=np.int32)
     n_rising = r_rank[-1]
     n_falling = f_rank[-1]
 

@@ -125,6 +125,31 @@ class TestDynamicRestitutionScan:
         est = result.bcl_ms - result.apd_prev_ms
         np.testing.assert_allclose(result.di_ms, est, atol=6.0)
 
+    def test_odd_n_beats_window_bounded(self):
+        """Regression (r4 review): the penultimate beat's APD search is
+        bounded at the NEXT stimulus.  With odd n_beats on an
+        alternans-regime tp06 member the penultimate beat is the
+        low-peak one; unbounded, apd_at_level found the global peak in
+        the FINAL beat and returned a two-beat-spanning APD (591.8 ms,
+        alternans = BCL, DI < 0) that still passed the capture gate."""
+        from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+        from fib_tf_tpu.models import TenTusscher06
+
+        m = TenTusscher06(SimConfig(width=4, height=4, dt=0.02,
+                                    duration=10))
+        r = dynamic_restitution_scan(m, np.array([320.0]), n_beats=3,
+                                     tail_ms=450.0)
+        assert r.captured[0]
+        assert r.apd_prev_ms[0] < 320.0        # within its own cycle
+        assert r.di_ms[0] > 0.0
+        # self-consistency: APD_prev + DI spans exactly one cycle
+        # (the unbounded bug gave apd_prev 591.8, di -271.8)
+        assert r.apd_prev_ms[0] + r.di_ms[0] == pytest.approx(320.0,
+                                                              abs=2.0)
+        # measured post-fix: a genuine large beat-2/beat-3 difference
+        # (the un-settled alternans regime), NOT aliased to the BCL
+        assert r.alternans_ms[0] == pytest.approx(139.2, abs=20.0)
+
     def test_n_beats_validation(self):
         from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
 
