@@ -86,6 +86,13 @@ def apd_map(
     2:1-blocked regions) report NaN with `valid=False` — so a 2:1
     region shows up as a valid=False island, distinct from the
     out-of-phase bands `discordance` measures.
+
+    For CROSS-PIXEL phase comparisons (the signed map / `discordance`)
+    the movie must include enough tail for the final beat to
+    repolarize at EVERY pixel: a pixel whose last beat is cut off at
+    the movie's end silently reads the previous beat pair, which flips
+    its phase in an alternating rhythm (in a paced protocol, record
+    ~APD_max + conduction time past the last stimulus).
     """
     movie = np.asarray(movie, np.float32)
     if movie.ndim != 3:
@@ -179,15 +186,19 @@ def plot_apd_map(path: str, r: ApdMapResult) -> None:
 
     fig, (ax, ax2) = plt.subplots(
         1, 2, figsize=(9.2, 3.8), constrained_layout=True)
+    h, w = r.apd_last.shape
+    # strips would render as slivers under equal aspect
+    aspect = "auto" if max(h, w) > 4 * min(h, w) else None
     apd = np.where(r.valid, r.apd_last, np.nan)
-    im = ax.imshow(apd, cmap="viridis", interpolation="nearest")
+    im = ax.imshow(apd, cmap="viridis", interpolation="nearest",
+                   aspect=aspect)
     fig.colorbar(im, ax=ax, shrink=0.85, label="APD (ms)")
     ax.set_title("last-beat APD", fontsize=10)
     signed = np.where(r.valid, r.apd_last - r.apd_prev, np.nan)
     lim = np.nanmax(np.abs(signed)) if np.isfinite(signed).any() else 1.0
     lim = max(float(lim), 1e-3)
     im2 = ax2.imshow(signed, cmap="RdBu_r", vmin=-lim, vmax=lim,
-                     interpolation="nearest")
+                     interpolation="nearest", aspect=aspect)
     fig.colorbar(im2, ax=ax2, shrink=0.85, label="ΔAPD (ms)")
     ax2.set_title("beat-to-beat ΔAPD (signed)", fontsize=10)
     for a in (ax, ax2):

@@ -116,43 +116,60 @@ class TestAgainstDynamicProtocol:
 class TestDiscordantAlternans:
     @pytest.fixture(scope="class")
     def strip(self):
-        """BR strip (8x256, diff=0.809, cheby+skip) edge-paced at
-        BCL 230 ms for 8 beats — fast enough to engage both APD and CV
-        restitution.  Measured: alternans 0 -> 33 ms along the strip
-        with a nodal line (sign change) around x ~ 120 and ~20% of
-        tissue alternating out of phase with the majority."""
+        """tp06 strip (4x256, diff=0.809) edge-paced at BCL 330 ms for
+        6 beats — just above the 0D alternans rate (TestAlternans: 46 ms
+        at 320), with CV restitution converting the temporal alternans
+        into SPATIAL discordance down the strip.  Measured: alternans
+        0.08 -> 26.1 ms, signed ΔAPD running -25.7 (x=10) through ONE
+        nodal line at x~112 to +12.2 at the far end, 44.9% of tissue
+        out of phase — textbook discordant alternans.  The tail (400
+        ms) must let the final beat repolarize everywhere or far
+        pixels silently read the previous (phase-flipped) beat pair —
+        the apd_map docstring caveat, discovered here.
+
+        (BR cannot run this experiment: its restitution slope is 0.43
+        at these rates — 0D dynamic alternans is exactly 0, measured —
+        which is why the steep tp06 is the demo model.)"""
         from fib_tf_tpu.engine.ensemble import (
             EnsembleEvent, run_ensemble, stack_states,
         )
-        from fib_tf_tpu.models import BeelerReuter
+        from fib_tf_tpu.models import TenTusscher06
 
-        cfg = SimConfig(width=256, height=8, dt=0.1, duration=10,
-                        diff=0.809, cheby=True, skip=True)
-        m = BeelerReuter(cfg)
-        mask = np.full((8, 256), m.min_v, np.float32)
+        cfg = SimConfig(width=256, height=4, dt=0.02, duration=10,
+                        diff=0.809)
+        m = TenTusscher06(cfg)
+        dt_ms = m.dt_per_step * cfg.dt
+        mask = np.full((4, 256), m.min_v, np.float32)
         mask[:, :4] = 0.0
-        beats = [10 + k * 230 for k in range(8)]
+        beats = [int(round(10 / dt_ms)) + k * int(round(330 / dt_ms))
+                 for k in range(6)]
         ev = [EnsembleEvent(step=int(s), mask=mask) for s in beats]
         st = stack_states([m.initial_state(s1=False)])
-        _, tr = run_ensemble(m, st, beats[-1] + 300, events=ev,
-                             probe=lambda s: s["V"])
-        return apd_map(np.asarray(tr)[0], frame_ms=1.0)
+        _, tr = run_ensemble(m, st,
+                             beats[-1] + int(round(400 / dt_ms)),
+                             events=ev, probe=lambda s: s["V"])
+        return apd_map(np.asarray(tr)[0], frame_ms=dt_ms)
 
     def test_all_tissue_captures(self, strip):
         assert strip.valid.all()
 
     def test_alternans_gradient(self, strip):
         assert float(np.nanmax(strip.alternans)) == pytest.approx(
-            33.0, abs=7.0)
+            26.0, abs=8.0)
         assert float(np.nanmin(strip.alternans)) < 2.0
 
     def test_discordant_with_node(self, strip):
         signed = strip.apd_last - strip.apd_prev
-        row = signed[4]
-        # opposite-phase regions exist -> a nodal line between them
-        assert row.min() < -20.0 and row.max() > 1.0
+        row = signed[2]
+        # opposite-phase regions across ONE nodal line (~x 112):
+        # -25.7 near the pacing site, +12.2 at the far end
+        assert float(np.nanmin(row)) < -15.0
+        assert float(np.nanmax(row)) > 6.0
+        changes = int((np.diff(np.sign(row[np.isfinite(row)])) != 0)
+                      .sum())
+        assert changes == 1
         d = strip.discordance
-        assert d is not None and 0.03 < d < 0.5
+        assert d == pytest.approx(0.449, abs=0.1)
 
 
 class TestCli:

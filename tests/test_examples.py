@@ -127,6 +127,18 @@ class TestExamples:
         assert "alternans" in out
         assert os.path.exists(tmp_path / "dyn.png")
 
+    def test_alternans_map(self, tmp_path):
+        # fenton exercises the plumbing quickly; its shallow restitution
+        # paces concordantly (the discordant tp06 case is pinned in
+        # tests/test_apdmap.py — too slow for a subprocess smoke)
+        out = run_example(tmp_path, "alternans_map.py",
+                          "--model", "fenton", "--width", "64",
+                          "--height", "8", "--beats", "3",
+                          "--save-plot", "alt.png")
+        assert "one batched program" in out
+        assert "capture:" in out
+        assert os.path.exists(tmp_path / "alt.png")
+
     def test_tip_trajectory(self, tmp_path):
         # synthetic one-rotor movie: cos(theta0 - omega t)
         y, x = np.mgrid[0:32, 0:32]
