@@ -3,7 +3,10 @@ the reference's best published configuration (details.md Table 1:
 3.9 wall-s per simulated second on a GTX-1080).
 
 Prints ONE JSON line:  {"metric", "value", "unit", "vs_baseline",
-                        "spread", "n"}
+                        "spread", "samples"}
+("samples", not "n": the driver's wrapping artifact has its own
+top-level "n" meaning the round number, and one key with two meanings
+in one file misleads round-over-round tooling — ADVICE r4.)
   value       = MEDIAN wall-seconds per simulated second over `n`
                 repeated runs (lower is better)
   spread      = [min, max] across the runs (VERDICT r3 #4: a scoreboard
@@ -58,7 +61,7 @@ def main():
         "unit": "wall_s_per_sim_s",
         "vs_baseline": round(REFERENCE_BEST_S_PER_SIM_S / value, 2),
         "spread": [round(min(samples), 6), round(max(samples), 6)],
-        "n": n_runs,
+        "samples": n_runs,
     }))
 
 
