@@ -116,6 +116,17 @@ class SimConfig:
     # profitable (small-state models, whole grid VMEM-resident) and the
     # XLA scan path elsewhere; 'xla' / 'pallas' force one.
     kernel: str = "auto"
+    # Mosaic compile-cliff knob: split each fused-kernel outer step into
+    # chained launches of at most this many substeps (one kernel compiled
+    # per distinct body — models/base.substep_fns).  Mosaic compile time
+    # grows superlinearly in body size (docs/OPTIMIZATIONS.md §8d), so
+    # the large models trade a few extra HBM round trips per outer step
+    # for a much smaller one-time compile.  None = whole outer step per
+    # launch (the measured-fastest steady state for fenton/br/court).
+    # Applies to the whole-grid and per-shard block kernels; the tiled
+    # kernel's temporal halo is sized for the full group and cannot
+    # split.
+    substeps_per_launch: Optional[int] = None
 
     # -- parallelism (new; reference is single-device, SURVEY.md §2) ----------
     # When set, Simulation builds a device mesh of this shape and shards
@@ -143,6 +154,9 @@ class SimConfig:
             raise ValueError("duration must be non-negative")
         if self.kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unsupported kernel: {self.kernel}")
+        if (self.substeps_per_launch is not None
+                and self.substeps_per_launch < 1):
+            raise ValueError("substeps_per_launch must be >= 1")
         if self.mesh_mode not in ("auto", "spmd", "gspmd"):
             raise ValueError(f"unsupported mesh_mode: {self.mesh_mode}")
         if not 0.0 < self.fiber_ratio <= 1.0:

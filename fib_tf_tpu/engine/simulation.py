@@ -539,9 +539,19 @@ class Simulation:
                 # per chunk.
                 from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
-                return make_pallas_step(self.model, phase=self.phase,
-                                        fiber=self._fiber(),
-                                        pad=self._padded() is not None)
+                return make_pallas_step(
+                    self.model, phase=self.phase, fiber=self._fiber(),
+                    pad=self._padded() is not None,
+                    substeps_per_launch=self.cfg.substeps_per_launch,
+                )
+            if self.cfg.substeps_per_launch is not None:
+                raise ValueError(
+                    "substeps_per_launch applies to the whole-grid and "
+                    "per-shard block kernels; the tiled kernel's temporal "
+                    "halo is sized for the full substep group and cannot "
+                    "split — drop the knob or stay under the whole-grid "
+                    "state budget"
+                )
             from fib_tf_tpu.ops.pallas_tiled import make_tiled_pallas_step
 
             tile_rows = self._pick_tile_rows(
@@ -767,6 +777,7 @@ class Simulation:
             ecg_weights=self._ecg_weights or None,
             rotor=((self._rotor_tau_steps(), self.cfg.rotor_v_star)
                    if self.cfg.rotor_probe else None),
+            substeps_per_launch=self.cfg.substeps_per_launch,
         )
         model = self.model
 

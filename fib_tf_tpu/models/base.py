@@ -51,9 +51,12 @@ def grid_geometry(
     phase: Optional[np.ndarray] = None,
     fiber_angle: Optional[float] = None,
     fiber_ratio: float = 1.0,
+    dmap: Optional[np.ndarray] = None,
 ) -> Geometry:
-    """Standard 2D tissue geometry, optionally with a phase field and/or
-    anisotropic fiber conduction.
+    """Standard 2D tissue geometry, optionally with a phase field,
+    anisotropic fiber conduction, and/or a per-pixel relative diffusion
+    map (fibrosis — stencil.laplace's `dmap_padded`; composes with both
+    the phase field and the fiber tensor).
 
     The padded phase field is precomputed once (it is constant across the
     run; values match the reference's per-step REFLECT pad, ionic.py:76).
@@ -61,28 +64,32 @@ def grid_geometry(
     operator (stencil.anisotropic_laplace), including the tensor form of
     the phase-field no-flux correction when a phase field is present.
     """
+    pp = None
+    if phase is not None:
+        pp = jnp.asarray(
+            np.pad(np.asarray(phase, np.float32), 1, mode="reflect")
+        )
+    dp = None
+    if dmap is not None:
+        dp = jnp.asarray(
+            np.pad(np.asarray(dmap, np.float32), 1, mode="reflect")
+        )
     if fiber_angle is not None and fiber_ratio != 1.0:
         dxx, dxy, dyy = stencil.fiber_tensor(fiber_angle, fiber_ratio)
-        pp = None
-        if phase is not None:
-            pp = jnp.asarray(
-                np.pad(np.asarray(phase, np.float32), 1, mode="reflect")
-            )
         return Geometry(
             laplace=lambda x: stencil.anisotropic_laplace(
-                x, dxx, dxy, dyy, phase_padded=pp
+                x, dxx, dxy, dyy, phase_padded=pp, dmap_padded=dp
             ),
             enforce_boundary=stencil.enforce_boundary,
         )
-    if phase is None:
+    if pp is None and dp is None:
         return Geometry(
             laplace=stencil.laplace,
             enforce_boundary=stencil.enforce_boundary,
         )
-    phase_padded = np.pad(np.asarray(phase, np.float32), 1, mode="reflect")
-    pp = jnp.asarray(phase_padded)
     return Geometry(
-        laplace=lambda x: stencil.laplace(x, phase_padded=pp),
+        laplace=lambda x: stencil.laplace(x, phase_padded=pp,
+                                          dmap_padded=dp),
         enforce_boundary=stencil.enforce_boundary,
     )
 
@@ -255,6 +262,43 @@ class IonicModel:
         for _ in range(count):
             state = self.solve(state, geom)
         return state
+
+    def substep_fns(self, geom: Geometry):
+        """The outer step decomposed into `dt_per_step` per-substep
+        callables: returns `(fns, labels)` where composing
+        `fns[0] ... fns[-1]` in order is value-identical to
+        `step(state, geom)`, and `labels[i]` is a hashable tag such that
+        equal labels <=> identical traced bodies.
+
+        This is the contract behind `substeps_per_launch` (the Mosaic
+        compile-cliff knob): the fused-kernel builders cut the substep
+        list into launch groups and compile ONE kernel per distinct
+        label-group, so e.g. tp06's ten identical substeps at
+        substeps_per_launch=2 compile a single 2-substep body instead of
+        the 10-substep monolith (ops/pallas_step.py).  Parity is pinned
+        by tests/test_pallas.py::TestSubstepFns.
+
+        The default covers every uniform-schedule model; skip-group
+        models (BeelerReuter, LuoRudy91, TenTusscher06) and the
+        fast/slow-split Courtemanche override with their real schedules.
+        Raises for schedules with no per-substep decomposition
+        (adaptive_dv's data-dependent refinement, fast_slow_ratio
+        tick dispatch)."""
+        self._check_splittable()
+        fn = lambda s: self.solve(s, geom)
+        return [fn] * self.dt_per_step, ("solve",) * self.dt_per_step
+
+    def _check_splittable(self):
+        if self.cfg.adaptive_dv is not None:
+            raise ValueError(
+                "adaptive_dv substeps refine data-dependently and cannot "
+                "be split into fixed launch groups"
+            )
+        if self.fast_slow_ratio:
+            raise ValueError(
+                "fast_slow_ratio models dispatch whole outer steps by "
+                "tick; there is no per-substep decomposition to split"
+            )
 
     def kernel_step(self, state: State, geom: Geometry) -> State:
         """The outer step as traced inside Pallas kernels.

@@ -291,6 +291,19 @@ class LuoRudy91(IonicModel):
         arbitrary boundaries."""
         return not self.cfg.skip and self.cfg.adaptive_dv is None
 
+    def substep_fns(self, geom: Geometry):
+        """Launch-split schedule (models/base.substep_fns contract):
+        same shape as BeelerReuter's — with skip, one n=10 body then
+        nine shared n=0 bodies."""
+        self._check_splittable()
+        k = self.dt_per_step
+        if not self.cfg.skip:
+            fn = lambda s: self.solve(s, geom, n=1)
+            return [fn] * k, ("n1",) * k
+        first = lambda s: self.solve(s, geom, n=k)
+        rest = lambda s: self.solve(s, geom, n=0)
+        return [first] + [rest] * (k - 1), ("n10",) + ("n0",) * (k - 1)
+
     def step(self, state: State, geom: Geometry,
              unroll: bool = True) -> State:
         """One outer step = 10 substeps; with `skip`, the first substep

@@ -461,6 +461,21 @@ class TenTusscher06(IonicModel):
         arbitrary boundaries."""
         return not self.cfg.skip and self.cfg.adaptive_dv is None
 
+    def substep_fns(self, geom: Geometry):
+        """Launch-split schedule (models/base.substep_fns contract):
+        without skip, ten identical n=1 bodies — the case where
+        substeps_per_launch pays most (one small kernel compiled instead
+        of the ~2000 s whole-step Mosaic monolith); with skip, the n=10
+        slow advance leads and the nine n=0 bodies share one kernel."""
+        self._check_splittable()
+        k = self.dt_per_step
+        if not self.cfg.skip:
+            fn = lambda s: self.solve(s, geom, n=1)
+            return [fn] * k, ("n1",) * k
+        first = lambda s: self.solve(s, geom, n=k)
+        rest = lambda s: self.solve(s, geom, n=0)
+        return [first] + [rest] * (k - 1), ("n10",) + ("n0",) * (k - 1)
+
     def step(self, state: State, geom: Geometry,
              unroll: bool = True) -> State:
         """One outer step = 10 substeps; with `skip`, the first substep

@@ -154,6 +154,22 @@ def padded_shape(h: int, w: int) -> Optional[tuple]:
     return None if (hp, wp) == (h, w) else (hp, wp)
 
 
+def plan_launch_groups(labels, per_launch: int):
+    """Cut a substep-label list into contiguous launch groups of at most
+    `per_launch` substeps: [(i0, i1, key), ...] where `key` is the label
+    tuple identifying the group's traced body — equal keys <=> identical
+    traces, so builders compile ONE kernel per distinct key (the skip
+    models' nine n=0 substeps at per_launch=3 compile a single 3-substep
+    body reused three times)."""
+    groups = []
+    i = 0
+    while i < len(labels):
+        j = min(i + per_launch, len(labels))
+        groups.append((i, j, tuple(labels[i:j])))
+        i = j
+    return groups
+
+
 def make_pallas_step(
     model: IonicModel,
     phase: Optional[np.ndarray] = None,
@@ -161,6 +177,7 @@ def make_pallas_step(
     n_outer: int = 1,
     fiber: Optional[tuple] = None,
     pad: bool = False,
+    substeps_per_launch: Optional[int] = None,
 ):
     """Build `step(state) -> state`: `n_outer` outer steps (each
     dt_per_step substeps) as a single VMEM-resident Pallas kernel.
@@ -179,7 +196,18 @@ def make_pallas_step(
     masks (ops/pallas_tiled.block_geometry), so the pad region is never
     read by real cells — it evolves as garbage and the caller crops it
     away (the engine pads once per chunk, not per step).  Use
-    `pad_state`/`crop_state` to convert."""
+    `pad_state`/`crop_state` to convert.
+
+    `substeps_per_launch=k` splits the outer step into ceil(K/k) smaller
+    pallas_calls of at most k substeps each (model.substep_fns), with
+    one kernel compiled per DISTINCT group body — the Mosaic
+    compile-cliff knob (VERDICT r4 #4): Mosaic compile time grows
+    superlinearly in traced-body size (docs/OPTIMIZATIONS.md §8d), so a
+    model like tp06 (~2000 s for the 10-substep monolith) trades a few
+    extra HBM round trips per outer step for a far smaller one-time
+    compile.  Whole-grid correctness is unaffected: every launch sees
+    the full grid with the same global REFLECT/SYMMETRIC rules, so the
+    composition is value-identical to the monolith (tests/test_pallas)."""
     names = model.state_keys()
     n = len(names)
     h, w = model.cfg.height, model.cfg.width
@@ -200,60 +228,97 @@ def make_pallas_step(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(*refs):
-        from fib_tf_tpu.ops import integrators
+    def build_call(body):
+        """One pallas_call whose kernel reads the state, builds the VMEM
+        geometry, applies `body(state, geom) -> state`, writes back."""
 
-        ins = refs[:n]
-        phase_arr = refs[n][:] if has_phase else None
-        outs = refs[n + 1 :] if has_phase else refs[n:]
-        state = {k: r[:] for k, r in zip(names, ins)}
-        if pshape is not None:
-            from fib_tf_tpu.ops.pallas_tiled import block_geometry
+        def kernel(*refs):
+            from fib_tf_tpu.ops import integrators
 
-            rg = jax.lax.broadcasted_iota(jnp.int32, (kh, 1), 0)
-            cg = (jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1)
-                  if kw != w else None)
-            geom = block_geometry(
-                rg, h, cg, w if kw != w else None, phase_arr, fiber
-            )
-        else:
-            geom = vmem_geometry(phase_arr, fiber)
-        # swap in the Mosaic-safe expm1 for the duration of the trace
-        integrators._IN_PALLAS_KERNEL = True
-        try:
-            # kernel_step = plain unrolled substeps: an in-kernel
-            # fori_loop over the identical substeps was measured SLOWER
-            # to Mosaic-compile than the unroll (see
-            # IonicModel.kernel_step), so the bodies stay unrolled
+            ins = refs[:n]
+            phase_arr = refs[n][:] if has_phase else None
+            outs = refs[n + 1 :] if has_phase else refs[n:]
+            state = {k: r[:] for k, r in zip(names, ins)}
+            if pshape is not None:
+                from fib_tf_tpu.ops.pallas_tiled import block_geometry
+
+                rg = jax.lax.broadcasted_iota(jnp.int32, (kh, 1), 0)
+                cg = (jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1)
+                      if kw != w else None)
+                geom = block_geometry(
+                    rg, h, cg, w if kw != w else None, phase_arr, fiber
+                )
+            else:
+                geom = vmem_geometry(phase_arr, fiber)
+            # swap in the Mosaic-safe expm1 for the duration of the trace
+            integrators._IN_PALLAS_KERNEL = True
+            try:
+                state = body(state, geom)
+            finally:
+                integrators._IN_PALLAS_KERNEL = False
+            for k, r in zip(names, outs):
+                r[:] = state[k]
+
+        plane = jax.ShapeDtypeStruct((kh, kw), jnp.float32)
+        spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
+
+        n_in = n + (1 if has_phase else 0)
+        return pl.pallas_call(
+            kernel,
+            out_shape=[plane] * n,
+            in_specs=[spec] * n_in,
+            out_specs=[spec] * n,
+            input_output_aliases={i: i for i in range(n)},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )
+
+    if (substeps_per_launch is not None
+            and substeps_per_launch < model.dt_per_step):
+        # launch-split path: one small kernel per DISTINCT group body;
+        # labels are geometry-independent, so plan with a null geometry
+        from fib_tf_tpu.models.base import cell_geometry
+
+        _, labels = model.substep_fns(cell_geometry())
+        groups = plan_launch_groups(labels, substeps_per_launch)
+
+        calls = {}
+        for i0, i1, key in groups:
+            if key not in calls:
+                def body(state, geom, _i0=i0, _i1=i1):
+                    fns, _ = model.substep_fns(geom)
+                    for f in fns[_i0:_i1]:
+                        state = f(state)
+                    return state
+
+                calls[key] = build_call(body)
+        seq = [calls[key] for _i0, _i1, key in groups] * n_outer
+    else:
+        # monolith: the whole outer step (x n_outer) in one launch.
+        # kernel_step = plain unrolled substeps: an in-kernel fori_loop
+        # over the identical substeps was measured SLOWER to
+        # Mosaic-compile than the unroll (see IonicModel.kernel_step),
+        # so the bodies stay unrolled
+        def body(state, geom):
             for _ in range(n_outer):
                 state = model.kernel_step(state, geom)
-        finally:
-            integrators._IN_PALLAS_KERNEL = False
-        for k, r in zip(names, outs):
-            r[:] = state[k]
+            return state
 
-    plane = jax.ShapeDtypeStruct((kh, kw), jnp.float32)
-    spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
-
-    n_in = n + (1 if has_phase else 0)
-    call = pl.pallas_call(
-        kernel,
-        out_shape=[plane] * n,
-        in_specs=[spec] * n_in,
-        out_specs=[spec] * n,
-        input_output_aliases={i: i for i in range(n)},
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )
+        seq = [build_call(body)]
 
     def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         args = [state[k] for k in names]
         if has_phase:
-            args.append(jnp.asarray(phase_f32))
-        outs = call(*args)
-        return dict(zip(names, outs))
+            phase_dev = jnp.asarray(phase_f32)
+        for call in seq:
+            if has_phase:
+                outs = call(*args, phase_dev)
+            else:
+                outs = call(*args)
+            args = list(outs)
+        return dict(zip(names, args))
 
     return step
 

@@ -180,6 +180,7 @@ def make_block_kernel(
     has_phase: bool = False,
     interpret: Optional[bool] = None,
     fiber: Optional[tuple] = None,
+    substeps_per_launch: Optional[int] = None,
 ):
     """Fused substep-group kernel over ONE halo-extended block — the
     per-shard compute of the wide-halo shard_map path (parallel/spmd.py).
@@ -196,71 +197,105 @@ def make_block_kernel(
 
     Returns `step(ext_state, rstart[, cstart][, phase_ext]) -> ext_state`
     (halo rings of the output are garbage; the caller crops the center).
-    On TPU the lane dimension (ext_w) should be a multiple of 128."""
+    On TPU the lane dimension (ext_w) should be a multiple of 128.
+
+    `substeps_per_launch=k` splits the group into ceil(K/k) chained
+    launches of at most k substeps, one kernel per DISTINCT body (the
+    Mosaic compile-cliff knob — see ops/pallas_step.make_pallas_step).
+    All launches run on the SAME halo-extended block: the ghost rings
+    keep shrinking one per substep across launch boundaries exactly as
+    they do inside the monolith, so no extra exchange is needed and the
+    composition is value-identical."""
     names = model.state_keys()
     n = len(names)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(*refs):
-        from fib_tf_tpu.ops import integrators
+    def build_call(body):
+        def kernel(*refs):
+            from fib_tf_tpu.ops import integrators
 
-        ins = refs[:n]
-        i = n
-        rstart_ref = refs[i]
-        i += 1
-        cstart_ref = None
-        if two_d:
-            cstart_ref = refs[i]
+            ins = refs[:n]
+            i = n
+            rstart_ref = refs[i]
             i += 1
-        phase_ext = refs[i][:] if has_phase else None
-        outs = refs[-n:]
+            cstart_ref = None
+            if two_d:
+                cstart_ref = refs[i]
+                i += 1
+            phase_ext = refs[i][:] if has_phase else None
+            outs = refs[-n:]
 
-        rg = rstart_ref[0] + jax.lax.broadcasted_iota(
-            jnp.int32, (ext_h, 1), 0
-        )
-        cg = None
-        if two_d:
-            cg = cstart_ref[0] + jax.lax.broadcasted_iota(
-                jnp.int32, (1, ext_w), 1
+            rg = rstart_ref[0] + jax.lax.broadcasted_iota(
+                jnp.int32, (ext_h, 1), 0
             )
-        geom = block_geometry(rg, h_total, cg, w_total, phase_ext, fiber)
-        state = {kk: r[:] for kk, r in zip(names, ins)}
-        integrators._IN_PALLAS_KERNEL = True
-        try:
-            state = model.kernel_step(state, geom)
-        finally:
-            integrators._IN_PALLAS_KERNEL = False
-        for kk, r in zip(names, outs):
-            r[:] = state[kk]
+            cg = None
+            if two_d:
+                cg = cstart_ref[0] + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, ext_w), 1
+                )
+            geom = block_geometry(rg, h_total, cg, w_total, phase_ext,
+                                  fiber)
+            state = {kk: r[:] for kk, r in zip(names, ins)}
+            integrators._IN_PALLAS_KERNEL = True
+            try:
+                state = body(state, geom)
+            finally:
+                integrators._IN_PALLAS_KERNEL = False
+            for kk, r in zip(names, outs):
+                r[:] = state[kk]
 
-    plane = jax.ShapeDtypeStruct((ext_h, ext_w), jnp.float32)
-    vspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM)
-    in_specs = [vspec] * n + [sspec] + ([sspec] if two_d else [])
-    if has_phase:
-        in_specs.append(vspec)
-    call = pl.pallas_call(
-        kernel,
-        out_shape=[plane] * n,
-        in_specs=in_specs,
-        out_specs=[vspec] * n,
-        input_output_aliases={i: i for i in range(n)},
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )
+        plane = jax.ShapeDtypeStruct((ext_h, ext_w), jnp.float32)
+        vspec = pl.BlockSpec(
+            memory_space=pl.ANY if interpret else pltpu.VMEM)
+        sspec = pl.BlockSpec(
+            memory_space=pl.ANY if interpret else pltpu.SMEM)
+        in_specs = [vspec] * n + [sspec] + ([sspec] if two_d else [])
+        if has_phase:
+            in_specs.append(vspec)
+        return pl.pallas_call(
+            kernel,
+            out_shape=[plane] * n,
+            in_specs=in_specs,
+            out_specs=[vspec] * n,
+            input_output_aliases={i: i for i in range(n)},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )
+
+    if (substeps_per_launch is not None
+            and substeps_per_launch < model.dt_per_step):
+        from fib_tf_tpu.models.base import cell_geometry
+        from fib_tf_tpu.ops.pallas_step import plan_launch_groups
+
+        _, labels = model.substep_fns(cell_geometry())
+        groups = plan_launch_groups(labels, substeps_per_launch)
+        calls = {}
+        for i0, i1, key in groups:
+            if key not in calls:
+                def body(state, geom, _i0=i0, _i1=i1):
+                    fns, _ = model.substep_fns(geom)
+                    for f in fns[_i0:_i1]:
+                        state = f(state)
+                    return state
+
+                calls[key] = build_call(body)
+        seq = [calls[key] for _i0, _i1, key in groups]
+    else:
+        seq = [build_call(lambda s, g: model.kernel_step(s, g))]
 
     def step(ext_state, rstart, cstart=None, phase_ext=None):
         args = [ext_state[kk] for kk in names]
-        args.append(jnp.asarray(rstart, jnp.int32).reshape(1))
+        extras = [jnp.asarray(rstart, jnp.int32).reshape(1)]
         if two_d:
-            args.append(jnp.asarray(cstart, jnp.int32).reshape(1))
+            extras.append(jnp.asarray(cstart, jnp.int32).reshape(1))
         if has_phase:
-            args.append(phase_ext)
-        outs = call(*args)
-        return dict(zip(names, outs))
+            extras.append(phase_ext)
+        for call in seq:
+            args = list(call(*args, *extras))
+        return dict(zip(names, args))
 
     return step
 

@@ -171,6 +171,7 @@ def make_spmd_chunk(
     trend_points: Optional[tuple] = None,
     ecg_weights: Optional[list] = None,
     rotor: Optional[tuple] = None,
+    substeps_per_launch: Optional[int] = None,
 ):
     """Build a jitted chunk(state) -> (state, probes) running `length`
     outer steps entirely inside shard_map over `mesh`'s first axis.
@@ -381,6 +382,7 @@ def make_spmd_chunk(
                     model, h_local + 2 * k, ext_w, cfg.height,
                     cfg.width if is_2d else None, is_2d, has_phase,
                     fiber=fiber,
+                    substeps_per_launch=substeps_per_launch,
                 )
                 cstart_val = cstart if is_2d else None
 

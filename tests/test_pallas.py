@@ -352,3 +352,142 @@ class TestKernelStepFori:
         for k in ref:
             np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                        rtol=1e-6, atol=1e-7)
+
+
+class TestSubstepFns:
+    """models/base.substep_fns contract: composing the per-substep
+    callables in order is value-identical to step(state, geom) — the
+    precondition of the substeps_per_launch kernel split."""
+
+    @pytest.mark.parametrize("model_cls,extra", [
+        (Fenton4v, {}),
+        (BeelerReuter, dict(diff=0.809, cheby=True, skip=True)),
+        (BeelerReuter, dict(diff=0.809, cheby=False, skip=False)),
+        (Courtemanche, dict(diff=0.809)),
+        (MitchellSchaeffer, {}),
+        (LuoRudy91, dict(dt=0.02, diff=0.809, skip=True)),
+        (TenTusscher06, dict(dt=0.02, diff=0.809)),
+        (TenTusscher06, dict(dt=0.02, diff=0.809, skip=True)),
+    ])
+    def test_composition_matches_step(self, model_cls, extra):
+        c = cfg(**extra)
+        model = model_cls(c)
+        geom = grid_geometry()
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        fns, labels = model.substep_fns(geom)
+        assert len(fns) == model.dt_per_step == len(labels)
+
+        want = jax.jit(lambda s: model.step(s, geom))(state)
+
+        def composed(s):
+            for f in fns:
+                s = f(s)
+            return s
+
+        got = jax.jit(composed)(state)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-6, atol=1e-7, err_msg=k,
+            )
+
+    def test_court_ultra_single_rate(self):
+        from fib_tf_tpu.models import CourtemancheUltra
+
+        model = CourtemancheUltra(cfg(diff=0.809))
+        geom = grid_geometry()
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        fns, labels = model.substep_fns(geom)
+        assert labels == ("solve",) * 10  # NOT the parent's fast/slow pair
+        want = jax.jit(lambda s: model.step(s, geom))(state)
+        got = state
+        for f in fns:
+            got = jax.jit(f)(got)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+    def test_adaptive_refuses_split(self):
+        model = Fenton4v(cfg(adaptive_dv=5.0))
+        with pytest.raises(ValueError, match="adaptive_dv"):
+            model.substep_fns(grid_geometry())
+
+    def test_plan_launch_groups(self):
+        from fib_tf_tpu.ops.pallas_step import plan_launch_groups
+
+        labels = ("n10",) + ("n0",) * 9
+        groups = plan_launch_groups(labels, 3)
+        assert [(a, b) for a, b, _ in groups] == [
+            (0, 3), (3, 6), (6, 9), (9, 10)]
+        # the two interior all-n0 groups share one key (one compile)
+        assert groups[1][2] == groups[2][2] == ("n0",) * 3
+        assert len({g[2] for g in groups}) == 3
+
+
+class TestLaunchSplit:
+    """substeps_per_launch: the split whole-grid kernel composes to the
+    monolith (interpret mode on CPU; on TPU the same code is the Mosaic
+    compile-cliff mitigation measured in docs/OPTIMIZATIONS.md)."""
+
+    @pytest.mark.parametrize("model_cls,extra,spl", [
+        (BeelerReuter, dict(diff=0.809, cheby=True, skip=True), 1),
+        (BeelerReuter, dict(diff=0.809, cheby=True, skip=True), 3),
+        (TenTusscher06, dict(dt=0.02, diff=0.809, skip=True), 2),
+        (TenTusscher06, dict(dt=0.02, diff=0.809), 5),
+        (Courtemanche, dict(diff=0.809), 4),
+    ])
+    def test_split_matches_monolith(self, model_cls, extra, spl):
+        c = cfg(**extra)
+        model = model_cls(c)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        whole = make_pallas_step(model)(state)
+        split = make_pallas_step(model, substeps_per_launch=spl)(state)
+        for k in whole:
+            np.testing.assert_allclose(
+                np.asarray(split[k]), np.asarray(whole[k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+    def test_split_with_phase_and_pad(self):
+        """Split + unaligned grid (padded planes) + phase field compose."""
+        from fib_tf_tpu.ops.pallas_step import (
+            crop_state, pad_state, padded_shape,
+        )
+
+        c = cfg(width=30, height=30, diff=0.809, cheby=True, skip=True)
+        model = BeelerReuter(c)
+        phase = stencil.add_hole_to_phase_field(None, 30, 30, 15, 15, 5)
+        geom = grid_geometry(phase)
+        state = {k: jnp.asarray(v) for k, v in model.initial_state().items()}
+        want = model.step(model.step(state, geom), geom)
+
+        hp, wp = padded_shape(30, 30)
+        pstep = make_pallas_step(model, phase=phase, pad=True,
+                                 substeps_per_launch=2)
+        sp = pad_state(state, 30, 30, hp, wp)
+        sp = pstep(pstep(sp))
+        got = crop_state(sp, 30, 30)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-4, atol=1e-5, err_msg=k,
+            )
+
+    def test_engine_plumbs_spl(self):
+        """SimConfig.substeps_per_launch reaches the kernel path and the
+        result matches the XLA path."""
+        from fib_tf_tpu.engine import Simulation
+
+        base = dict(width=32, height=32, dt=0.1, diff=0.809, duration=2,
+                    dt_per_plot=10, cheby=True, skip=True)
+        r_x = Simulation(
+            BeelerReuter(SimConfig(kernel="xla", **base))
+        ).define().simulate()
+        r_p = Simulation(
+            BeelerReuter(SimConfig(kernel="pallas", substeps_per_launch=2,
+                                   **base))
+        ).define().simulate()
+        np.testing.assert_allclose(r_p.probes["v"], r_x.probes["v"],
+                                   rtol=1e-4, atol=1e-5)
