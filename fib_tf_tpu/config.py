@@ -94,6 +94,15 @@ class SimConfig:
     adaptive_depth: int = 2
     ultra_slow: bool = False    # court_ultra's ultra-slow Na gate (_us_)
     chronic: bool = True        # chronic-AF remodeling (court.py:167-170)
+    # tp06 ventricular cell type: 'epi' | 'endo' | 'm' select one uniform
+    # parameter set (models/tp06.CELL_TYPES); 'transmural' builds the
+    # canonical heterogeneous wedge — endo / M / epi bands along x at the
+    # `cell_type_bands` column fractions, realized as per-pixel g_to /
+    # g_Ks / endo-s-gate planes (IonicModel.set_het) so the APD gradient
+    # and its alternans/dispersion consequences are first-class.  Only
+    # tp06 consumes it (like `ultra_slow` for court_ultra).
+    cell_type: str = "epi"
+    cell_type_bands: Tuple[float, float] = (0.25, 0.60)
 
     # -- observability (reference ionic.py:190-191, 231-241) ------------------
     timeline: bool = False      # capture a profiler trace of one chunk
@@ -157,6 +166,17 @@ class SimConfig:
         if (self.substeps_per_launch is not None
                 and self.substeps_per_launch < 1):
             raise ValueError("substeps_per_launch must be >= 1")
+        if self.cell_type not in ("epi", "endo", "m", "transmural"):
+            raise ValueError(
+                f"unsupported cell_type: {self.cell_type!r} (epi / endo "
+                "/ m / transmural)"
+            )
+        b0, b1 = self.cell_type_bands
+        if not 0.0 < b0 < b1 < 1.0:
+            raise ValueError(
+                "cell_type_bands must satisfy 0 < endo|M < M|epi < 1 "
+                f"(got {self.cell_type_bands})"
+            )
         if self.mesh_mode not in ("auto", "spmd", "gspmd"):
             raise ValueError(f"unsupported mesh_mode: {self.mesh_mode}")
         if not 0.0 < self.fiber_ratio <= 1.0:

@@ -65,6 +65,7 @@ class Simulation:
         self.model = model
         self.cfg: SimConfig = model.cfg
         self.phase: Optional[np.ndarray] = None
+        self.dmap: Optional[np.ndarray] = None
         self._pace_masks: Dict[str, np.ndarray] = {}
         self._egm_masks: List[np.ndarray] = []
         self._ecg_weights: List[np.ndarray] = []
@@ -186,6 +187,31 @@ class Simulation:
             self.phase, self.cfg.height, self.cfg.width, x, y, radius, neg
         )
 
+    def set_diffusion_map(self, dmap):
+        """Attach a per-pixel RELATIVE diffusion map (dimensionless;
+        1 = the nominal `cfg.diff`, values < 1 slow conduction — patchy
+        fibrosis, gray-zone borders; stencil.fibrosis_map builds the
+        canonical random-patch substrate).  CV in a uniform-d region
+        scales as sqrt(d).  Beyond reference parity: the reference's only
+        spatial structure was the binary phase-field hole
+        (ionic.py:83-105); this is its continuous generalization, and it
+        composes with phase fields AND fiber anisotropy on every path
+        (XLA, whole-grid/tiled kernels, GSPMD, shard_map wide/narrow +
+        block kernel — tests/test_hetero.py).  Must precede define()."""
+        if self._defined:
+            raise AssertionError(
+                "set_diffusion_map must be called before define()"
+            )
+        dmap = np.asarray(dmap, np.float32)
+        if dmap.shape != (self.cfg.height, self.cfg.width):
+            raise ValueError(
+                f"diffusion map shape {dmap.shape} != grid "
+                f"{(self.cfg.height, self.cfg.width)}"
+            )
+        if not np.isfinite(dmap).all() or (dmap < 0).any():
+            raise ValueError("diffusion map must be finite and >= 0")
+        self.dmap = dmap
+
     def add_electrode(self, x, y, radius: float = 5.0):
         """Register a Gaussian virtual electrode whose masked mean rides the
         on-device probe stream (reference egm.py:5-12 computed this on the
@@ -218,7 +244,7 @@ class Simulation:
         a previous model's final state (checkpoint/resume; reference
         court.py:49-57, 623-626)."""
         self._geom = grid_geometry(self.phase, self.cfg.fiber_angle,
-                                   self.cfg.fiber_ratio)
+                                   self.cfg.fiber_ratio, dmap=self.dmap)
         init = state if state is not None else self.model.initial_state(s1=s1)
         init = {k: np.asarray(v, dtype=np.float32) for k, v in init.items()}
         if state is not None:
@@ -543,6 +569,7 @@ class Simulation:
                     self.model, phase=self.phase, fiber=self._fiber(),
                     pad=self._padded() is not None,
                     substeps_per_launch=self.cfg.substeps_per_launch,
+                    dmap=self.dmap,
                 )
             if self.cfg.substeps_per_launch is not None:
                 raise ValueError(
@@ -568,6 +595,7 @@ class Simulation:
                 tile_rows=tile_rows,
                 phase=self.phase,
                 fiber=self._fiber(),
+                dmap=self.dmap,
             )
         model, geom = self.model, self._geom
         return lambda state: model.step(state, geom)
@@ -769,6 +797,7 @@ class Simulation:
             self._mesh,
             length,
             phase=self.phase,
+            dmap=self.dmap,
             egm_masks=self._egm_masks or None,
             wide_halo=self._wide_halo,
             use_kernel=self._spmd_use_kernel(),

@@ -165,6 +165,80 @@ class IonicModel:
 
     def __init__(self, cfg: SimConfig):
         self.cfg = cfg
+        # per-pixel parameter planes (set_het); {} = homogeneous tissue
+        self.het: Dict[str, np.ndarray] = {}
+
+    # -- per-pixel parameter heterogeneity ---------------------------------------
+    #
+    # Heterogeneous-substrate support (epi/endo/M cell-type maps, regional
+    # chronic-AF remodeling, arbitrary per-pixel conductance scalings):
+    # each plane rides the STATE dict under a reserved "_p_<name>" key —
+    # models read it in solve() and pass it through unchanged.  Because
+    # they are ordinary state planes, every execution path carries them
+    # with zero extra plumbing: XLA scan, the whole-grid/tiled/block
+    # Pallas kernels (mapped by state_keys), GSPMD and shard_map sharding
+    # (sharded with the grid; wide-halo ghost rows arrive by the same
+    # ppermute as the dynamic planes and are exactly right because the
+    # planes are constant), ensembles, checkpoints, and adaptive-dt.  The
+    # recurring cost is one extra plane of HBM/ICI traffic per plane —
+    # measured small next to the 8-22 dynamic planes.  (The per-pixel
+    # DIFFUSION map is geometry, not an ionic parameter, and rides the
+    # phase-field plumbing instead: models/base.grid_geometry's `dmap`.)
+
+    HET_PREFIX = "_p_"
+    # names set_het accepts; subclasses that support heterogeneity
+    # override (e.g. TenTusscher06: g_to/g_ks/endo, Courtemanche: chronic)
+    HET_PARAMS: tuple = ()
+
+    def set_het(self, **planes):
+        """Attach per-pixel parameter planes, e.g.
+        `model.set_het(chronic=mask)`.  Values broadcast against the
+        grid: pass a full [H, W] float array (None removes a plane).
+        Must precede initial_state()/define().  Returns self."""
+        het = dict(self.het)
+        for name, arr in planes.items():
+            if name not in self.HET_PARAMS:
+                raise ValueError(
+                    f"{type(self).__name__} has no heterogeneous "
+                    f"parameter {name!r}; available: {self.HET_PARAMS}"
+                )
+            if arr is None:
+                het.pop(name, None)
+                continue
+            a = np.asarray(arr, np.float32)
+            if a.shape != self.state_shape():
+                raise ValueError(
+                    f"het plane {name!r} shape {a.shape} != grid "
+                    f"{self.state_shape()}"
+                )
+            if not np.isfinite(a).all():
+                raise ValueError(f"het plane {name!r} must be finite")
+            het[name] = a
+        self.het = het
+        return self
+
+    def het_keys(self) -> tuple:
+        """State-dict keys of the attached planes."""
+        return tuple(self.HET_PREFIX + k for k in sorted(self.het))
+
+    def attach_het(self, state: Dict[str, np.ndarray]):
+        """Add the _p_* planes to an initial-state dict (models call this
+        at the end of initial_state)."""
+        for name, arr in self.het.items():
+            state[self.HET_PREFIX + name] = np.asarray(arr, np.float32)
+        return state
+
+    def het_param(self, state: State, name: str, default):
+        """The per-pixel plane when attached, else the scalar default —
+        the single read point models use inside solve()."""
+        return state.get(self.HET_PREFIX + name, default)
+
+    def carry_het(self, state: State, out: State) -> State:
+        """Pass the constant planes through a solve() output."""
+        for k in state:
+            if k.startswith(self.HET_PREFIX):
+                out[k] = state[k]
+        return out
 
     # -- state -----------------------------------------------------------------
 
@@ -225,6 +299,13 @@ class IonicModel:
                 type(self)(self.cfg.replace(dt=self.cfg.dt / 2 ** k))
                 for k in range(1, self.cfg.adaptive_depth + 1)
             ]
+            for c in clones[1:]:
+                # het planes attached post-construction (set_het) must
+                # follow the clones, or refined substeps would silently
+                # fall back to the homogeneous scalars; config-derived
+                # planes (tp06 transmural) are rebuilt identically by the
+                # constructor and this overwrite is a no-op
+                c.het = dict(self.het)
             self._adaptive_clones = clones
         return clones
 

@@ -331,6 +331,13 @@ class Courtemanche(IonicModel):
         "Ca_i", "Ca_rel", "Ca_up", "Na_i", "K_i",
     )
     ultra_slow = False
+    # per-pixel heterogeneity (VERDICT r4 #1b): a [0, 1] plane that
+    # spatializes the reference's GLOBAL chronic-AF remodeling flag
+    # (court.py:193-194, 218 — i_to/i_Kur x(1-0.5c), i_Ca_L x(1-0.7c))
+    # into regional remodeling; 1 = fully remodeled, 0 = healthy, and
+    # intermediate values model the gray-zone border.  Overrides
+    # cfg.chronic where attached (models/base.set_het).
+    HET_PARAMS = ("chronic",)
 
     INITIAL_VALUES = {
         # court.py:57-78 / courtemanche.h:58-103
@@ -418,7 +425,7 @@ class Courtemanche(IonicModel):
         keys = tuple(self.INITIAL_VALUES.keys())
         if self.ultra_slow:
             keys = keys + ("us",)
-        return tuple(sorted(keys))
+        return tuple(sorted(keys + self.het_keys()))
 
     def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
         state = {k: self._full(val) for k, val in self.INITIAL_VALUES.items()}
@@ -426,7 +433,7 @@ class Courtemanche(IonicModel):
             state["us"] = self._full(0.72)  # steady state at 500 ms
         if s1:
             state["V"][:, :25] = 20.0  # 25-px left stripe (court.py:80-82)
-        return state
+        return self.attach_het(state)
 
     # -- multi-rate -------------------------------------------------------------
 
@@ -490,7 +497,11 @@ class Courtemanche(IonicModel):
         """
         dt_ = self.dt_for
         rt_f = (R_GAS * TEMP) / FARADAY
-        chronic = 1.0 if self.cfg.chronic else 0.0
+        # regional remodeling plane when attached (set_het), else the
+        # reference's global flag (court.py:167-170)
+        chronic = self.het_param(
+            state, "chronic", 1.0 if self.cfg.chronic else 0.0
+        )
 
         v = geom.enforce_boundary(state["V"])
         inter = self.intermediates(v)
@@ -607,7 +618,7 @@ class Courtemanche(IonicModel):
         return s1, inter
 
     def solve(self, state: State, geom: Geometry) -> State:
-        return self.solve_full(state, geom)[0]
+        return self.carry_het(state, self.solve_full(state, geom)[0])
 
     def substep_fns(self, geom: Geometry):
         """Launch-split schedule (models/base.substep_fns contract):
@@ -616,7 +627,8 @@ class Courtemanche(IonicModel):
         1-9 the shared fast-only body."""
         self._check_splittable()
         slow = [k for k in self.state_keys()
-                if k not in self.fast_states]
+                if k not in self.fast_states
+                and not k.startswith(self.HET_PREFIX)]
 
         def fast_only(s):
             s1 = self.solve(s, geom)
@@ -641,7 +653,10 @@ class Courtemanche(IonicModel):
         `unroll=False` puts the 9 identical fast-only substeps under
         lax.fori_loop (models/base.repeat_substeps).
         """
-        slow = [k for k in state if k not in self.fast_states]
+        # het planes are neither fast nor slow: they pass through the
+        # {**s, ...} spreads below untouched
+        slow = [k for k in state if k not in self.fast_states
+                and not k.startswith(self.HET_PREFIX)]
 
         if self.cfg.adaptive_dv is not None:
             # step-doubling on BOTH commit flavors.  Fast substeps refine
@@ -673,9 +688,10 @@ class Courtemanche(IonicModel):
                 state = fast_only(state)
             return state
         # fori_loop form: carry ONLY the fast planes — the 17 slow planes
-        # are loop-invariant and ride as closed-over constants instead of
-        # per-iteration carries
-        frozen = {k: state[k] for k in slow}
+        # (and any _p_ het planes) are loop-invariant and ride as
+        # closed-over constants instead of per-iteration carries
+        frozen = {k: state[k] for k in state
+                  if k not in self.fast_states}
 
         def body(_, fast_s):
             s1 = fast_only({**frozen, **fast_s})

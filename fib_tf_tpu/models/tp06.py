@@ -142,7 +142,7 @@ SLOW_GATES = ("f", "f2", "s", "xr1", "xs")
 DT_MAX = 0.05
 
 
-def gate_rates(v, xp=jnp, which=GATES_V, cell_type="epi"):
+def gate_rates(v, xp=jnp, which=GATES_V, cell_type="epi", endo_w=None):
     """(inf, tau) pairs of the voltage gates (TP06 appendix forms).
 
     `xp` is jnp (traced path) or np (definition-time steady-state
@@ -150,7 +150,15 @@ def gate_rates(v, xp=jnp, which=GATES_V, cell_type="epi"):
     branches evaluated — every sub-expression is finite in float32 over
     V in [-110, +70].  `which` lets the multi-rate step skip the slow
     -gate transcendentals on the substeps that freeze them; `cell_type`
-    selects the endocardial s-gate shape."""
+    selects the endocardial s-gate shape.
+
+    `endo_w` (per-pixel heterogeneity, VERDICT r4 #1a) is an optional
+    [H, W] blend plane in [0, 1]: the s-gate inf/tau become the linear
+    blend endo_w * endo-form + (1 - endo_w) * epi/M-form, so a
+    transmural wedge carries the endocardial repolarization shape where
+    the cell-type map says so (binary planes are exact per pixel;
+    endo_w = 0/1 reproduce the uniform forms bitwise).  Overrides
+    `cell_type` for the s gate only."""
     out = {}
     if "m" in which:
         m_inf = 1.0 / (1.0 + xp.exp((-56.86 - v) / 9.03)) ** 2
@@ -207,14 +215,22 @@ def gate_rates(v, xp=jnp, which=GATES_V, cell_type="epi"):
         tau = 9.5 * xp.exp(-((v + 40.0) ** 2) / 1800.0) + 0.8
         out["r"] = (inf, tau)
     if "s" in which:
-        if cell_type == "endo":
-            inf = 1.0 / (1.0 + xp.exp((v + 28.0) / 5.0))
-            tau = 1000.0 * xp.exp(-((v + 67.0) ** 2) / 1000.0) + 8.0
+        want_endo = endo_w is not None or cell_type == "endo"
+        want_other = endo_w is not None or cell_type != "endo"
+        if want_endo:
+            inf_e = 1.0 / (1.0 + xp.exp((v + 28.0) / 5.0))
+            tau_e = 1000.0 * xp.exp(-((v + 67.0) ** 2) / 1000.0) + 8.0
+        if want_other:
+            inf_o = 1.0 / (1.0 + xp.exp((v + 20.0) / 5.0))
+            tau_o = (85.0 * xp.exp(-((v + 45.0) ** 2) / 320.0)
+                     + 5.0 / (1.0 + xp.exp((v - 20.0) / 5.0)) + 3.0)
+        if endo_w is not None:
+            out["s"] = (endo_w * inf_e + (1.0 - endo_w) * inf_o,
+                        endo_w * tau_e + (1.0 - endo_w) * tau_o)
+        elif cell_type == "endo":
+            out["s"] = (inf_e, tau_e)
         else:
-            inf = 1.0 / (1.0 + xp.exp((v + 20.0) / 5.0))
-            tau = (85.0 * xp.exp(-((v + 45.0) ** 2) / 320.0)
-                   + 5.0 / (1.0 + xp.exp((v - 20.0) / 5.0)) + 3.0)
-        out["s"] = (inf, tau)
+            out["s"] = (inf_o, tau_o)
 
     if "d" in which:
         inf = 1.0 / (1.0 + xp.exp((-8.0 - v) / 7.5))
@@ -253,6 +269,25 @@ def k1_inf(v, e_k, xp=jnp):
     return a / (a + b)
 
 
+def transmural_planes(cfg: SimConfig):
+    """Per-pixel (g_to, g_ks, endo) planes of the canonical transmural
+    wedge: endo / M / epi bands along x at the `cfg.cell_type_bands`
+    column fractions (endo at the paced left edge, epi at the right —
+    the standard endo->epi activation sequence of a wedge preparation).
+    Returns float32 [H, W] arrays for IonicModel.set_het."""
+    b0, b1 = cfg.cell_type_bands
+    x = np.arange(cfg.width, dtype=np.float32) / float(cfg.width)
+    # 0 = endo, 1 = M, 2 = epi
+    band = np.where(x < b0, 0, np.where(x < b1, 1, 2))
+    g_to = np.choose(band, [CELL_TYPES["endo"][0], CELL_TYPES["m"][0],
+                            CELL_TYPES["epi"][0]]).astype(np.float32)
+    g_ks = np.choose(band, [CELL_TYPES["endo"][1], CELL_TYPES["m"][1],
+                            CELL_TYPES["epi"][1]]).astype(np.float32)
+    endo = (band == 0).astype(np.float32)
+    full = np.ones((cfg.height, 1), np.float32)
+    return full * g_to[None, :], full * g_ks[None, :], full * endo[None, :]
+
+
 class TenTusscher06(IonicModel):
     name = "tp06"
     min_v = -90.0
@@ -262,8 +297,15 @@ class TenTusscher06(IonicModel):
     pot_key = "V"
     default_dt = 0.02
     # 'epi' (default) | 'endo' | 'm' — a trace-time constant like
-    # LuoRudy91.g_si: selects (G_to, G_Ks) and the endo s-gate shape
+    # LuoRudy91.g_si: selects (G_to, G_Ks) and the endo s-gate shape.
+    # SimConfig.cell_type sets it per-run; 'transmural' instead attaches
+    # per-pixel g_to/g_ks/endo planes (HET_PARAMS below) for the banded
+    # wedge.
     cell_type = "epi"
+    # per-pixel heterogeneity (VERDICT r4 #1a): g_to / g_ks conductance
+    # planes and the endo s-gate blend plane, riding the state dict as
+    # _p_* planes (models/base.set_het)
+    HET_PARAMS = ("g_to", "g_ks", "endo")
     # concentrations feed Nernst logs / squared ratios — the adaptive-dt
     # acceptance keeps them strictly positive (ops/adaptive.py)
     positive_states = ("Cai", "CaSR", "CaSS", "Nai", "Ki")
@@ -276,13 +318,20 @@ class TenTusscher06(IonicModel):
                 f"(the paper integrates at 0.02 ms); use dt <= {DT_MAX} "
                 "(0.02 recommended) or enable adaptive_dv step-doubling"
             )
+        if cfg.cell_type == "transmural":
+            g_to, g_ks, endo = transmural_planes(cfg)
+            self.set_het(g_to=g_to, g_ks=g_ks, endo=endo)
+        else:
+            self.cell_type = cfg.cell_type
 
     # -- state ------------------------------------------------------------------
 
     def state_keys(self):
-        return ("CaSR", "CaSS", "Cai", "Ki", "Nai", "Rq", "V", "d", "f",
-                "f2", "fcass", "h", "j", "m", "r", "s", "xr1", "xr2",
-                "xs")
+        return tuple(sorted(
+            ("CaSR", "CaSS", "Cai", "Ki", "Nai", "Rq", "V", "d", "f",
+             "f2", "fcass", "h", "j", "m", "r", "s", "xr1", "xr2",
+             "xs") + self.het_keys()
+        ))
 
     def initial_state(self, s1: bool = True) -> Dict[str, np.ndarray]:
         """Rest at the paper's initial conditions (V = -86.2 mV,
@@ -309,17 +358,29 @@ class TenTusscher06(IonicModel):
                            cell_type=self.cell_type)
         for g, (inf, _tau) in rates.items():
             st[g] = self._full(float(inf))
+        if "endo" in self.het:
+            # per-pixel rest steady state of the blended s gate
+            endo_inf = float(gate_rates(np.float64(v_rest), xp=np,
+                                        cell_type="endo")["s"][0])
+            other_inf = float(st["s"][0, 0])
+            w = self.het["endo"]
+            st["s"] = (w * endo_inf + (1.0 - w) * other_inf
+                       ).astype(np.float32)
         fc_inf, _ = fcass_rates(np.float64(7e-5), xp=np)
         st["fcass"] = self._full(float(fc_inf))
-        return st
+        return self.attach_het(st)
 
     # -- dynamics ---------------------------------------------------------------
 
     def currents(self, v0, s):
         """The twelve membrane currents (TP06 appendix).  Gates and pools
         are the PRE-update planes (the zoo's Beeler-Reuter ordering
-        convention, br.py:160-168)."""
+        convention, br.py:160-168).  g_to / g_Ks come from the per-pixel
+        heterogeneity planes when attached (transmural wedges,
+        models/base.set_het), else the uniform cell-type constants."""
         g_to, g_ks = CELL_TYPES[self.cell_type]
+        g_to = self.het_param(s, "g_to", g_to)
+        g_ks = self.het_param(s, "g_ks", g_ks)
         cai, ca_ss = s["Cai"], s["CaSS"]
         nai, ki = s["Nai"], s["Ki"]
 
@@ -390,6 +451,7 @@ class TenTusscher06(IonicModel):
         dt = self.cfg.dt
         v0 = geom.enforce_boundary(state["V"])
         cai, ca_sr, ca_ss = state["Cai"], state["CaSR"], state["CaSS"]
+        endo_w = state.get(self.HET_PREFIX + "endo")
 
         out = {}
         for g, (inf, tau) in gate_rates(
@@ -398,7 +460,8 @@ class TenTusscher06(IonicModel):
             out[g] = rush_larsen(state[g], inf, tau, dt)
         if n > 0:
             for g, (inf, tau) in gate_rates(
-                v0, which=SLOW_GATES, cell_type=self.cell_type
+                v0, which=SLOW_GATES, cell_type=self.cell_type,
+                endo_w=endo_w,
             ).items():
                 out[g] = rush_larsen(state[g], inf, tau, dt * n)
         else:
@@ -452,7 +515,7 @@ class TenTusscher06(IonicModel):
         )
 
         out["V"] = v0 + self.cfg.diff * dt * geom.laplace(v0) - dt * i_sum
-        return out
+        return self.carry_het(state, out)
 
     @property
     def has_uniform_substeps(self) -> bool:

@@ -58,10 +58,14 @@ def _shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
 
 
 def vmem_laplace(
-    x: jnp.ndarray, phase: Optional[jnp.ndarray] = None
+    x: jnp.ndarray,
+    phase: Optional[jnp.ndarray] = None,
+    dmap: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """9-point REFLECT Laplacian via shifts (value-identical to
-    ops.stencil.laplace), plus phase-field correction when `phase` given."""
+    ops.stencil.laplace), plus phase-field correction when `phase` given
+    and the heterogeneous-conductivity form when `dmap` is (the q = ϕ·d
+    correction of stencil.conduction_correction)."""
     n = _shift(x, -1, 0)
     s = _shift(x, 1, 0)
     w = _shift(x, 0, -1)
@@ -71,6 +75,15 @@ def vmem_laplace(
     sw = _shift(x, 1, -1)
     se = _shift(x, 1, 1)
     l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
+    if dmap is not None:
+        l = dmap * l
+        q = dmap * phase if phase is not None else dmap
+        phi = phase if phase is not None else 1.0
+        qn = _shift(q, -1, 0)
+        qs = _shift(q, 1, 0)
+        qw = _shift(q, 0, -1)
+        qe = _shift(q, 0, 1)
+        return l + ((s - n) * (qs - qn) + (e - w) * (qe - qw)) / (4.0 * phi)
     if phase is not None:
         pn = _shift(phase, -1, 0)
         ps = _shift(phase, 1, 0)
@@ -86,10 +99,12 @@ def vmem_anisotropic_laplace(
     dxy: float,
     dyy: float,
     phase: Optional[jnp.ndarray] = None,
+    dmap: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Anisotropic tensor operator via shifts (value-identical to
-    ops.stencil.anisotropic_laplace incl. the x2 normalization and the
-    tensor phase-field correction)."""
+    ops.stencil.anisotropic_laplace incl. the x2 normalization, the
+    tensor phase-field correction, and the heterogeneous diffusion-map
+    composition)."""
     n = _shift(x, -1, 0)
     s = _shift(x, 1, 0)
     w = _shift(x, 0, -1)
@@ -102,6 +117,17 @@ def vmem_anisotropic_laplace(
     vyy = n - 2.0 * x + s
     vxy = 0.25 * (se + nw - sw - ne)
     l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+    if dmap is not None:
+        l = dmap * l
+        q = dmap * phase if phase is not None else dmap
+        phi = phase if phase is not None else 1.0
+        gx = e - w
+        gy = s - n
+        qx = _shift(q, 0, 1) - _shift(q, 0, -1)
+        qy = _shift(q, 1, 0) - _shift(q, -1, 0)
+        return l + (
+            gx * (dxx * qx + dxy * qy) + gy * (dxy * qx + dyy * qy)
+        ) / (4.0 * phi)
     if phase is not None:
         gx = e - w
         gy = s - n
@@ -124,18 +150,20 @@ def vmem_enforce_boundary(x: jnp.ndarray) -> jnp.ndarray:
 def vmem_geometry(
     phase: Optional[jnp.ndarray] = None,
     fiber: Optional[tuple] = None,
+    dmap: Optional[jnp.ndarray] = None,
 ) -> Geometry:
     """`fiber` = (dxx, dxy, dyy) from stencil.fiber_tensor selects the
-    anisotropic operator."""
+    anisotropic operator; `dmap` is the per-pixel relative diffusion map
+    (fibrosis), composable with both."""
     if fiber is not None:
         dxx, dxy, dyy = fiber
         return Geometry(
             laplace=lambda x: vmem_anisotropic_laplace(
-                x, dxx, dxy, dyy, phase),
+                x, dxx, dxy, dyy, phase, dmap),
             enforce_boundary=vmem_enforce_boundary,
         )
     return Geometry(
-        laplace=lambda x: vmem_laplace(x, phase),
+        laplace=lambda x: vmem_laplace(x, phase, dmap),
         enforce_boundary=vmem_enforce_boundary,
     )
 
@@ -178,6 +206,7 @@ def make_pallas_step(
     fiber: Optional[tuple] = None,
     pad: bool = False,
     substeps_per_launch: Optional[int] = None,
+    dmap: Optional[np.ndarray] = None,
 ):
     """Build `step(state) -> state`: `n_outer` outer steps (each
     dt_per_step substeps) as a single VMEM-resident Pallas kernel.
@@ -225,6 +254,16 @@ def make_pallas_step(
             )
     else:
         phase_f32 = None
+    has_dmap = dmap is not None
+    if has_dmap:
+        dmap_f32 = np.asarray(dmap, np.float32)
+        if pshape is not None:
+            dmap_f32 = np.pad(
+                dmap_f32, ((0, kh - h), (0, kw - w)),
+                mode="constant", constant_values=1.0,
+            )
+    else:
+        dmap_f32 = None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -236,8 +275,16 @@ def make_pallas_step(
             from fib_tf_tpu.ops import integrators
 
             ins = refs[:n]
-            phase_arr = refs[n][:] if has_phase else None
-            outs = refs[n + 1 :] if has_phase else refs[n:]
+            i = n
+            phase_arr = None
+            if has_phase:
+                phase_arr = refs[i][:]
+                i += 1
+            dmap_arr = None
+            if has_dmap:
+                dmap_arr = refs[i][:]
+                i += 1
+            outs = refs[i:]
             state = {k: r[:] for k, r in zip(names, ins)}
             if pshape is not None:
                 from fib_tf_tpu.ops.pallas_tiled import block_geometry
@@ -246,10 +293,11 @@ def make_pallas_step(
                 cg = (jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1)
                       if kw != w else None)
                 geom = block_geometry(
-                    rg, h, cg, w if kw != w else None, phase_arr, fiber
+                    rg, h, cg, w if kw != w else None, phase_arr, fiber,
+                    dmap_ext=dmap_arr,
                 )
             else:
-                geom = vmem_geometry(phase_arr, fiber)
+                geom = vmem_geometry(phase_arr, fiber, dmap_arr)
             # swap in the Mosaic-safe expm1 for the duration of the trace
             integrators._IN_PALLAS_KERNEL = True
             try:
@@ -262,7 +310,7 @@ def make_pallas_step(
         plane = jax.ShapeDtypeStruct((kh, kw), jnp.float32)
         spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)
 
-        n_in = n + (1 if has_phase else 0)
+        n_in = n + (1 if has_phase else 0) + (1 if has_dmap else 0)
         return pl.pallas_call(
             kernel,
             out_shape=[plane] * n,
@@ -310,14 +358,13 @@ def make_pallas_step(
 
     def step(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         args = [state[k] for k in names]
+        extras = []
         if has_phase:
-            phase_dev = jnp.asarray(phase_f32)
+            extras.append(jnp.asarray(phase_f32))
+        if has_dmap:
+            extras.append(jnp.asarray(dmap_f32))
         for call in seq:
-            if has_phase:
-                outs = call(*args, phase_dev)
-            else:
-                outs = call(*args)
-            args = list(outs)
+            args = list(call(*args, *extras))
         return dict(zip(names, args))
 
     return step

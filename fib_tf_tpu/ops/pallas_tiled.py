@@ -65,6 +65,7 @@ def block_geometry(
     w_total: Optional[int] = None,
     phase_ext: Optional[jnp.ndarray] = None,
     fiber: Optional[tuple] = None,
+    dmap_ext: Optional[jnp.ndarray] = None,
 ) -> Geometry:
     """Geometry over a block extended with halo rows (and, when `cg` is
     given, halo columns).
@@ -75,6 +76,10 @@ def block_geometry(
     and use plain REFLECT semantics; with `cg` ([1, ext_w] global column
     indices) the same global-edge masking applies along columns — the 2D
     wide-halo case.
+
+    `dmap_ext` is the per-pixel relative diffusion map on the SAME
+    extended block (fibrosis; stencil.conduction_correction convention),
+    composable with both the phase field and the fiber tensor.
     """
     top = rg == 0
     bottom = rg == h_total - 1
@@ -125,6 +130,19 @@ def block_geometry(
             vyy = n - 2.0 * x + s
             vxy = 0.25 * (se + nw - sw - ne)
             l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+            if dmap_ext is not None:
+                l = dmap_ext * l
+                q = (dmap_ext * phase_ext if phase_ext is not None
+                     else dmap_ext)
+                phi = phase_ext if phase_ext is not None else 1.0
+                gx = e - w
+                gy = s - n
+                qx = east(q) - west(q)
+                qy = south(q) - north(q)
+                return l + (
+                    gx * (dxx * qx + dxy * qy)
+                    + gy * (dxy * qx + dyy * qy)
+                ) / (4.0 * phi)
             if phase_ext is not None:
                 p = phase_ext
                 gx = e - w
@@ -137,6 +155,15 @@ def block_geometry(
                 ) / (4.0 * p)
             return l
         l = n + s + w + e + 0.5 * (nw + ne + sw + se) - 6.0 * x
+        if dmap_ext is not None:
+            l = dmap_ext * l
+            q = (dmap_ext * phase_ext if phase_ext is not None
+                 else dmap_ext)
+            phi = phase_ext if phase_ext is not None else 1.0
+            return l + (
+                (s - n) * (south(q) - north(q))
+                + (e - w) * (east(q) - west(q))
+            ) / (4.0 * phi)
         if phase_ext is not None:
             p = phase_ext
             pn = north(p)
@@ -156,10 +183,12 @@ def block_geometry(
 
 def tile_geometry(rg: jnp.ndarray, h_total: int,
                   phase_ext: Optional[jnp.ndarray] = None,
-                  fiber: Optional[tuple] = None) -> Geometry:
+                  fiber: Optional[tuple] = None,
+                  dmap_ext: Optional[jnp.ndarray] = None) -> Geometry:
     """Row-extended block geometry (full-width columns) — the tiled
     kernel's and 1D wide-halo's case."""
-    return block_geometry(rg, h_total, phase_ext=phase_ext, fiber=fiber)
+    return block_geometry(rg, h_total, phase_ext=phase_ext, fiber=fiber,
+                          dmap_ext=dmap_ext)
 
 
 def halo_rows(dt_per_step: int) -> int:
@@ -181,6 +210,7 @@ def make_block_kernel(
     interpret: Optional[bool] = None,
     fiber: Optional[tuple] = None,
     substeps_per_launch: Optional[int] = None,
+    has_dmap: bool = False,
 ):
     """Fused substep-group kernel over ONE halo-extended block — the
     per-shard compute of the wide-halo shard_map path (parallel/spmd.py).
@@ -223,7 +253,11 @@ def make_block_kernel(
             if two_d:
                 cstart_ref = refs[i]
                 i += 1
-            phase_ext = refs[i][:] if has_phase else None
+            phase_ext = None
+            if has_phase:
+                phase_ext = refs[i][:]
+                i += 1
+            dmap_ext = refs[i][:] if has_dmap else None
             outs = refs[-n:]
 
             rg = rstart_ref[0] + jax.lax.broadcasted_iota(
@@ -235,7 +269,7 @@ def make_block_kernel(
                     jnp.int32, (1, ext_w), 1
                 )
             geom = block_geometry(rg, h_total, cg, w_total, phase_ext,
-                                  fiber)
+                                  fiber, dmap_ext=dmap_ext)
             state = {kk: r[:] for kk, r in zip(names, ins)}
             integrators._IN_PALLAS_KERNEL = True
             try:
@@ -252,6 +286,8 @@ def make_block_kernel(
             memory_space=pl.ANY if interpret else pltpu.SMEM)
         in_specs = [vspec] * n + [sspec] + ([sspec] if two_d else [])
         if has_phase:
+            in_specs.append(vspec)
+        if has_dmap:
             in_specs.append(vspec)
         return pl.pallas_call(
             kernel,
@@ -286,13 +322,16 @@ def make_block_kernel(
     else:
         seq = [build_call(lambda s, g: model.kernel_step(s, g))]
 
-    def step(ext_state, rstart, cstart=None, phase_ext=None):
+    def step(ext_state, rstart, cstart=None, phase_ext=None,
+             dmap_ext=None):
         args = [ext_state[kk] for kk in names]
         extras = [jnp.asarray(rstart, jnp.int32).reshape(1)]
         if two_d:
             extras.append(jnp.asarray(cstart, jnp.int32).reshape(1))
         if has_phase:
             extras.append(phase_ext)
+        if has_dmap:
+            extras.append(dmap_ext)
         for call in seq:
             args = list(call(*args, *extras))
         return dict(zip(names, args))
@@ -307,6 +346,7 @@ def make_tiled_pallas_step(
     interpret: Optional[bool] = None,
     double_buffer: Optional[bool] = None,
     fiber: Optional[tuple] = None,
+    dmap: Optional[np.ndarray] = None,
 ):
     """Build `step(state) -> state`: one outer step (all dt_per_step
     substeps) as a row-tiled temporally-blocked Pallas kernel.
@@ -334,12 +374,14 @@ def make_tiled_pallas_step(
     n = len(names)
     has_phase = phase is not None
     phase_f32 = np.asarray(phase, np.float32) if has_phase else None
+    has_dmap = dmap is not None
+    dmap_f32 = np.asarray(dmap, np.float32) if has_dmap else None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if double_buffer is None:
         double_buffer = False
 
-    n_in = n + (1 if has_phase else 0)
+    n_in = n + (1 if has_phase else 0) + (1 if has_dmap else 0)
 
     def tile_start(tile_idx):
         # clamp the loaded window to the array; the tile's rows sit at a
@@ -355,8 +397,13 @@ def make_tiled_pallas_step(
         from fib_tf_tpu.ops import integrators
 
         rg = start + jax.lax.broadcasted_iota(jnp.int32, (ext_h, 1), 0)
-        phase_ext = read(n) if has_phase else None
-        geom = tile_geometry(rg, h, phase_ext, fiber)
+        i_extra = n
+        phase_ext = None
+        if has_phase:
+            phase_ext = read(i_extra)
+            i_extra += 1
+        dmap_ext = read(i_extra) if has_dmap else None
+        geom = tile_geometry(rg, h, phase_ext, fiber, dmap_ext)
 
         state = {kk: read(i) for i, kk in enumerate(names)}
         integrators._IN_PALLAS_KERNEL = True
@@ -475,6 +522,8 @@ def make_tiled_pallas_step(
         args = [state[kk] for kk in names]
         if has_phase:
             args.append(jnp.asarray(phase_f32))
+        if has_dmap:
+            args.append(jnp.asarray(dmap_f32))
         outs = call(*args)
         return dict(zip(names, outs))
 

@@ -37,6 +37,7 @@ def laplace(
     x: jnp.ndarray,
     phase: Optional[jnp.ndarray] = None,
     phase_padded: Optional[jnp.ndarray] = None,
+    dmap_padded: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """2D 9-point Laplacian with REFLECT boundary handling.
 
@@ -44,12 +45,23 @@ def laplace(
       l = N + S + W + E + 0.5*(NW + NE + SW + SE) - 6*C
     with an optional phase-field correction added when `phase` is given.
 
+    `dmap_padded` is an optional REFLECT-padded per-pixel RELATIVE
+    diffusion map d (dimensionless, 1 = nominal `diff`): the operator
+    becomes the heterogeneous-conductivity form
+        d*lap9(x) + (∇x · ∇(ϕ d)) / ϕ
+    so that `diff * laplace(...)` discretizes (1/ϕ)∇·(ϕ d diff ∇x) —
+    patchy fibrosis, regional slow-conduction substrates, gray-zone
+    borders.  At d ≡ 1 this reduces EXACTLY to the phase-field form
+    (and with no phase, to ∇·(d∇x) with the reference's correction
+    -weighting quirk preserved — see conduction_correction).
+
     Args:
       x: `[H, W]` field.
       phase: optional `[H, W]` phase field ϕ (static across the run).
       phase_padded: optional precomputed REFLECT-padded ϕ of shape
         `[H+2, W+2]`; pass this from the engine to avoid re-padding a
         constant every substep (the values are identical).
+      dmap_padded: optional REFLECT-padded `[H+2, W+2]` diffusion map.
     """
     xp = _reflect_pad(x)
     l = (
@@ -57,9 +69,16 @@ def laplace(
         + 0.5 * (xp[:-2, :-2] + xp[2:, :-2] + xp[:-2, 2:] + xp[2:, 2:])
         - 6.0 * xp[1:-1, 1:-1]
     )
-    if phase is not None or phase_padded is not None:
-        if phase_padded is None:
-            phase_padded = _reflect_pad(phase)
+    if phase is not None and phase_padded is None:
+        phase_padded = _reflect_pad(phase)
+    if dmap_padded is not None:
+        l = dmap_padded[1:-1, 1:-1] * l
+        q = (dmap_padded * phase_padded if phase_padded is not None
+             else dmap_padded)
+        phi_c = (phase_padded[1:-1, 1:-1] if phase_padded is not None
+                 else 1.0)
+        return l + conduction_correction(xp, q, phi_c)
+    if phase_padded is not None:
         l = l + phase_field_correction(xp, phase_padded)
     return l
 
@@ -90,6 +109,7 @@ def anisotropic_laplace(
     dxy: float,
     dyy: float,
     phase_padded: Optional[jnp.ndarray] = None,
+    dmap_padded: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Anisotropic diffusion operator dxx*Vxx + 2*dxy*Vxy + dyy*Vyy with
     REFLECT boundary handling (constant diffusion tensor).
@@ -105,6 +125,11 @@ def anisotropic_laplace(
     9-point stencil, which evaluates to 2*laplacian (on V = x^2 it
     returns 4, ionic.py:49-53) — so fiber_ratio=1 reproduces the
     isotropic conduction speed at the same `diff` coefficient.
+
+    `dmap_padded` composes a per-pixel relative diffusion map d with the
+    fiber tensor: d·(tensor operator) + (∇x · D∇(ϕd))/ϕ — fibrotic
+    patches inside anisotropic tissue (see `laplace` / the
+    conduction_correction weighting convention).
     """
     xp = _reflect_pad(x)
     c = xp[1:-1, 1:-1]
@@ -114,6 +139,19 @@ def anisotropic_laplace(
         xp[2:, 2:] + xp[:-2, :-2] - xp[2:, :-2] - xp[:-2, 2:]
     )
     l = 2.0 * (dxx * vxx + 2.0 * dxy * vxy + dyy * vyy)
+    if dmap_padded is not None:
+        l = dmap_padded[1:-1, 1:-1] * l
+        q = (dmap_padded * phase_padded if phase_padded is not None
+             else dmap_padded)
+        phi_c = (phase_padded[1:-1, 1:-1] if phase_padded is not None
+                 else 1.0)
+        gx = xp[1:-1, 2:] - xp[1:-1, :-2]
+        gy = xp[2:, 1:-1] - xp[:-2, 1:-1]
+        qx = q[1:-1, 2:] - q[1:-1, :-2]
+        qy = q[2:, 1:-1] - q[:-2, 1:-1]
+        return l + (
+            gx * (dxx * qx + dxy * qy) + gy * (dxy * qx + dyy * qy)
+        ) / (4.0 * phi_c)
     if phase_padded is not None:
         l = l + anisotropic_phase_correction(
             xp, phase_padded, dxx, dxy, dyy
@@ -173,6 +211,30 @@ def phase_field_correction(
     ) / (4.0 * p[1:-1, 1:-1])
 
 
+def conduction_correction(
+    x_padded: jnp.ndarray,
+    q_padded: jnp.ndarray,
+    phi_center,
+) -> jnp.ndarray:
+    """Generalized no-flux/heterogeneity correction (∇x · ∇q) / ϕ via
+    central differences on padded arrays, where q = ϕ·d is the product
+    of the phase field and the relative diffusion map (either may be
+    identically 1).  `phi_center` is ϕ at the cell centers (`[H, W]`
+    array, or the scalar 1.0 without a phase field).
+
+    With d ≡ 1 (q = ϕ, phi_center = ϕ) this is EXACTLY
+    `phase_field_correction` — including the reference's weighting
+    quirk, where the correction enters at half the relative weight of
+    the 2x-normalized 9-point Laplacian (ionic.py:70-81 vs :49-53); the
+    heterogeneous-d form keeps the same convention so a uniform-d patch
+    conducts exactly like a globally scaled `diff`."""
+    X, q = x_padded, q_padded
+    return (
+        (X[2:, 1:-1] - X[:-2, 1:-1]) * (q[2:, 1:-1] - q[:-2, 1:-1])
+        + (X[1:-1, 2:] - X[1:-1, :-2]) * (q[1:-1, 2:] - q[1:-1, :-2])
+    ) / (4.0 * phi_center)
+
+
 def enforce_boundary(x: jnp.ndarray) -> jnp.ndarray:
     """No-flux (Neumann) boundary: SYMMETRIC pad of the interior.
 
@@ -216,6 +278,42 @@ def add_hole_to_phase_field(
             0.5 * (np.tanh(dist - radius) + 1.0), dtype=np.float32
         )
     return np.maximum(phase, 1e-5).astype(np.float32)
+
+
+def fibrosis_map(
+    height: int,
+    width: int,
+    density: float = 0.25,
+    strength: float = 0.8,
+    seed: int = 0,
+    patch: int = 4,
+) -> np.ndarray:
+    """Patchy fibrotic relative-diffusion map (host-side, definition
+    time): 1.0 in healthy tissue, `1 - strength` inside fibrotic patches
+    covering ~`density` of the area, generated as thresholded
+    coarse-grained uniform noise with `patch`-cell correlation length —
+    the standard percolation-style substrate for fibrotic conduction
+    slowing / micro-reentry studies.  Feed to
+    `Simulation.set_diffusion_map` (beyond reference parity: the
+    reference's only spatial structure was the binary hole,
+    ionic.py:83-105)."""
+    if not 0.0 <= density <= 1.0:
+        raise ValueError("density must be in [0, 1]")
+    if not 0.0 <= strength <= 1.0:
+        raise ValueError("strength must be in [0, 1] (1 = full block)")
+    d = np.ones((height, width), np.float32)
+    if density <= 0.0 or strength == 0.0:
+        return d
+    if density >= 1.0:
+        return np.full_like(d, 1.0 - strength)
+    rng = np.random.RandomState(seed)
+    ch = -(-height // patch)
+    cw = -(-width // patch)
+    noise = rng.rand(ch, cw)
+    thr = np.quantile(noise, 1.0 - density)
+    fib = np.kron(noise >= thr, np.ones((patch, patch), dtype=bool))
+    d[fib[:height, :width]] = 1.0 - strength
+    return d
 
 
 # -----------------------------------------------------------------------------

@@ -50,12 +50,14 @@ def halo_laplace(
     x: jnp.ndarray,
     axis_name: str,
     phase_ext: Optional[jnp.ndarray] = None,
+    dmap_ext: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """9-point Laplacian of a row-sharded block, bitwise-matching
     `ops.stencil.laplace` on the gathered array.
 
-    `phase_ext`, if given, is the phase field already extended to
-    [h+2, w+2] (ghost rows + REFLECT-padded columns) by `extend_phase`.
+    `phase_ext` / `dmap_ext`, if given, are the phase field / relative
+    diffusion map already extended to [h+2, w+2] (ghost rows +
+    REFLECT-padded columns) by `extend_phase`.
     """
     ext = _extend_rows(x, axis_name)               # [h+2, w]
     xp = jnp.pad(ext, ((0, 0), (1, 1)), mode="reflect")  # [h+2, w+2]
@@ -64,6 +66,12 @@ def halo_laplace(
         + 0.5 * (xp[:-2, :-2] + xp[2:, :-2] + xp[:-2, 2:] + xp[2:, 2:])
         - 6.0 * xp[1:-1, 1:-1]
     )
+    if dmap_ext is not None:
+        l = dmap_ext[1:-1, 1:-1] * l
+        q = (dmap_ext * phase_ext if phase_ext is not None
+             else dmap_ext)
+        phi_c = (phase_ext[1:-1, 1:-1] if phase_ext is not None else 1.0)
+        return l + stencil.conduction_correction(xp, q, phi_c)
     if phase_ext is not None:
         l = l + stencil.phase_field_correction(xp, phase_ext)
     return l
@@ -97,13 +105,14 @@ def extend_phase(phase_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 
 def halo_geometry(
-    axis_name: str, phase_ext: Optional[jnp.ndarray] = None
+    axis_name: str, phase_ext: Optional[jnp.ndarray] = None,
+    dmap_ext: Optional[jnp.ndarray] = None,
 ) -> Geometry:
     """A Geometry whose operators run on row-sharded local blocks inside
     `shard_map`, exchanging halos over ICI."""
     return Geometry(
         laplace=partial(halo_laplace, axis_name=axis_name,
-                        phase_ext=phase_ext),
+                        phase_ext=phase_ext, dmap_ext=dmap_ext),
         enforce_boundary=partial(halo_enforce_boundary, axis_name=axis_name),
     )
 
@@ -148,6 +157,7 @@ def halo_laplace_2d(
     row_axis: str,
     col_axis: str,
     phase_ext: Optional[jnp.ndarray] = None,
+    dmap_ext: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """9-point Laplacian of a [rows, cols]-sharded block, bitwise-matching
     `ops.stencil.laplace` on the gathered array."""
@@ -157,6 +167,12 @@ def halo_laplace_2d(
         + 0.5 * (xp[:-2, :-2] + xp[2:, :-2] + xp[:-2, 2:] + xp[2:, 2:])
         - 6.0 * xp[1:-1, 1:-1]
     )
+    if dmap_ext is not None:
+        l = dmap_ext[1:-1, 1:-1] * l
+        q = (dmap_ext * phase_ext if phase_ext is not None
+             else dmap_ext)
+        phi_c = (phase_ext[1:-1, 1:-1] if phase_ext is not None else 1.0)
+        return l + stencil.conduction_correction(xp, q, phi_c)
     if phase_ext is not None:
         l = l + stencil.phase_field_correction(xp, phase_ext)
     return l
@@ -189,12 +205,14 @@ def extend_phase_2d(
 
 
 def halo_geometry_2d(
-    row_axis: str, col_axis: str, phase_ext: Optional[jnp.ndarray] = None
+    row_axis: str, col_axis: str, phase_ext: Optional[jnp.ndarray] = None,
+    dmap_ext: Optional[jnp.ndarray] = None,
 ) -> Geometry:
     """Geometry over [rows, cols]-sharded local blocks (2D mesh)."""
     return Geometry(
         laplace=partial(halo_laplace_2d, row_axis=row_axis,
-                        col_axis=col_axis, phase_ext=phase_ext),
+                        col_axis=col_axis, phase_ext=phase_ext,
+                        dmap_ext=dmap_ext),
         enforce_boundary=partial(halo_enforce_boundary_2d,
                                  row_axis=row_axis, col_axis=col_axis),
     )

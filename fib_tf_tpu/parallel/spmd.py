@@ -164,6 +164,7 @@ def make_spmd_chunk(
     mesh: Mesh,
     length: int,
     phase: Optional[np.ndarray] = None,
+    dmap: Optional[np.ndarray] = None,
     egm_masks: Optional[list] = None,
     wide_halo: bool = False,
     use_kernel: bool = False,
@@ -254,6 +255,10 @@ def make_spmd_chunk(
 
     has_phase = phase is not None
     phase_arr = jnp.asarray(phase) if has_phase else None
+    # per-pixel relative diffusion map (fibrosis): shards with the grid,
+    # extended once per chunk exactly like the phase field
+    has_dmap = dmap is not None
+    dmap_arr = jnp.asarray(dmap) if has_dmap else None
     # the reference probes the phase-masked image (ionic.py:213-216);
     # phase is static so a scalar factor at the probe pixel is identical
     probe_scale = (
@@ -267,6 +272,10 @@ def make_spmd_chunk(
         phase_local = None
         if has_phase:
             phase_local = extras[i]
+            i += 1
+        dmap_local = None
+        if has_dmap:
+            dmap_local = extras[i]
             i += 1
         local_masks = extras[i:i + len(masks)]
         local_ecg_w = extras[i + len(masks):]
@@ -311,7 +320,8 @@ def make_spmd_chunk(
                 def crop(v):
                     return v[k:-k]
             phase_ext = extend(phase_local) if has_phase else None
-            if local_ecg_w and fiber is None:
+            dmap_ext_b = extend(dmap_local) if has_dmap else None
+            if local_ecg_w and fiber is None and not has_dmap:
                 # probe-only 1-ring halo Laplacian (the K-row exchange
                 # above feeds the step; the ECG source term needs one
                 # extra 1-row/col ring per emission — cheap, per outer
@@ -332,12 +342,11 @@ def make_spmd_chunk(
                 def ecg_lap(v, _g=eg):
                     return _g.laplace(_g.enforce_boundary(v))
             elif local_ecg_w:
-                # fiber source term: extend V by ONE ghost ring and run
-                # block_geometry's anisotropic tensor operator on the
+                # fiber and/or dmap source term: extend V by ONE ghost
+                # ring and run block_geometry's operator on the
                 # extension (enforce_boundary is mask-based — costs no
                 # ring; the operator costs exactly one), then crop.
-                # Value-identical to the unsharded
-                # stencil.anisotropic_laplace source.
+                # Value-identical to the unsharded stencil source.
                 rg1 = (lax.axis_index(axis) * h_local - 1
                        + jax.lax.broadcasted_iota(
                            jnp.int32, (h_local + 2, 1), 0))
@@ -365,6 +374,7 @@ def make_spmd_chunk(
                     rg1, cfg.height, cg1,
                     cfg.width if is_2d else None,
                     ext1e(phase_local) if has_phase else None, fiber,
+                    dmap_ext=(ext1e(dmap_local) if has_dmap else None),
                 )
 
                 def ecg_lap(v):
@@ -383,16 +393,19 @@ def make_spmd_chunk(
                     cfg.width if is_2d else None, is_2d, has_phase,
                     fiber=fiber,
                     substeps_per_launch=substeps_per_launch,
+                    has_dmap=has_dmap,
                 )
                 cstart_val = cstart if is_2d else None
 
                 def advance(s):
                     ext = {kk: extend(v) for kk, v in s.items()}
-                    ext = kern(ext, rstart, cstart_val, phase_ext)
+                    ext = kern(ext, rstart, cstart_val, phase_ext,
+                               dmap_ext_b)
                     return {kk: crop(v) for kk, v in ext.items()}
             else:
                 geom = block_geometry(
-                    rg, cfg.height, cg, cfg.width, phase_ext, fiber
+                    rg, cfg.height, cg, cfg.width, phase_ext, fiber,
+                    dmap_ext=dmap_ext_b,
                 )
 
                 def advance(s):
@@ -409,7 +422,11 @@ def make_spmd_chunk(
                 extend_phase_2d(phase_local, axis, col_axis)
                 if has_phase else None
             )
-            geom = halo_geometry_2d(axis, col_axis, phase_ext)
+            dmap_ext1 = (
+                extend_phase_2d(dmap_local, axis, col_axis)
+                if has_dmap else None
+            )
+            geom = halo_geometry_2d(axis, col_axis, phase_ext, dmap_ext1)
 
             def ecg_lap(v, _g=geom):
                 return _g.laplace(_g.enforce_boundary(v))
@@ -421,7 +438,10 @@ def make_spmd_chunk(
             phase_ext = (
                 extend_phase(phase_local, axis) if has_phase else None
             )
-            geom = halo_geometry(axis, phase_ext)
+            dmap_ext1 = (
+                extend_phase(dmap_local, axis) if has_dmap else None
+            )
+            geom = halo_geometry(axis, phase_ext, dmap_ext1)
 
             def ecg_lap(v, _g=geom):
                 return _g.laplace(_g.enforce_boundary(v))
@@ -531,6 +551,8 @@ def make_spmd_chunk(
     in_specs = [state_spec]
     if has_phase:
         in_specs.append(plane)
+    if has_dmap:
+        in_specs.append(plane)
     in_specs.extend(plane for _ in masks)
     in_specs.extend(plane for _ in ecg_w_arrs)
 
@@ -559,7 +581,8 @@ def make_spmd_chunk(
     # is per-shard HBM only
     @jax.jit
     def chunk(state):
-        return fn(state, *( [phase_arr] if has_phase else [] ), *masks,
+        return fn(state, *( [phase_arr] if has_phase else [] ),
+                  *( [dmap_arr] if has_dmap else [] ), *masks,
                   *ecg_w_arrs)
 
     return chunk
