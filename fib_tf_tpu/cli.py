@@ -749,6 +749,7 @@ def cmd_apdmap(args) -> int:
             "median_alternans_ms": None if not r.valid.any() else round(
                 float(np.nanmedian(r.alternans[r.valid])), 2),
             "discordance": None if disc is None else round(disc, 3),
+            "truncated_fraction": round(r.truncated_fraction, 3),
         }))
     else:
         if r.valid.any():

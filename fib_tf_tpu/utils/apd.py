@@ -35,7 +35,27 @@ class ApdMapResult:
     t_up_last: np.ndarray   # [H, W] upstroke time of the last beat (ms)
     t_up_prev: np.ndarray   # [H, W] upstroke time of the previous beat
     n_beats: np.ndarray     # [H, W] int count of complete beats seen
-    valid: np.ndarray       # [H, W] bool, >= 2 complete beats
+    valid: np.ndarray       # [H, W] bool, >= 2 complete beats AND the
+    #                         movie's tail repolarized (not `truncated`)
+    truncated: np.ndarray = None  # [H, W] bool: final beat cut by the
+    #                         movie's end (still above threshold at the
+    #                         last frame) — such pixels would silently
+    #                         read a phase-flipped EARLIER beat pair, so
+    #                         they are excluded from `valid`
+
+    @property
+    def truncated_fraction(self) -> float:
+        """Fraction of firing tissue whose final beat the movie cut
+        off.  More than a few percent means the recording should be
+        extended (~APD_max + conduction time past the last stimulus)
+        before trusting cross-pixel phase claims."""
+        if self.truncated is None:
+            return 0.0
+        firing = self.n_beats >= 1
+        denom = int(firing.sum())
+        if denom == 0:
+            return 0.0
+        return float((self.truncated & firing).sum() / denom)
 
     @property
     def discordance(self) -> Optional[float]:
@@ -90,9 +110,12 @@ def apd_map(
     For CROSS-PIXEL phase comparisons (the signed map / `discordance`)
     the movie must include enough tail for the final beat to
     repolarize at EVERY pixel: a pixel whose last beat is cut off at
-    the movie's end silently reads the previous beat pair, which flips
-    its phase in an alternating rhythm (in a paced protocol, record
-    ~APD_max + conduction time past the last stimulus).
+    the movie's end would otherwise silently read the previous beat
+    pair, which flips its phase in an alternating rhythm.  Such pixels
+    are DETECTED (still above threshold at the last frame), reported in
+    `truncated`, excluded from `valid`, and a UserWarning fires when
+    they exceed 2% of firing tissue — record ~APD_max + conduction time
+    past the last stimulus to avoid them.
     """
     movie = np.asarray(movie, np.float32)
     if movie.ndim != 3:
@@ -166,14 +189,29 @@ def apd_map(
     t_up_p, apd_p, ok_p = beat(2)
     # distinct beats required (rank bookkeeping guarantees it when both
     # exist, but a single beat would alias: want_f differs so it can't)
-    valid = ok_l & ok_p
+    # tail guard: a pixel still above threshold at the movie's end has
+    # its ongoing beat cut off — "last complete" is then an EARLIER
+    # beat, phase-flipped relative to fully-recorded neighbours
+    truncated = amp_ok & above[-1]
+    valid = ok_l & ok_p & ~truncated
     alternans = np.where(valid, np.abs(apd_l - apd_p), np.nan)
-    return ApdMapResult(
+    res = ApdMapResult(
         apd_last=apd_l, apd_prev=apd_p, alternans=alternans,
         t_up_last=t_up_l, t_up_prev=t_up_p,
         n_beats=np.minimum(n_rising, n_falling).astype(np.int32),
-        valid=valid,
+        valid=valid, truncated=truncated,
     )
+    if res.truncated_fraction > 0.02:
+        import warnings
+
+        warnings.warn(
+            f"apd_map: {res.truncated_fraction:.1%} of firing pixels "
+            "still above threshold at the movie's end (final beat cut "
+            "off — excluded from `valid`); extend the recording by "
+            "~APD_max + conduction time past the last stimulus",
+            UserWarning, stacklevel=2,
+        )
+    return res
 
 
 def plot_apd_map(path: str, r: ApdMapResult) -> None:

@@ -62,17 +62,44 @@ class TestSynthetic:
         assert not r.valid[1, 1]          # never fired
         assert r.discordance is None      # nothing alternates > 1 ms
 
-    def test_unfinished_last_beat_ignored(self):
-        """A beat still above threshold at the movie's end must not
-        count: the last two COMPLETE beats are read instead."""
+    def test_unfinished_last_beat_truncated(self):
+        """A beat still above threshold at the movie's end means this
+        pixel would read a phase-flipped EARLIER beat pair — it must be
+        flagged `truncated` and excluded from `valid` (the r4-discovered
+        failure mode; the earlier pair is still reported for
+        inspection), and crossing the 2% budget raises the warning."""
         mv = np.full((200, 1, 1), -85.0, np.float32)
         mv[10:40] = 20.0
         mv[80:110] = 20.0
         mv[150:] = 20.0     # never repolarizes in frame
-        r = apd_map(mv, 1.0)
-        assert r.valid[0, 0]
+        with pytest.warns(UserWarning, match="cut off"):
+            r = apd_map(mv, 1.0)
+        assert r.truncated[0, 0]
+        assert r.truncated_fraction == 1.0
+        assert not r.valid[0, 0]
+        # the earlier complete pair is still visible to a caller who
+        # understands the flag
         assert r.apd_last[0, 0] == pytest.approx(30.8, abs=1.0)
         assert r.apd_prev[0, 0] == pytest.approx(30.8, abs=1.0)
+
+    def test_truncated_partial_grid(self):
+        """Only the cut-off pixels lose validity; fully-recorded ones
+        keep theirs, and a <=2% fraction stays silent."""
+        mv = np.tile(np.full((200, 1, 1), -85.0, np.float32), (1, 10, 10))
+        mv[10:40] = 20.0
+        mv[80:110] = 20.0
+        mv[150:180] = 20.0
+        mv[190:, 0, 0] = 20.0   # 1 of 100 pixels: new beat cut off
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # 1% < 2%: no warning
+            r = apd_map(mv, 1.0)
+        assert r.truncated[0, 0] and not r.valid[0, 0]
+        assert r.truncated.sum() == 1
+        assert r.truncated_fraction == pytest.approx(0.01)
+        assert r.valid[5, 5]
+        assert r.apd_last[5, 5] == pytest.approx(30.8, abs=1.0)
 
     def test_shape_validation(self):
         with pytest.raises(ValueError, match="T, H, W"):
