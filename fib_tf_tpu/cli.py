@@ -74,6 +74,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "kernel where measured profitable; xla skips the "
                         "(long, one-time) Mosaic kernel compile")
     r.add_argument("--no-chronic", dest="chronic", action="store_false")
+    r.add_argument("--cell-type",
+                   choices=["epi", "endo", "m", "transmural"],
+                   default="epi",
+                   help="tp06 ventricular cell type; 'transmural' builds "
+                        "the endo/M/epi banded wedge as per-pixel "
+                        "parameter planes (--cell-type-bands)")
+    r.add_argument("--cell-type-bands", default=None, metavar="B0,B1",
+                   help="column fractions of the endo|M and M|epi "
+                        "borders for --cell-type transmural "
+                        "(default 0.25,0.60)")
+    r.add_argument("--fibrosis", default=None,
+                   metavar="DENSITY,STRENGTH[,SEED[,PATCH]]",
+                   help="attach a patchy fibrotic diffusion map "
+                        "(ops/stencil.fibrosis_map): DENSITY of the area "
+                        "conducts at (1-STRENGTH) x diff; composes with "
+                        "--hole and --fiber-angle on every kernel/mesh "
+                        "path")
     r.add_argument("--dv-max", type=float, default=None,
                    help="stability guard: cap |dV| per substep in mV "
                         "(court; default off = reference behavior)")
@@ -384,9 +401,23 @@ def cmd_run(args) -> int:
         rotor_probe=args.rotor, rotor_tau_ms=args.rotor_tau,
         ultra_slow=(args.model == "court_ultra"),
         mesh_shape=_parse_mesh(args.mesh), mesh_mode=args.mesh_mode,
+        cell_type=args.cell_type,
+        **({"cell_type_bands": tuple(
+            float(v) for v in args.cell_type_bands.split(","))}
+           if args.cell_type_bands else {}),
     )
     model = MODEL_REGISTRY[args.model](cfg)
     sim = Simulation(model)
+    if args.fibrosis:
+        from fib_tf_tpu.ops import stencil
+
+        parts = args.fibrosis.split(",")
+        sim.set_diffusion_map(stencil.fibrosis_map(
+            args.height, args.width,
+            density=float(parts[0]), strength=float(parts[1]),
+            seed=int(parts[2]) if len(parts) > 2 else 0,
+            patch=int(parts[3]) if len(parts) > 3 else 4,
+        ))
     for spec in args.hole:
         parts = spec.split(",")
         x, y, r = float(parts[0]), float(parts[1]), float(parts[2])

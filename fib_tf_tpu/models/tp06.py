@@ -288,6 +288,51 @@ def transmural_planes(cfg: SimConfig):
     return full * g_to[None, :], full * g_ks[None, :], full * endo[None, :]
 
 
+def transmural_volume_state(model, depth: int, s1: bool = True):
+    """Depth-banded 3D wedge: `engine.volume.volume_state` with the
+    endo / M / epi bands running along z (endo at slice 0, epi at slice
+    depth-1 — the through-wall direction of a ventricular free wall)
+    instead of x.  The model must be constructed with
+    cell_type='transmural'; the x-banded `[H, W]` het planes it carries
+    are replaced by z-banded `[D, H, W]` ones at the SAME
+    `cfg.cell_type_bands` fractions, and the s gate's per-voxel rest
+    steady state is re-blended to match.  Everything downstream is
+    untouched: the planes ride the state dict, so run_volume's XLA path,
+    GSPMD z-sharding, and the wide-halo shard_map path carry them like
+    any other plane (the z-halo exchange delivers the ghost slices)."""
+    from fib_tf_tpu.engine.volume import volume_state
+
+    if "endo" not in model.het:
+        raise ValueError(
+            "transmural_volume_state needs cell_type='transmural' "
+            "(the 2D constructor attaches the het planes it re-bands)"
+        )
+    vs = volume_state(model, depth, s1=s1)
+    cfg = model.cfg
+    b0, b1 = cfg.cell_type_bands
+    z = np.arange(depth, dtype=np.float32) / float(depth)
+    band = np.where(z < b0, 0, np.where(z < b1, 1, 2))
+    g_to = np.choose(band, [CELL_TYPES["endo"][0], CELL_TYPES["m"][0],
+                            CELL_TYPES["epi"][0]]).astype(np.float32)
+    g_ks = np.choose(band, [CELL_TYPES["endo"][1], CELL_TYPES["m"][1],
+                            CELL_TYPES["epi"][1]]).astype(np.float32)
+    endo = (band == 0).astype(np.float32)
+    full = np.ones((1, cfg.height, cfg.width), np.float32)
+    pre = model.HET_PREFIX
+    vs[pre + "g_to"] = g_to[:, None, None] * full
+    vs[pre + "g_ks"] = g_ks[:, None, None] * full
+    vs[pre + "endo"] = endo[:, None, None] * full
+    # per-voxel rest steady state of the blended s gate (the extruded
+    # plane carried the x-banded blend)
+    endo_inf = float(gate_rates(np.float64(-86.2), xp=np,
+                                cell_type="endo")["s"][0])
+    other_inf = float(gate_rates(np.float64(-86.2), xp=np,
+                                 cell_type="epi")["s"][0])
+    w = vs[pre + "endo"]
+    vs["s"] = (w * endo_inf + (1.0 - w) * other_inf).astype(np.float32)
+    return vs
+
+
 class TenTusscher06(IonicModel):
     name = "tp06"
     min_v = -90.0

