@@ -164,6 +164,13 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="reference Table-1 benchmark matrix")
     b.add_argument("--duration", type=float, default=1000)
     b.add_argument("--size", type=int, default=512)
+    b.add_argument("--runs", type=int, default=3,
+                   help="repeats per row; the row reports median + "
+                        "[min, max] spread (bench.py convention)")
+    b.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                   default="auto")
+    b.add_argument("--json", action="store_true",
+                   help="one JSON line per row")
 
     t = sub.add_parser("table", help="generate the native lookup table")
     t.add_argument("--out", default=None, help="write .npy (default stdout)")
@@ -576,31 +583,59 @@ def cmd_warmup(args) -> int:
 
 def cmd_bench(args) -> int:
     """The reference's Table 1 (details.md:387-392): BR 2x2 cheby/skip
-    matrix, plus the Fenton final configuration."""
+    matrix, plus the Fenton final configuration.  Each row is the
+    MEDIAN of --runs repeats with the [min, max] spread (VERDICT r4 #6:
+    round-over-round matrix claims need error bars; same convention and
+    JSON shape as bench.py)."""
+    import statistics
+
     from fib_tf_tpu.engine import Simulation
     from fib_tf_tpu.models import BeelerReuter, Fenton4v
 
-    rows = []
+    def bench_row(sim) -> dict:
+        if args.json:
+            # keep stdout one-JSON-line-per-row parseable: route the
+            # cycle detector's reference-parity print into a no-op
+            sim.cl_observer = lambda i, cl: None
+        samples = []
+        for _ in range(max(1, args.runs)):
+            res = sim.simulate(check_finite=False)
+            samples.append(res.elapsed / (args.duration / 1000.0))
+        return {
+            "value": round(statistics.median(samples), 4),
+            "spread": [round(min(samples), 4), round(max(samples), 4)],
+            "samples": len(samples),
+            "unit": "wall-s/sim-s",
+            "cell_updates_per_sec": round(res.cell_updates_per_sec),
+        }
+
     for cheby in (False, True):
         for skip in (False, True):
             cfg = SimConfig(width=args.size, height=args.size, dt=0.1,
                             diff=0.809, duration=args.duration,
-                            cheby=cheby, skip=skip)
-            sim = Simulation(BeelerReuter(cfg)).define()
-            res = sim.simulate(check_finite=False)
-            w = res.elapsed / (args.duration / 1000.0)
-            rows.append(("br", cheby, skip, w))
-            print(f"BR cheby={cheby!s:5} skip={skip!s:5}: "
-                  f"{w:.4f} wall-s/sim-s "
-                  f"({res.cell_updates_per_sec/1e9:.2f} G cell-updates/s)")
+                            cheby=cheby, skip=skip, kernel=args.kernel)
+            row = bench_row(Simulation(BeelerReuter(cfg)).define())
+            rec = {"model": "br", "cheby": cheby, "skip": skip, **row}
+            if args.json:
+                print(json.dumps(rec))
+            else:
+                print(f"BR cheby={cheby!s:5} skip={skip!s:5}: "
+                      f"{row['value']:.4f} wall-s/sim-s "
+                      f"[{row['spread'][0]:.4f}, {row['spread'][1]:.4f}] "
+                      f"(n={row['samples']}, "
+                      f"{row['cell_updates_per_sec']/1e9:.2f} G "
+                      "cell-updates/s)")
 
     cfg = SimConfig(width=args.size, height=args.size, dt=0.1, diff=1.5,
-                    duration=args.duration)
-    sim = Simulation(Fenton4v(cfg)).define()
-    res = sim.simulate(check_finite=False)
-    w = res.elapsed / (args.duration / 1000.0)
-    print(f"Fenton 4v              : {w:.4f} wall-s/sim-s "
-          f"({res.cell_updates_per_sec/1e9:.2f} G cell-updates/s)")
+                    duration=args.duration, kernel=args.kernel)
+    row = bench_row(Simulation(Fenton4v(cfg)).define())
+    if args.json:
+        print(json.dumps({"model": "fenton", **row}))
+    else:
+        print(f"Fenton 4v              : {row['value']:.4f} wall-s/sim-s "
+              f"[{row['spread'][0]:.4f}, {row['spread'][1]:.4f}] "
+              f"(n={row['samples']}, "
+              f"{row['cell_updates_per_sec']/1e9:.2f} G cell-updates/s)")
     return 0
 
 

@@ -281,6 +281,26 @@ class TestVolume:
         assert np.load(str(cube) + ".npy").shape[1:] == (24, 24)
 
 
+class TestBenchMatrix:
+    def test_bench_json_rows_carry_spread(self, capsys):
+        """The Table-1 matrix reports median + [min, max] spread per row
+        (VERDICT r4 #6), one JSON line per row, detector prints silenced."""
+        rc = cli.main([
+            "bench", "--size", "48", "--duration", "5", "--runs", "2",
+            "--json",
+        ])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        rows = [json.loads(ln) for ln in lines]  # every line must parse
+        assert len(rows) == 5  # BR 2x2 matrix + fenton
+        for rec in rows:
+            assert rec["samples"] == 2
+            lo, hi = rec["spread"]
+            assert lo <= rec["value"] <= hi
+        assert {r["model"] for r in rows} == {"br", "fenton"}
+        assert sum(r.get("cheby") is True for r in rows) == 2
+
+
 class TestRestitution:
     def test_restitution_json(self, capsys):
         rc = cli.main([

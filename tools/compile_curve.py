@@ -43,7 +43,13 @@ def main():
     p.add_argument("--spl", type=int, default=0,
                    help="substeps per launch; 0 = monolith (whole outer "
                         "step in one kernel)")
-    p.add_argument("--flavor", default="whole", choices=["whole", "block"])
+    p.add_argument("--flavor", default="whole",
+                   choices=["whole", "block", "widexla"],
+                   help="whole = fused whole-grid kernel; block = the "
+                        "per-shard block kernel on a 1-device TPU mesh; "
+                        "widexla = the same wide-halo shard_map chunk "
+                        "with the XLA substep body (the comparison "
+                        "point the block whitelist decides against)")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--outer", type=int, default=1000)
     p.add_argument("--iters", type=int, default=5)
@@ -77,9 +83,10 @@ def main():
                                     None, length=n)[0]
             return scan
     else:
-        # per-shard block kernel fed by wide-halo ppermute on a 1-device
-        # TPU mesh — the identical program the multi-chip path runs, with
-        # zero-distance halos (tools/spmd_bench.py convention)
+        # per-shard block kernel (or the wide-XLA body) fed by wide-halo
+        # ppermute on a 1-device TPU mesh — the identical program the
+        # multi-chip path runs, with zero-distance halos
+        # (tools/spmd_bench.py convention)
         from fib_tf_tpu.parallel.sharding import make_mesh
         from fib_tf_tpu.parallel.spmd import make_spmd_chunk
 
@@ -87,7 +94,7 @@ def main():
 
         def scan_of(n):
             inner = make_spmd_chunk(model, mesh, n, wide_halo=True,
-                                    use_kernel=True,
+                                    use_kernel=(args.flavor == "block"),
                                     substeps_per_launch=spl)
 
             def scan(s):
