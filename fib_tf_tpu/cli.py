@@ -550,7 +550,7 @@ def cmd_warmup(args) -> int:
 
             if model.name not in Simulation.SPMD_KERNEL_MODELS:
                 # the engine's sharded-kernel whitelist is the single
-                # source of truth (tp06's block body compile-diverges)
+                # source of truth
                 print("  spmd block kernel: skipped (not on the "
                       "engine's sharded-kernel whitelist — sharded "
                       f"{model.name} runs wide-halo XLA, "
@@ -560,8 +560,14 @@ def cmd_warmup(args) -> int:
                 from fib_tf_tpu.parallel.spmd import make_spmd_chunk
 
                 mesh = make_mesh(n_devices=1)
-                chunk_b = make_spmd_chunk(model, mesh, length=2,
-                                          wide_halo=True, use_kernel=True)
+                chunk_b = make_spmd_chunk(
+                    model, mesh, length=2, wide_halo=True,
+                    use_kernel=True,
+                    # warm the exact executable the engine routes to
+                    # (tp06's block body only compiles launch-split)
+                    substeps_per_launch=(
+                        Simulation.SPMD_KERNEL_SPL.get(model.name)),
+                )
                 timed("spmd block kernel", lambda: float(
                     jnp.sum(chunk_b(state)[0][model.pot_key])))
         if "volume" in fams:

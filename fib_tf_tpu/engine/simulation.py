@@ -749,13 +749,13 @@ class Simulation:
             if (_jax.default_backend() == "tpu"
                     and self.model.name not in self.SPMD_KERNEL_MODELS):
                 # fail fast instead of letting the user sit through a
-                # Mosaic compile that never returns (tp06's block body
-                # compile-diverges — see SPMD_KERNEL_MODELS below)
+                # Mosaic compile that never returns (monolithic tp06
+                # bodies compile-diverged before launch splitting —
+                # see SPMD_KERNEL_MODELS below)
                 raise ValueError(
                     f"the {self.model.name} per-shard block kernel is "
-                    "not Mosaic-compilable (tp06's compile diverges — "
-                    "docs/OPTIMIZATIONS.md §8); use kernel='auto'/'xla' "
-                    "on the mesh (wide-halo XLA)"
+                    "not Mosaic-compilable (docs/OPTIMIZATIONS.md §8); "
+                    "use kernel='auto'/'xla' on the mesh (wide-halo XLA)"
                 )
             return True
         if self.cfg.kernel != "auto":
@@ -769,14 +769,18 @@ class Simulation:
         )
 
     # Models whose per-shard fused block kernel is measured profitable
-    # AND Mosaic-compilable.  tp06 is deliberately absent: its block
-    # kernel's Mosaic compile DIVERGED (killed at 126 min vs 26 min for
-    # the whole-grid body — OPTIMIZATIONS §8), so sharded tp06 runs
-    # wide-halo XLA (measured 103.2 us/substep on a 1-device mesh,
-    # still ahead of single-chip XLA's 140.0).  cli.py's warmup matrix
-    # consults this same tuple.
+    # AND Mosaic-compilable.  tp06 joined in r5: its MONOLITHIC block
+    # body compile-diverges (killed at 126 min — OPTIMIZATIONS §8), but
+    # split into 5-substep launches it compiles in ~13-26 min and WINS
+    # on the 1-device TPU mesh: 79.9 us/substep (skip) vs wide-halo
+    # XLA's 103.2, 102.8 vs 138.9 without skip (tools/compile_curve.py,
+    # OPTIMIZATIONS §16).  SPMD_KERNEL_SPL carries the launch split the
+    # whitelist entry was measured at; it is applied whenever
+    # cfg.substeps_per_launch is unset.  cli.py's warmup matrix
+    # consults both.
     SPMD_KERNEL_MODELS = ("fenton", "br", "court", "court_ultra",
-                          "ms", "lr1")
+                          "ms", "lr1", "tp06")
+    SPMD_KERNEL_SPL = {"tp06": 5}
 
     def _spmd_chunk_fn(self, length: int):
         """Chunk via the explicit shard_map halo-exchange path
@@ -792,6 +796,12 @@ class Simulation:
         assert (spmd.ROTOR_BUF, spmd.ROTOR_IDX) == (
             self.ROTOR_BUF, self.ROTOR_IDX
         )
+        use_kernel = self._spmd_use_kernel()
+        spl = self.cfg.substeps_per_launch
+        if spl is None and use_kernel:
+            # the whitelist default: tp06's block body only compiles
+            # split into 5-substep launches (and wins there)
+            spl = self.SPMD_KERNEL_SPL.get(self.model.name)
         inner = make_spmd_chunk(
             self.model,
             self._mesh,
@@ -800,13 +810,13 @@ class Simulation:
             dmap=self.dmap,
             egm_masks=self._egm_masks or None,
             wide_halo=self._wide_halo,
-            use_kernel=self._spmd_use_kernel(),
+            use_kernel=use_kernel,
             fiber=self._fiber(),
             trend_points=getattr(self.model, "trend_points", None),
             ecg_weights=self._ecg_weights or None,
             rotor=((self._rotor_tau_steps(), self.cfg.rotor_v_star)
                    if self.cfg.rotor_probe else None),
-            substeps_per_launch=self.cfg.substeps_per_launch,
+            substeps_per_launch=spl,
         )
         model = self.model
 

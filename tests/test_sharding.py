@@ -388,6 +388,29 @@ class TestShardBlockKernel:
         with pytest.raises(ValueError, match="wide_halo"):
             make_spmd_chunk(model, make_mesh(), length=2, use_kernel=True)
 
+    def test_tp06_launch_split_matches(self):
+        """tp06's whitelist entry runs the block kernel split into
+        5-substep launches (the monolithic body compile-diverges on
+        Mosaic; the split compiles AND wins, 79.9 vs 103.2 us/substep —
+        OPTIMIZATIONS §16).  The launch split must not change the math:
+        sharded launch-split kernel == unsharded XLA."""
+        from fib_tf_tpu.models import TenTusscher06
+
+        c = cfg(height=128, dt=0.02, skip=True)
+        model = TenTusscher06(c)
+        want = reference_run(model, 2)
+        chunk = make_spmd_chunk(model, make_mesh(), length=2,
+                                wide_halo=True, use_kernel=True,
+                                substeps_per_launch=5)
+        got, probes = chunk(shard_state(model.initial_state(),
+                                        make_mesh()))
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-5, atol=1e-5,
+                err_msg=f"tp06 spl=5 {k}",
+            )
+        assert probes["v"].shape == (2,)
+
 
 class TestShardedAnisotropy:
     """fiber tensor on the wide-halo shard_map path (XLA and block-kernel

@@ -405,27 +405,29 @@ class TestKernelSelection:
         assert _ensemble_use_kernel(model, "auto",
                                     per_member_phase=False)
 
-    def test_mesh_auto_stays_wide_xla(self, monkeypatch):
-        """Sharded tp06 does NOT whitelist the per-shard block kernel
-        (its Mosaic compile diverges — OPTIMIZATIONS §8): mesh 'auto'
-        runs wide-halo XLA (measured 103.2 us/substep on a 1-device
-        mesh), and forcing kernel='pallas' raises instead of hanging
-        in the compiler."""
+    def test_mesh_auto_picks_launch_split_block_kernel(self, monkeypatch):
+        """Sharded tp06 joined the block-kernel whitelist in r5: the
+        MONOLITHIC body compile-diverges, but split into 5-substep
+        launches it compiles and beats wide-halo XLA (79.9 vs 103.2
+        us/substep with skip on a 1-device mesh — OPTIMIZATIONS §16).
+        'auto' picks it on TPU and the engine applies the measured
+        launch split when cfg.substeps_per_launch is unset."""
         from jax.sharding import Mesh
 
         from fib_tf_tpu.engine import Simulation
 
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("rows",))
-        cfg = SimConfig(width=128, height=128, dt=0.02, duration=1)
+        cfg = SimConfig(width=128, height=128, dt=0.02, duration=1,
+                        skip=True)
         sim = Simulation(TenTusscher06(cfg), mesh=mesh,
                          wide_halo=True).define()
-        assert not sim._spmd_use_kernel()
-        forced = Simulation(
-            TenTusscher06(cfg.replace(kernel="pallas")), mesh=mesh,
-            wide_halo=True).define()
-        with pytest.raises(ValueError, match="diverges"):
-            forced._spmd_use_kernel()
+        assert sim._spmd_use_kernel()
+        assert Simulation.SPMD_KERNEL_SPL["tp06"] == 5
+        # an explicit user setting wins over the whitelist default
+        explicit = SimConfig(width=128, height=128, dt=0.02, duration=1,
+                             substeps_per_launch=2)
+        assert explicit.substeps_per_launch == 2
 
 
 class TestConduction:
