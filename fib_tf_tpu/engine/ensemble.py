@@ -223,6 +223,7 @@ def run_ensemble(
             model,
             phase=np.asarray(phase) if phase is not None else None,
             pad=pad_hw is not None,
+            substeps_per_launch=model.cfg.substeps_per_launch,
         )
         step_members = jax.vmap(kstep)
     else:

@@ -269,6 +269,19 @@ def k1_inf(v, e_k, xp=jnp):
     return a / (a + b)
 
 
+def blended_s_rest(w, v_rest: float = -86.2):
+    """Rest steady state of the transmurally blended s gate for an endo
+    -weight plane `w` (any shape): endo pixels take the endo s_inf,
+    others the epi/M shape — the s gate is the only type-switched GATE
+    in TP06 (Table 1 of the 2006 paper), so it is the one plane whose
+    rest value must re-blend wherever the wedge geometry is built."""
+    endo_inf = float(gate_rates(np.float64(v_rest), xp=np,
+                                cell_type="endo")["s"][0])
+    other_inf = float(gate_rates(np.float64(v_rest), xp=np,
+                                 cell_type="epi")["s"][0])
+    return (w * endo_inf + (1.0 - w) * other_inf).astype(np.float32)
+
+
 def transmural_planes(cfg: SimConfig):
     """Per-pixel (g_to, g_ks, endo) planes of the canonical transmural
     wedge: endo / M / epi bands along x at the `cfg.cell_type_bands`
@@ -324,12 +337,7 @@ def transmural_volume_state(model, depth: int, s1: bool = True):
     vs[pre + "endo"] = endo[:, None, None] * full
     # per-voxel rest steady state of the blended s gate (the extruded
     # plane carried the x-banded blend)
-    endo_inf = float(gate_rates(np.float64(-86.2), xp=np,
-                                cell_type="endo")["s"][0])
-    other_inf = float(gate_rates(np.float64(-86.2), xp=np,
-                                 cell_type="epi")["s"][0])
-    w = vs[pre + "endo"]
-    vs["s"] = (w * endo_inf + (1.0 - w) * other_inf).astype(np.float32)
+    vs["s"] = blended_s_rest(vs[pre + "endo"])
     return vs
 
 
@@ -404,13 +412,10 @@ class TenTusscher06(IonicModel):
         for g, (inf, _tau) in rates.items():
             st[g] = self._full(float(inf))
         if "endo" in self.het:
-            # per-pixel rest steady state of the blended s gate
-            endo_inf = float(gate_rates(np.float64(v_rest), xp=np,
-                                        cell_type="endo")["s"][0])
-            other_inf = float(st["s"][0, 0])
-            w = self.het["endo"]
-            st["s"] = (w * endo_inf + (1.0 - w) * other_inf
-                       ).astype(np.float32)
+            # per-pixel rest steady state of the blended s gate (the
+            # non-endo shape equals the epi/M one the base fill used —
+            # self.cell_type stays 'epi' when the het planes are attached)
+            st["s"] = blended_s_rest(self.het["endo"], v_rest)
         fc_inf, _ = fcass_rates(np.float64(7e-5), xp=np)
         st["fcass"] = self._full(float(fc_inf))
         return self.attach_het(st)

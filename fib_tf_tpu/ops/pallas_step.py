@@ -189,6 +189,10 @@ def plan_launch_groups(labels, per_launch: int):
     traces, so builders compile ONE kernel per distinct key (the skip
     models' nine n=0 substeps at per_launch=3 compile a single 3-substep
     body reused three times)."""
+    if per_launch < 1:
+        # guard the builder API too: SimConfig validates its own field,
+        # but direct callers passing 0/negatives would loop forever below
+        raise ValueError(f"per_launch must be >= 1 (got {per_launch})")
     groups = []
     i = 0
     while i < len(labels):

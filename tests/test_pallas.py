@@ -425,6 +425,15 @@ class TestSubstepFns:
         assert groups[1][2] == groups[2][2] == ("n0",) * 3
         assert len({g[2] for g in groups}) == 3
 
+    def test_plan_launch_groups_rejects_nonpositive(self):
+        # direct builder callers bypass SimConfig validation; 0 used to
+        # loop forever appending empty groups
+        from fib_tf_tpu.ops.pallas_step import plan_launch_groups
+
+        for bad in (0, -1):
+            with pytest.raises(ValueError, match="per_launch"):
+                plan_launch_groups(("n0",) * 5, bad)
+
 
 class TestLaunchSplit:
     """substeps_per_launch: the split whole-grid kernel composes to the

@@ -56,7 +56,17 @@ def main():
     p.add_argument("--skip", action="store_true")
     p.add_argument("--cheby", action="store_true", default=True)
     p.add_argument("--compile-only", action="store_true")
+    p.add_argument("--cache", action="store_true",
+                   help="enable the persistent compile cache — use when "
+                        "only the RUNTIME number matters (compile_s then "
+                        "reflects a possibly-warm cache, not the cold "
+                        "cost)")
     args = p.parse_args()
+
+    if args.cache:
+        from fib_tf_tpu.utils import cache as _cache
+
+        _cache.enable()
 
     from fib_tf_tpu.config import SimConfig
     from fib_tf_tpu.models import MODEL_REGISTRY
