@@ -37,8 +37,8 @@ def main():
 
     # 20 s of simulated time per run: the one-off per-run costs (~60-90 ms
     # of device-tunnel syncs) are <0.3% of the measurement, so each sample
-    # is the steady-state rate (the kernel itself is 10.8 us/substep =
-    # 0.108 wall-s/sim-s)
+    # is the steady-state rate (the kernel itself is ~10.6 us/substep at
+    # the engine's br+skip spl=1 launch-split default = 0.106 wall-s/sim-s)
     sim_ms = float(sys.argv[1]) if len(sys.argv) > 1 else 20000.0
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else N_RUNS
     cfg = SimConfig(

@@ -533,9 +533,15 @@ def cmd_warmup(args) -> int:
                  for k, v in model.initial_state().items()}
         print(f"{name} @ {args.size}x{args.size}:", flush=True)
         if "whole" in fams:
+            from fib_tf_tpu.engine.simulation import Simulation
             from fib_tf_tpu.ops.pallas_step import make_pallas_step
 
-            step = make_pallas_step(model)
+            # warm the executable the engine will route to (per-model
+            # launch-split defaults, e.g. br+skip at spl=1)
+            step = make_pallas_step(
+                model,
+                substeps_per_launch=Simulation(model)._whole_grid_spl(),
+            )
 
             @jax.jit
             def chunk(s, step=step):

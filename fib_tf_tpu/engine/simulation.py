@@ -549,6 +549,22 @@ class Simulation:
             )
         return None
 
+    def _whole_grid_spl(self):
+        """substeps_per_launch for the whole-grid kernel: the user's
+        setting, else the measured per-model default.  BR's multi-rate
+        skip body runs ~3% FASTER split into single-substep launches
+        (r5, OPTIMIZATIONS §16: interleaved engine A/B medians
+        0.1148/0.1126 vs 0.1202/0.1166 wall-s/sim-s, and every same-day
+        kernel-bench sample 10.41-10.95 vs 10.97-11.09 µs/substep) and
+        the split compiles 3-4x faster; fenton (5.93 monolith vs 6.99
+        spl=1), court (24.3 vs 36.0) and tp06 (66.2 vs 70.9 skip) all
+        keep the monolith."""
+        if self.cfg.substeps_per_launch is not None:
+            return self.cfg.substeps_per_launch
+        if self.model.name == "br" and self.cfg.skip:
+            return 1
+        return None
+
     def _step_fn(self):
         """The outer-step implementation for this run."""
         if self._use_pallas():
@@ -568,7 +584,7 @@ class Simulation:
                 return make_pallas_step(
                     self.model, phase=self.phase, fiber=self._fiber(),
                     pad=self._padded() is not None,
-                    substeps_per_launch=self.cfg.substeps_per_launch,
+                    substeps_per_launch=self._whole_grid_spl(),
                     dmap=self.dmap,
                 )
             if self.cfg.substeps_per_launch is not None:

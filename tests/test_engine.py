@@ -708,3 +708,29 @@ class TestFailureDetection:
         bad["u"][0, 0] = np.nan
         with pytest.raises(FloatingPointError):
             sim.simulate(state=bad)
+
+
+class TestWholeGridLaunchDefaults:
+    """Per-model whole-grid substeps_per_launch defaults (r5,
+    OPTIMIZATIONS §16): BR's multi-rate skip body measured ~3% faster
+    split into single-substep launches; everyone else keeps the
+    monolith.  An explicit user setting always wins."""
+
+    def _sim(self, model_cls, **kw):
+        return Simulation(model_cls(small_cfg(**kw)))
+
+    def test_br_skip_defaults_to_spl1(self):
+        sim = self._sim(BeelerReuter, diff=0.809, cheby=True, skip=True)
+        assert sim._whole_grid_spl() == 1
+
+    def test_br_without_skip_stays_monolith(self):
+        sim = self._sim(BeelerReuter, diff=0.809, cheby=True)
+        assert sim._whole_grid_spl() is None
+
+    def test_fenton_stays_monolith(self):
+        assert self._sim(Fenton4v)._whole_grid_spl() is None
+
+    def test_explicit_setting_wins(self):
+        sim = self._sim(BeelerReuter, diff=0.809, skip=True,
+                        substeps_per_launch=5)
+        assert sim._whole_grid_spl() == 5
