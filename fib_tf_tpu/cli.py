@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "conducts at (1-STRENGTH) x diff; composes with "
                         "--hole and --fiber-angle on every kernel/mesh "
                         "path")
+    r.add_argument("--gscale", default=None, metavar="CH=F[,CH=F...]",
+                   help="channel-block (drug) factors, e.g. g_Kr=0.5 "
+                        "for 50%% IKr block (tp06/court/lr1/br; see "
+                        "each model's SCALE_PARAMS); trace-time "
+                        "constants, zero runtime cost on every path")
     r.add_argument("--dv-max", type=float, default=None,
                    help="stability guard: cap |dV| per substep in mV "
                         "(court; default off = reference behavior)")
@@ -354,6 +359,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "propagates into")
     rs.add_argument("--kernel", choices=["auto", "xla", "pallas"],
                     default="auto")
+    rs.add_argument("--gscale", default=None, metavar="CH=F[,CH=F...]",
+                    help="channel-block (drug) factors, e.g. g_Kr=0.5 — "
+                         "restitution under block is the standard "
+                         "dose-response protocol")
     rs.add_argument("--json", action="store_true",
                     help="print one JSON line instead of the table")
     return p
@@ -377,6 +386,23 @@ def _resolve_dt(args, floor: float = None) -> float:
         if floor is not None:
             dt = min(dt, floor)
     return dt
+
+
+def _parse_gscale(spec: Optional[str]):
+    """'g_Kr=0.5,g_CaL=0.8' -> {'g_Kr': 0.5, 'g_CaL': 0.8}."""
+    if spec is None:
+        return None
+    out = {}
+    for part in spec.split(","):
+        name, eq, val = part.partition("=")
+        try:
+            if not eq or not name.strip():
+                raise ValueError
+            out[name.strip()] = float(val)
+        except ValueError:
+            raise SystemExit(
+                f"--gscale expects CH=FACTOR[,CH=FACTOR...], got {part!r}")
+    return out
 
 
 def _parse_mesh(spec: Optional[str]):
@@ -408,7 +434,7 @@ def cmd_run(args) -> int:
         rotor_probe=args.rotor, rotor_tau_ms=args.rotor_tau,
         ultra_slow=(args.model == "court_ultra"),
         mesh_shape=_parse_mesh(args.mesh), mesh_mode=args.mesh_mode,
-        cell_type=args.cell_type,
+        cell_type=args.cell_type, g_scale=_parse_gscale(args.gscale),
         **({"cell_type_bands": tuple(
             float(v) for v in args.cell_type_bands.split(","))}
            if args.cell_type_bands else {}),
@@ -1003,6 +1029,7 @@ def cmd_restitution(args) -> int:
         diff=args.diff if args.diff is not None else _default_diff(args.model),
         duration=10,
         ultra_slow=(args.model == "court_ultra"),
+        g_scale=_parse_gscale(args.gscale),
     )
     if args.cv and args.dynamic:
         raise SystemExit("--cv and --dynamic are separate protocols")

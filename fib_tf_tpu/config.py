@@ -12,6 +12,7 @@ reference-style scripts port over unchanged.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Mapping, Optional, Tuple
 
 
@@ -103,6 +104,22 @@ class SimConfig:
     # tp06 consumes it (like `ultra_slow` for court_ultra).
     cell_type: str = "epi"
     cell_type_bands: Tuple[float, float] = (0.25, 0.60)
+    # Channel-block (drug) interface: per-channel maximal-conductance
+    # scale factors, e.g. {"g_Kr": 0.5} = 50% IKr block (a dofetilide-
+    # class hERG blocker), {"g_CaL": 0.5} = L-type Ca block (verapamil
+    # class).  Pass a dict; it is normalized to a sorted tuple of
+    # (name, factor) pairs so the config stays hashable.  Factors are
+    # TRACE-TIME constants folded into the compiled step (zero runtime
+    # cost on every path — XLA, the fused Mosaic kernels, meshes,
+    # ensembles); a factor of exactly 1.0 is bitwise the unscaled model.
+    # Valid names are per-model (IonicModel.SCALE_PARAMS — e.g. tp06's
+    # CiPA panel g_Na/g_CaL/g_Kr/g_Ks/g_to/g_K1/...); the model raises
+    # on unknown channels.  Composes multiplicatively with per-pixel
+    # heterogeneity planes (substrate x dose) and court's chronic
+    # remodeling.  Beyond reference parity: the reference hard-coded
+    # one global remodeling flag (court.py:193-194); this generalizes
+    # it to arbitrary per-channel pharmacology across the zoo.
+    g_scale: Optional[Tuple[Tuple[str, float], ...]] = None
 
     # -- observability (reference ionic.py:190-191, 231-241) ------------------
     timeline: bool = False      # capture a profiler trace of one chunk
@@ -171,6 +188,12 @@ class SimConfig:
                 f"unsupported cell_type: {self.cell_type!r} (epi / endo "
                 "/ m / transmural)"
             )
+        # JSON round trips (utils/checkpoint.load_state, from_dict) hand
+        # tuple fields back as lists; normalize so equality and hashing
+        # survive a save/load cycle
+        object.__setattr__(
+            self, "cell_type_bands",
+            tuple(float(b) for b in self.cell_type_bands))
         b0, b1 = self.cell_type_bands
         if not 0.0 < b0 < b1 < 1.0:
             raise ValueError(
@@ -179,6 +202,22 @@ class SimConfig:
             )
         if self.mesh_mode not in ("auto", "spmd", "gspmd"):
             raise ValueError(f"unsupported mesh_mode: {self.mesh_mode}")
+        if self.g_scale is not None:
+            # accept a dict (the natural call-site spelling) and
+            # normalize to a sorted tuple of pairs to stay hashable
+            pairs = (sorted(self.g_scale.items())
+                     if isinstance(self.g_scale, Mapping)
+                     else sorted(tuple(p) for p in self.g_scale))
+            norm = []
+            for name, f in pairs:
+                f = float(f)
+                if not math.isfinite(f) or f < 0.0:
+                    raise ValueError(
+                        f"g_scale[{name!r}] must be a finite factor >= 0 "
+                        f"(got {f}); 1.0 = no block, 0.0 = full block"
+                    )
+                norm.append((str(name), f))
+            object.__setattr__(self, "g_scale", tuple(norm))
         if not 0.0 < self.fiber_ratio <= 1.0:
             raise ValueError("fiber_ratio must be in (0, 1] "
                              "(cross-fiber fraction of diff)")

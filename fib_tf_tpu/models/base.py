@@ -167,6 +167,10 @@ class IonicModel:
         self.cfg = cfg
         # per-pixel parameter planes (set_het); {} = homogeneous tissue
         self.het: Dict[str, np.ndarray] = {}
+        # per-channel conductance scale factors (set_scale); {} = drug-free
+        self.scales: Dict[str, float] = {}
+        if cfg.g_scale:
+            self.set_scale(**dict(cfg.g_scale))
 
     # -- per-pixel parameter heterogeneity ---------------------------------------
     #
@@ -240,6 +244,58 @@ class IonicModel:
                 out[k] = state[k]
         return out
 
+    # -- channel block (drug) interface -----------------------------------------
+    #
+    # Per-channel maximal-conductance scale factors (SimConfig.g_scale /
+    # set_scale): the framework-level pharmacology layer.  Factors are
+    # Python floats read at TRACE time, so they fold into the compiled
+    # step as constants — zero runtime cost on every execution path (XLA
+    # scan, the fused Mosaic kernels, GSPMD/shard_map meshes, vmapped
+    # ensembles), and a factor of exactly 1.0 leaves the program bitwise
+    # unchanged (gscale returns the unscaled expression untouched).
+    # Composes multiplicatively with per-pixel heterogeneity planes
+    # (het_param: substrate x dose) and court's chronic remodeling.
+    # Beyond reference parity: the reference's only pharmacology was the
+    # hard-coded global chronic-AF flag (court.py:193-194, 218).
+
+    # channel names set_scale accepts; subclasses override (e.g. tp06's
+    # CiPA panel g_Na/g_CaL/g_Kr/g_Ks/g_to/g_K1/...)
+    SCALE_PARAMS: tuple = ()
+
+    def set_scale(self, **factors):
+        """Attach per-channel conductance scale factors, e.g.
+        `model.set_scale(g_Kr=0.5)` for 50% IKr block.  Factors are
+        finite floats >= 0 (1.0 = no block, 0.0 = full block; > 1.0 =
+        agonist/up-regulation).  None removes a factor.  Returns self."""
+        scales = dict(self.scales)
+        for name, f in factors.items():
+            if name not in self.SCALE_PARAMS:
+                raise ValueError(
+                    f"{type(self).__name__} has no scalable channel "
+                    f"{name!r}; available: {self.SCALE_PARAMS}"
+                )
+            if f is None:
+                scales.pop(name, None)
+                continue
+            f = float(f)
+            if not np.isfinite(f) or f < 0.0:
+                raise ValueError(
+                    f"g_scale[{name!r}] must be a finite factor >= 0 "
+                    f"(got {f})"
+                )
+            scales[name] = f
+        self.scales = scales
+        return self
+
+    def gscale(self, name: str, expr):
+        """Scale a conductance (Python float) or a whole current term
+        (array) by the attached factor — the single read point models
+        use inside solve()/currents().  With no factor (or exactly 1.0)
+        the expression is returned untouched, keeping the default path
+        bitwise identical and op-free."""
+        f = self.scales.get(name, 1.0)
+        return expr if f == 1.0 else f * expr
+
     # -- state -----------------------------------------------------------------
 
     def state_shape(self):
@@ -300,12 +356,14 @@ class IonicModel:
                 for k in range(1, self.cfg.adaptive_depth + 1)
             ]
             for c in clones[1:]:
-                # het planes attached post-construction (set_het) must
-                # follow the clones, or refined substeps would silently
-                # fall back to the homogeneous scalars; config-derived
-                # planes (tp06 transmural) are rebuilt identically by the
-                # constructor and this overwrite is a no-op
+                # het planes / channel-block factors attached
+                # post-construction (set_het / set_scale) must follow the
+                # clones, or refined substeps would silently fall back to
+                # the homogeneous/drug-free model; config-derived values
+                # (tp06 transmural, cfg.g_scale) are rebuilt identically
+                # by the constructor and this overwrite is a no-op
                 c.het = dict(self.het)
+                c.scales = dict(self.scales)
             self._adaptive_clones = clones
         return clones
 

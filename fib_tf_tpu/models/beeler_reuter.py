@@ -104,6 +104,11 @@ class BeelerReuter(IonicModel):
     # intracellular calcium feeds log(c) in e_ca — the adaptive-dt
     # acceptance test keeps it strictly positive (ops/adaptive.py)
     positive_states = ("C",)
+    # channel-block (drug) interface (models/base.set_scale /
+    # SimConfig.g_scale): the four BR currents — g_Na/g_NaC the fast +
+    # background Na, g_s the slow inward (Ca), g_K1/g_x1 the two K
+    # currents (applied uniformly across the cheby/fast/plain variants)
+    SCALE_PARAMS = ("g_Na", "g_NaC", "g_s", "g_K1", "g_x1")
 
     def __init__(self, cfg: SimConfig):
         super().__init__(cfg)
@@ -311,11 +316,17 @@ class BeelerReuter(IonicModel):
                 gates["x1"] * 0.8 * (jnp.exp(0.04 * (v0 + 77.0)) - 1.0)
                 / jnp.exp(0.04 * (v0 + 35.0))
             )
+        # channel-block factors (models/base.set_scale) applied once after
+        # the branch chain, so all three iK1/ix1 variants scale alike
+        i_k1 = self.gscale("g_K1", i_k1)
+        i_x1 = self.gscale("g_x1", i_x1)
         i_na = (
-            G_NA * gates["m"] ** 3 * gates["h"] * gates["j"] + G_NAC
+            self.gscale("g_Na", G_NA)
+            * gates["m"] ** 3 * gates["h"] * gates["j"]
+            + self.gscale("g_NaC", G_NAC)
         ) * (v0 - E_NA)
         e_ca = -82.3 - 13.0278 * jnp.log(c)
-        i_ca = G_S * gates["d"] * gates["f"] * (v0 - e_ca)
+        i_ca = self.gscale("g_s", G_S) * gates["d"] * gates["f"] * (v0 - e_ca)
         return i_k1, i_x1, i_na, i_ca
 
     def solve(self, state: State, geom: Geometry, n: int = 1) -> State:

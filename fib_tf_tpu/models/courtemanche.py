@@ -338,6 +338,12 @@ class Courtemanche(IonicModel):
     # intermediate values model the gray-zone border.  Overrides
     # cfg.chronic where attached (models/base.set_het).
     HET_PARAMS = ("chronic",)
+    # channel-block (drug) interface (models/base.set_scale /
+    # SimConfig.g_scale); composes multiplicatively with the chronic
+    # remodeling factor (global flag or per-pixel plane)
+    SCALE_PARAMS = ("g_Na", "g_CaL", "g_Kr", "g_Ks", "g_to", "g_Kur",
+                    "g_K1", "g_NaK", "g_NaCa", "g_pCa", "g_bNa", "g_bCa",
+                    "g_bK")
 
     INITIAL_VALUES = {
         # court.py:57-78 / courtemanche.h:58-103
@@ -521,16 +527,16 @@ class Courtemanche(IonicModel):
         s1["f_Ca"] = rush_larsen(state["f_Ca"], f_ca_inf, TAU_F_CA, dt_("f_Ca"))
 
         e_k = rt_f * jnp.log(K_O / state["K_i"])
-        i_k1 = inter["i_K1a"] * (v - e_k)
-        i_to = (1.0 - 0.5 * chronic) * CM * G_TO * state["oa"] ** 3 * state["oi"] * (v - e_k)
-        i_kur = (1.0 - 0.5 * chronic) * CM * inter["g_Kur"] * state["ua"] ** 3 * state["ui"] * (v - e_k)
-        i_kr = inter["i_Kra"] * state["xr"] * (v - e_k)
-        i_ks = CM * G_KS * state["xs"] ** 2 * (v - e_k)
+        i_k1 = self.gscale("g_K1", inter["i_K1a"]) * (v - e_k)
+        i_to = (1.0 - 0.5 * chronic) * CM * self.gscale("g_to", G_TO) * state["oa"] ** 3 * state["oi"] * (v - e_k)
+        i_kur = (1.0 - 0.5 * chronic) * CM * self.gscale("g_Kur", inter["g_Kur"]) * state["ua"] ** 3 * state["ui"] * (v - e_k)
+        i_kr = self.gscale("g_Kr", inter["i_Kra"]) * state["xr"] * (v - e_k)
+        i_ks = CM * self.gscale("g_Ks", G_KS) * state["xs"] ** 2 * (v - e_k)
         i_nak = (
-            (CM * I_NAK_MAX * inter["f_NaK"])
+            (CM * self.gscale("g_NaK", I_NAK_MAX) * inter["f_NaK"])
             / (1.0 + jnp.sqrt((KM_NA_I / state["Na_i"]) ** 3))
         ) * (K_O / (K_O + KM_K_O))
-        i_b_k = CM * G_B_K * (v - e_k)
+        i_b_k = CM * self.gscale("g_bK", G_B_K) * (v - e_k)
 
         s1["K_i"] = euler(
             state["K_i"],
@@ -539,11 +545,11 @@ class Courtemanche(IonicModel):
         )
 
         e_na = rt_f * jnp.log(NA_O / state["Na_i"])
-        i_na = CM * G_NA * state["m"] ** 3 * state["h"] * state["j"] * (v - e_na)
+        i_na = CM * self.gscale("g_Na", G_NA) * state["m"] ** 3 * state["h"] * state["j"] * (v - e_na)
         if self.ultra_slow:
             i_na = i_na * state["us"]  # court_ultra.py:221-222
-        i_naca = inter["i_NaCaa"] * state["Na_i"] ** 3 - inter["i_NaCab"] * state["Ca_i"]
-        i_b_na = CM * G_B_NA * (v - e_na)
+        i_naca = self.gscale("g_NaCa", inter["i_NaCaa"] * state["Na_i"] ** 3 - inter["i_NaCab"] * state["Ca_i"])
+        i_b_na = CM * self.gscale("g_bNa", G_B_NA) * (v - e_na)
 
         s1["Na_i"] = euler(
             state["Na_i"],
@@ -551,10 +557,10 @@ class Courtemanche(IonicModel):
             dt_("Na_i"),
         )
 
-        i_ca_l = (1.0 - 0.7 * chronic) * CM * G_CA_L * state["d"] * state["f"] * state["f_Ca"] * (v - 65.0)
-        i_cap = (CM * I_CAP_MAX * state["Ca_i"]) / (0.0005 + state["Ca_i"])
+        i_ca_l = (1.0 - 0.7 * chronic) * CM * self.gscale("g_CaL", G_CA_L) * state["d"] * state["f"] * state["f_Ca"] * (v - 65.0)
+        i_cap = (CM * self.gscale("g_pCa", I_CAP_MAX) * state["Ca_i"]) / (0.0005 + state["Ca_i"])
         e_ca = (rt_f / 2.0) * jnp.log(CA_O / state["Ca_i"])
-        i_b_ca = CM * G_B_CA * (v - e_ca)
+        i_b_ca = CM * self.gscale("g_bCa", G_B_CA) * (v - e_ca)
 
         dv = euler(
             v,

@@ -52,6 +52,10 @@ C_SO = 0.02
 
 class Fenton4v(IonicModel):
     name = "fenton"
+    # channel-block (drug) interface (models/base.set_scale): the three
+    # phenomenological currents — g_fi the fast-inward (Na analog), g_si
+    # the slow-inward (Ca analog), g_so the slow-outward (K analog)
+    SCALE_PARAMS = ("g_fi", "g_si", "g_so")
     min_v = 0.0
     max_v = 1.0
     depol = 0.0
@@ -105,13 +109,14 @@ class Fenton4v(IonicModel):
     def differentiate(self, u, v, w, s):
         """Pointwise currents and gate ODE right-hand sides
         (reference fenton.py:46-92)."""
-        i_fi = -v * heaviside(u - U_C) * (u - U_C) * (U_M - u) / TAU_D
-        i_si = -w * s / TAU_SI
-        i_so = (
+        i_fi = self.gscale(
+            "g_fi", -v * heaviside(u - U_C) * (u - U_C) * (U_M - u) / TAU_D)
+        i_si = self.gscale("g_si", -w * s / TAU_SI)
+        i_so = self.gscale("g_so", (
             0.5 * (A_SO - TAU_A) * (1.0 + jnp.tanh((u - B_SO) / C_SO))
             + (u - U_0) * heaviside_neg(u - U_SO) / TAU_SO
             + heaviside(u - U_SO) * TAU_A
-        )
+        ))
 
         du = -(i_fi + i_si + i_so)
         dv = jnp.where(u > U_C, -v / TAU_V_PLUS, (1.0 - v) / TAU_V_MINUS)

@@ -200,6 +200,10 @@ class LuoRudy91(IonicModel):
     # Garfinkel, Am J Physiol 1999 use 0.045 (APD ~200 ms) and 0
     # (~50 ms); examples/lr1_spiral.py drives this
     g_si = G_SI
+    # channel-block (drug) interface (models/base.set_scale /
+    # SimConfig.g_scale); g_si composes with the instance attribute
+    # (scale x the tuned base)
+    SCALE_PARAMS = ("g_Na", "g_si", "g_K", "g_K1", "g_Kp", "g_b")
     # Cai feeds log() in E_si — the adaptive-dt acceptance test keeps it
     # strictly positive (ops/adaptive.py)
     positive_states = ("Cai",)
@@ -241,14 +245,16 @@ class LuoRudy91(IonicModel):
         fast sodium, slow inward (Ca), time-dependent K, inward-rectifier
         K1, plateau K, and background.  Gates are the PRE-update planes
         (the zoo's Beeler-Reuter ordering convention, br.py:160-168)."""
-        i_na = G_NA * gates["m"] ** 3 * gates["h"] * gates["j"] * (v0 - E_NA)
+        i_na = (self.gscale("g_Na", G_NA)
+                * gates["m"] ** 3 * gates["h"] * gates["j"] * (v0 - E_NA))
         e_si = 7.7 - 13.0287 * jnp.log(cai)
-        i_si = self.g_si * gates["d"] * gates["f"] * (v0 - e_si)
-        i_k = G_K * gates["x"] * xi_factor(v0) * (v0 - E_K)
-        i_k1 = G_K1 * k1_inf(v0) * (v0 - E_K1)
+        i_si = (self.gscale("g_si", self.g_si)
+                * gates["d"] * gates["f"] * (v0 - e_si))
+        i_k = self.gscale("g_K", G_K) * gates["x"] * xi_factor(v0) * (v0 - E_K)
+        i_k1 = self.gscale("g_K1", G_K1) * k1_inf(v0) * (v0 - E_K1)
         kp = 1.0 / (1.0 + jnp.exp((7.488 - v0) / 5.98))
-        i_kp = G_KP * kp * (v0 - E_KP)
-        i_b = G_B * (v0 - E_B)
+        i_kp = self.gscale("g_Kp", G_KP) * kp * (v0 - E_KP)
+        i_b = self.gscale("g_b", G_B) * (v0 - E_B)
         return i_na, i_si, i_k, i_k1, i_kp, i_b
 
     def solve(self, state: State, geom: Geometry, n: int = 1) -> State:

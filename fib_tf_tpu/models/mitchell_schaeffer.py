@@ -60,6 +60,9 @@ def apd_max_analytic() -> float:
 
 class MitchellSchaeffer(IonicModel):
     name = "ms"
+    # channel-block (drug) interface: the two phenomenological currents
+    # (g_in = 1/tau_in inward, g_out = 1/tau_out outward)
+    SCALE_PARAMS = ("g_in", "g_out")
     min_v = 0.0
     max_v = 1.0
     depol = 0.0
@@ -89,8 +92,8 @@ class MitchellSchaeffer(IonicModel):
         dt = self.cfg.dt
         u0 = geom.enforce_boundary(u)
 
-        j_in = h * u * u * (1.0 - u) / TAU_IN
-        j_out = -u / TAU_OUT
+        j_in = self.gscale("g_in", h * u * u * (1.0 - u) / TAU_IN)
+        j_out = self.gscale("g_out", -u / TAU_OUT)
         u1 = u0 + dt * (j_in + j_out) + self.cfg.diff * dt * geom.laplace(u0)
 
         open_ = u < U_GATE

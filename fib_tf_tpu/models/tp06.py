@@ -359,6 +359,13 @@ class TenTusscher06(IonicModel):
     # planes and the endo s-gate blend plane, riding the state dict as
     # _p_* planes (models/base.set_het)
     HET_PARAMS = ("g_to", "g_ks", "endo")
+    # channel-block (drug) interface (models/base.set_scale /
+    # SimConfig.g_scale): the CiPA-style panel — every sarcolemmal
+    # current's maximal conductance/flux is scalable as a trace-time
+    # constant.  g_to/g_Ks compose multiplicatively with the transmural
+    # het planes (substrate x dose).
+    SCALE_PARAMS = ("g_Na", "g_CaL", "g_Kr", "g_Ks", "g_to", "g_K1",
+                    "g_NaK", "g_NaCa", "g_pCa", "g_pK", "g_bNa", "g_bCa")
     # concentrations feed Nernst logs / squared ratios — the adaptive-dt
     # acceptance keeps them strictly positive (ops/adaptive.py)
     positive_states = ("Cai", "CaSR", "CaSS", "Nai", "Ki")
@@ -429,8 +436,8 @@ class TenTusscher06(IonicModel):
         heterogeneity planes when attached (transmural wedges,
         models/base.set_het), else the uniform cell-type constants."""
         g_to, g_ks = CELL_TYPES[self.cell_type]
-        g_to = self.het_param(s, "g_to", g_to)
-        g_ks = self.het_param(s, "g_ks", g_ks)
+        g_to = self.gscale("g_to", self.het_param(s, "g_to", g_to))
+        g_ks = self.gscale("g_Ks", self.het_param(s, "g_ks", g_ks))
         cai, ca_ss = s["Cai"], s["CaSS"]
         nai, ki = s["Nai"], s["Ki"]
 
@@ -439,8 +446,9 @@ class TenTusscher06(IonicModel):
         e_ks = RTF * jnp.log((K_O + PK_NA * NA_O) / (ki + PK_NA * nai))
         e_ca = 0.5 * RTF * jnp.log(CA_O / cai)
 
-        i_na = G_NA * s["m"] ** 3 * s["h"] * s["j"] * (v0 - e_na)
-        i_b_na = G_B_NA * (v0 - e_na)
+        i_na = (self.gscale("g_Na", G_NA)
+                * s["m"] ** 3 * s["h"] * s["j"] * (v0 - e_na))
+        i_b_na = self.gscale("g_bNa", G_B_NA) * (v0 - e_na)
 
         # L-type Ca current: GHK-like driving term with the removable
         # singularity at V = 15 mV handled by its exact limit
@@ -455,33 +463,35 @@ class TenTusscher06(IonicModel):
             0.5 * RTF * (0.25 * ca_ss - CA_O),
             (v0 - 15.0) * num / expm1(x),
         )
-        i_cal = (G_CAL * s["d"] * s["f"] * s["f2"] * s["fcass"]
+        i_cal = (self.gscale("g_CaL", G_CAL)
+                 * s["d"] * s["f"] * s["f2"] * s["fcass"]
                  * 4.0 * FARADAY * F_RT * drive)
-        i_b_ca = G_B_CA * (v0 - e_ca)
+        i_b_ca = self.gscale("g_bCa", G_B_CA) * (v0 - e_ca)
 
         i_to = g_to * s["r"] * s["s"] * (v0 - e_k)
-        i_kr = (G_KR * float(np.sqrt(K_O / 5.4))
+        i_kr = (self.gscale("g_Kr", G_KR * float(np.sqrt(K_O / 5.4)))
                 * s["xr1"] * s["xr2"] * (v0 - e_k))
         i_ks = g_ks * s["xs"] ** 2 * (v0 - e_ks)
-        i_k1 = (G_K1 * float(np.sqrt(K_O / 5.4))
+        i_k1 = (self.gscale("g_K1", G_K1 * float(np.sqrt(K_O / 5.4)))
                 * k1_inf(v0, e_k) * (v0 - e_k))
 
         evf = jnp.exp(GAMMA * v0 * F_RT)
         evf1 = jnp.exp((GAMMA - 1.0) * v0 * F_RT)
         i_naca = (
-            K_NACA
+            self.gscale("g_NaCa", K_NACA)
             * (evf * nai ** 3 * CA_O - evf1 * NA_O ** 3 * cai * ALPHA_NACA)
             / ((KM_NAI ** 3 + NA_O ** 3) * (KM_CA + CA_O)
                * (1.0 + K_SAT * evf1))
         )
         i_nak = (
-            P_NAK * K_O * nai
+            self.gscale("g_NaK", P_NAK) * K_O * nai
             / ((K_O + KM_K) * (nai + KM_NA)
                * (1.0 + 0.1245 * jnp.exp(-0.1 * v0 * F_RT)
                   + 0.0353 * jnp.exp(-v0 * F_RT)))
         )
-        i_p_ca = G_P_CA * cai / (K_P_CA + cai)
-        i_p_k = G_P_K * (v0 - e_k) / (1.0 + jnp.exp((25.0 - v0) / 5.98))
+        i_p_ca = self.gscale("g_pCa", G_P_CA) * cai / (K_P_CA + cai)
+        i_p_k = (self.gscale("g_pK", G_P_K)
+                 * (v0 - e_k) / (1.0 + jnp.exp((25.0 - v0) / 5.98)))
 
         return {
             "i_na": i_na, "i_b_na": i_b_na, "i_cal": i_cal,

@@ -127,6 +127,15 @@ class TestExamples:
         assert "alternans" in out
         assert os.path.exists(tmp_path / "dyn.png")
 
+    def test_drug_block(self, tmp_path):
+        # br is the cheapest model with a real K current; the example's
+        # directions themselves are pinned in tests/test_drug.py
+        out = run_example(tmp_path, "drug_block.py",
+                          "--model", "br", "--doses", "1.0,0.5",
+                          "--save-plot", "drug.png")
+        assert "g_x1 dose-response" in out
+        assert os.path.exists(tmp_path / "drug.png")
+
     def test_alternans_map(self, tmp_path):
         # fenton exercises the plumbing quickly; its shallow restitution
         # paces concordantly (the discordant tp06 case is pinned in

@@ -14,13 +14,18 @@ class TestCheckpoint:
     def test_roundtrip_with_config(self, tmp_path):
         state = {"V": np.random.rand(8, 8).astype(np.float32),
                  "m": np.zeros((8, 8), np.float32)}
-        cfg = SimConfig(width=8, height=8, duration=10)
+        # cell_type_bands and g_scale are tuple fields: the JSON round
+        # trip hands them back as lists and __post_init__ must re-tuple
+        # them or equality/hashing break (regression: r5 smoke failure)
+        cfg = SimConfig(width=8, height=8, duration=10,
+                        g_scale={"g_fi": 0.5})
         p = str(tmp_path / "ckpt.npz")
         checkpoint.save_state(p, state, cfg)
         got, got_cfg = checkpoint.load_state(p)
         assert set(got) == {"V", "m"}
         np.testing.assert_array_equal(got["V"], state["V"])
         assert got_cfg == cfg
+        assert hash(got_cfg) == hash(cfg)
 
     def test_reference_style_npy_dict(self, tmp_path):
         # court_ultra.py:511-519 pattern: np.save of a dict, .item(0) load
