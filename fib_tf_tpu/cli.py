@@ -165,6 +165,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list from whole,block,volume "
                         "(default whole,block; volume adds the fused "
                         "3D kernels at 8 x size/4 x size)")
+    w.add_argument("--gscale", default=None, metavar="CH=F[,CH=F...]",
+                   help="warm the kernels WITH these channel-block "
+                        "factors baked in (each distinct g_scale is a "
+                        "new specialized kernel body — a drugged 2D run "
+                        "pays its own Mosaic compile, so warm the doses "
+                        "you will run)")
 
     b = sub.add_parser("bench", help="reference Table-1 benchmark matrix")
     b.add_argument("--duration", type=float, default=1000)
@@ -546,12 +552,21 @@ def cmd_warmup(args) -> int:
         fn()
         print(f"  {label}: {time.perf_counter() - t0:.1f} s", flush=True)
 
+    gscale = _parse_gscale(args.gscale)
     for name in names:
+        if gscale and not set(gscale) <= set(
+                MODEL_REGISTRY[name].SCALE_PARAMS):
+            missing = sorted(set(gscale)
+                             - set(MODEL_REGISTRY[name].SCALE_PARAMS))
+            print(f"{name}: skipped (no scalable channel {missing})",
+                  flush=True)
+            continue
         cfg = SimConfig(
             width=args.size, height=args.size,
             dt=MODEL_REGISTRY[name].default_dt, duration=1,
             diff=_default_diff(name),
             ultra_slow=(name == "court_ultra"),
+            g_scale=gscale,
             **recommended.get(name, {}),
         )
         model = MODEL_REGISTRY[name](cfg)
