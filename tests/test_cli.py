@@ -100,6 +100,33 @@ class TestRun:
         with pytest.raises(SystemExit):
             cli.main(["warmup", "--kernels", "tiled,nope"])
 
+    def test_run_gscale(self, tmp_path, monkeypatch, capsys):
+        """--gscale bakes channel-block factors into the run; the
+        dose-free factor 1.0 stays bitwise (tests/test_drug.py) so a
+        smoke check that the drugged path executes is enough here."""
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(["run", "--model", "fenton", "--width", "32",
+                       "--height", "32", "--duration", "5",
+                       "--gscale", "g_fi=0.8,g_so=0.9"])
+        assert rc == 0
+        rec = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["model"] == "fenton"
+
+    def test_run_gscale_unknown_channel(self, tmp_path, monkeypatch):
+        with pytest.raises(ValueError, match="no scalable channel"):
+            cli.main(["run", "--model", "fenton", "--width", "32",
+                      "--height", "32", "--duration", "5",
+                      "--gscale", "g_Kr=0.5"])
+
+    def test_warmup_gscale_skips_unsupported(self, tmp_path, monkeypatch,
+                                             capsys):
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(["warmup", "--model", "fenton", "--size", "32",
+                       "--kernels", "whole", "--gscale", "g_Kr=0.5"])
+        assert rc == 0
+        assert "skipped (no scalable channel" in capsys.readouterr().out
+
     def test_mesh_spec_rejected(self, tmp_path, monkeypatch):
         import pytest
 
