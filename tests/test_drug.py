@@ -250,6 +250,44 @@ class TestTp06Pharm:
 
 
 @pytest.mark.slow
+class TestDrugInducedAlternans:
+    """The proarrhythmic signature that links the drug interface to the
+    alternans lab (r4): IKr block prolongs APD, which shortens the DI at
+    a fixed pacing rate and pushes the cell up the steep restitution
+    limb — measured on tp06 with dynamic_restitution_scan: at BCL 340 ms
+    the 50% block roughly DOUBLES the beat-to-beat APD alternans
+    (control 23.0 ms -> 49.4 ms) while 1:1 capture is maintained, and
+    at the slow 450 ms rate it shows as plain APD prolongation
+    (270.6 -> 287.6 ms) with no alternans."""
+
+    BCLS = np.array([340.0, 450.0])
+
+    def _scan(self, g_scale=None):
+        from fib_tf_tpu.engine.restitution import dynamic_restitution_scan
+
+        m = TenTusscher06(SimConfig(width=4, height=4, dt=0.02,
+                                    duration=10, g_scale=g_scale))
+        return dynamic_restitution_scan(m, self.BCLS, n_beats=6,
+                                        tail_ms=450.0)
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        return self._scan(), self._scan({"g_Kr": 0.5})
+
+    def test_block_amplifies_alternans_at_fast_rate(self, pair):
+        ctrl, blk = pair
+        assert ctrl.captured.all() and blk.captured.all()
+        assert ctrl.alternans_ms[0] == pytest.approx(23.0, abs=8.0)
+        assert blk.alternans_ms[0] > ctrl.alternans_ms[0] + 15.0
+
+    def test_block_prolongs_apd_at_slow_rate(self, pair):
+        ctrl, blk = pair
+        assert blk.apd_ms[1] > ctrl.apd_ms[1] + 10.0
+        # no alternans at the slow rate in either arm
+        assert ctrl.alternans_ms[1] < 3.0 and blk.alternans_ms[1] < 3.0
+
+
+@pytest.mark.slow
 class TestLuoRudyPharm:
     """LR1: scaling g_si down is the classic APD-shortening knob the
     spiral-breakup literature tunes (Qu, Weiss & Garfinkel 1999) —
