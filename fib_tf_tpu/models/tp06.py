@@ -356,9 +356,11 @@ class TenTusscher06(IonicModel):
     # wedge.
     cell_type = "epi"
     # per-pixel heterogeneity (VERDICT r4 #1a): g_to / g_ks conductance
-    # planes and the endo s-gate blend plane, riding the state dict as
-    # _p_* planes (models/base.set_het)
-    HET_PARAMS = ("g_to", "g_ks", "endo")
+    # planes (ABSOLUTE values) and the endo s-gate blend plane, riding
+    # the state dict as _p_* planes (models/base.set_het); g_kr is a
+    # RELATIVE IKr dose-factor plane (1.0 = baseline) for spatially
+    # heterogeneous pharmacology (border zones, washout gradients)
+    HET_PARAMS = ("g_to", "g_ks", "endo", "g_kr")
     # channel-block (drug) interface (models/base.set_scale /
     # SimConfig.g_scale): the CiPA-style panel — every sarcolemmal
     # current's maximal conductance/flux is scalable as a trace-time
@@ -469,8 +471,14 @@ class TenTusscher06(IonicModel):
         i_b_ca = self.gscale("g_bCa", G_B_CA) * (v0 - e_ca)
 
         i_to = g_to * s["r"] * s["s"] * (v0 - e_k)
-        i_kr = (self.gscale("g_Kr", G_KR * float(np.sqrt(K_O / 5.4)))
-                * s["xr1"] * s["xr2"] * (v0 - e_k))
+        g_kr = self.gscale("g_Kr", G_KR * float(np.sqrt(K_O / 5.4)))
+        # per-pixel IKr dose map (set_het(g_kr=...), a RELATIVE factor
+        # unlike the absolute g_to/g_ks planes): regional drug washout /
+        # border-zone substrates; composes with the global g_Kr dose
+        kr_dose = self.het_param(s, "g_kr", None)
+        if kr_dose is not None:
+            g_kr = kr_dose * g_kr
+        i_kr = g_kr * s["xr1"] * s["xr2"] * (v0 - e_k)
         i_ks = g_ks * s["xs"] ** 2 * (v0 - e_ks)
         i_k1 = (self.gscale("g_K1", G_K1 * float(np.sqrt(K_O / 5.4)))
                 * k1_inf(v0, e_k) * (v0 - e_k))

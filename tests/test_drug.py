@@ -249,6 +249,101 @@ class TestTp06Pharm:
         assert abs(rest_blk - rest_ctrl) < 1.0
 
 
+class TestSpatialDose:
+    """tp06's per-pixel IKr dose-factor plane (set_het(g_kr=...)): the
+    spatially heterogeneous pharmacology instrument — border zones,
+    washout gradients.  Unlike the absolute g_to/g_ks planes this one
+    is a RELATIVE factor, so 1.0 is exactly baseline."""
+
+    def _evolved(self, model, n=60):
+        """Advance a uniform sheet into the AP plateau so IKr actually
+        flows (xr gates ~0 at rest would make any dose invisible)."""
+        st = model.initial_state(s1=False)
+        st["V"] = np.full_like(st["V"], -30.0)
+        final, _ = _scan_trace(model, st, n)
+        return final
+
+    def test_constant_plane_matches_global_dose(self):
+        cfg = SimConfig(width=8, height=8, dt=0.02, duration=1)
+        m_glob = TenTusscher06(cfg.replace(g_scale={"g_Kr": 0.5}))
+        m_plane = TenTusscher06(cfg).set_het(
+            g_kr=np.full((8, 8), 0.5, np.float32))
+        out_g = self._evolved(m_glob)
+        out_p = self._evolved(m_plane)
+        for k in out_g:
+            np.testing.assert_allclose(
+                out_p[k], out_g[k], rtol=2e-6, atol=2e-6, err_msg=k)
+
+    def test_half_plane_blocks_only_its_half(self):
+        """One SUBSTEP (solve, not the 10-substep step — diffusion
+        spreads the dose difference ~1 px per substep) from a uniform
+        plateau state: the dose acts through the pointwise i_kr only,
+        so the dosed half must equal the fully-dosed run and the
+        undosed half the control, pixel for pixel."""
+        cfg = SimConfig(width=16, height=8, dt=0.02, duration=1)
+        ctrl = TenTusscher06(cfg)
+        base = self._evolved(ctrl)
+
+        plane = np.ones((8, 16), np.float32)
+        plane[:, :8] = 0.25
+        m_half = TenTusscher06(cfg).set_het(g_kr=plane)
+        m_full = TenTusscher06(cfg).set_het(
+            g_kr=np.full((8, 16), 0.25, np.float32))
+
+        def one_step(m):
+            st = {k: jnp.asarray(np.array(v)) for k, v in base.items()
+                  if not k.startswith("_p_")}
+            st.update({k: jnp.asarray(v) for k, v in
+                       {m.HET_PREFIX + n: p for n, p in m.het.items()}.items()})
+            return jax.device_get(jax.jit(lambda s: m.solve(s, GEOM))(st))
+
+        out_ctrl = one_step(ctrl)
+        out_half = one_step(m_half)
+        out_full = one_step(m_full)
+        # interior columns (1 px in from the dose border and edges)
+        np.testing.assert_allclose(
+            out_half["V"][:, 1:7], out_full["V"][:, 1:7], atol=1e-6)
+        np.testing.assert_allclose(
+            out_half["V"][:, 9:15], out_ctrl["V"][:, 9:15], atol=1e-6)
+        # and the dosed half really did move
+        assert np.abs(out_half["V"][:, 1:7]
+                      - out_ctrl["V"][:, 1:7]).max() > 1e-4
+
+
+@pytest.mark.slow
+class TestBorderZoneDispersion:
+    """A half-dosed strip under uniform pacing develops an APD step
+    across the dose border — the substrate for unidirectional block."""
+
+    def test_apd_step_across_border(self):
+        cfg = SimConfig(width=64, height=4, dt=0.02, duration=1)
+        plane = np.ones((4, 64), np.float32)
+        plane[:, :32] = 0.25  # heavy IKr block on the left half
+        m = TenTusscher06(cfg).set_het(g_kr=plane)
+        geom = grid_geometry()
+
+        quiet, _ = _scan_trace(m, m.initial_state(s1=False), 500, geom)
+        rest = float(np.asarray(quiet["V"]).mean())
+        st = {k: np.array(v) for k, v in quiet.items()}
+        st["V"] = np.full_like(st["V"], -60.0)
+
+        st = {k: jnp.asarray(v) for k, v in st.items()}
+
+        def body(s, _):
+            s = m.step(s, geom)
+            return s, (s["V"][2, 5], s["V"][2, 58])
+
+        _, (tr_l, tr_r) = jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=2500)
+        )(st)
+        ms = m.dt_per_step * cfg.dt
+        apd_l = _apd90(rest, np.asarray(tr_l), ms)
+        apd_r = _apd90(rest, np.asarray(tr_r), ms)
+        # blocked side longer, by a physiological margin despite the
+        # electrotonic smoothing across the border
+        assert apd_l > apd_r + 10.0
+
+
 @pytest.mark.slow
 class TestDrugInducedAlternans:
     """The proarrhythmic signature that links the drug interface to the
