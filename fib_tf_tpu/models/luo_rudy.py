@@ -202,7 +202,9 @@ class LuoRudy91(IonicModel):
     g_si = G_SI
     # channel-block (drug) interface (models/base.set_scale /
     # SimConfig.g_scale); g_si composes with the instance attribute
-    # (scale x the tuned base)
+    # (scale x the tuned base) — and gives the classic tuning a
+    # config-reachable spelling: SimConfig(g_scale={"g_si": 0.5}) is
+    # exactly the literature's g_si = 0.045
     SCALE_PARAMS = ("g_Na", "g_si", "g_K", "g_K1", "g_Kp", "g_b")
     # Cai feeds log() in E_si — the adaptive-dt acceptance test keeps it
     # strictly positive (ops/adaptive.py)

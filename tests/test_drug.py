@@ -311,6 +311,38 @@ class TestSpatialDose:
 
 
 @pytest.mark.slow
+class TestShardedDrug:
+    """The dose factors are model attributes closed over by every
+    compiled path, so sharded == unsharded must hold with a block
+    installed (wide-halo shard_map + kernel, the engine's measured-best
+    mesh path)."""
+
+    def test_wide_halo_kernel_matches_unsharded(self):
+        from fib_tf_tpu.parallel import make_mesh, shard_state
+        from fib_tf_tpu.parallel.spmd import make_spmd_chunk
+
+        cfg = SimConfig(width=64, height=64, dt=0.1, duration=5,
+                        cheby=True, g_scale={"g_s": 0.5, "g_x1": 0.7})
+        m = BeelerReuter(cfg)
+        st = {k: jnp.asarray(v) for k, v in m.initial_state().items()}
+
+        def body(s, _):
+            return m.step(s, GEOM), None
+
+        want = jax.device_get(jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=5)[0])(st))
+
+        mesh = make_mesh()  # 8 virtual devices
+        chunk = make_spmd_chunk(m, mesh, length=5, wide_halo=True,
+                                use_kernel=True)
+        got, _ = chunk(shard_state(m.initial_state(), mesh))
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6,
+                err_msg=k)
+
+
+@pytest.mark.slow
 class TestBorderZoneDispersion:
     """A half-dosed strip under uniform pacing develops an APD step
     across the dose border — the substrate for unidirectional block."""
