@@ -17,6 +17,18 @@ runtime cost, every execution path), so each dose is one small compiled
   python examples/drug_block.py --channel g_CaL          # Ca-block fan
   python examples/drug_block.py --model court --channel g_Kr
   python examples/drug_block.py --save-plot drug.png
+
+Dose can also be SPATIAL (tp06 only): `--border F` attaches a per-pixel
+IKr dose-factor plane (`set_het(g_kr=...)`) blocking the left half of a
+strip at factor F, paces the whole strip uniformly, and reports the
+APD90 step across the dose border — the dispersion substrate for
+unidirectional block:
+
+  python examples/drug_block.py --border 0.25
+
+(The --border strip runs in ~1 min on CPU; on the TPU tunnel its first
+XLA compile was measured at ~15 min — same result — so prefer
+JAX_PLATFORMS=cpu for this mode.)
 """
 
 import os as _os, sys as _sys
@@ -81,6 +93,58 @@ def run_dose(model_name, channel, factor):
     return rest, tr, ms
 
 
+def run_border(factor, width=64, height=4, save_plot=None):
+    """Half-dosed tp06 strip under uniform pacing: APD90 per column,
+    printed as the step across the dose border (left half blocked)."""
+    from fib_tf_tpu.models import TenTusscher06, grid_geometry
+
+    cfg = SimConfig(width=width, height=height, dt=0.02, duration=1)
+    plane = np.ones((height, width), np.float32)
+    plane[:, : width // 2] = factor
+    model = TenTusscher06(cfg).set_het(g_kr=plane)
+    geom = grid_geometry()
+    row = height // 2
+
+    def trace(state, n):
+        def body(s, _):
+            s = model.step(s, geom)
+            return s, s["V"][row, :]
+
+        return jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=n)
+        )({k: jnp.asarray(np.array(v)) for k, v in state.items()})
+
+    quiet, _ = trace(model.initial_state(s1=False), 1000)
+    quiet = jax.device_get(quiet)
+    rest = float(np.asarray(quiet["V"]).mean())
+    st = {k: np.array(v) for k, v in quiet.items()}
+    st["V"] = np.full_like(st["V"], -60.0)
+    _, tr = trace(st, 2500)  # [T, width] row trace
+    tr = np.asarray(tr)
+    ms = model.dt_per_step * cfg.dt
+
+    apds = np.array([_apd90(rest, tr[:, x], ms) for x in range(width)])
+    left = float(np.nanmean(apds[2: width // 2 - 2]))
+    right = float(np.nanmean(apds[width // 2 + 2: -2]))
+    print(f"tp06 strip {height}x{width}, left half g_Kr x {factor:g}:")
+    print(f"  APD90 blocked side {left:.1f} ms | control side "
+          f"{right:.1f} ms | step {left - right:+.1f} ms")
+    if save_plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 3.5))
+        ax.plot(apds, ".-")
+        ax.axvline(width / 2 - 0.5, ls="--", color="gray")
+        ax.set(xlabel="column", ylabel="APD90 (ms)",
+               title=f"APD step across the g_Kr x {factor:g} border")
+        fig.tight_layout()
+        fig.savefig(save_plot, dpi=120)
+        print(f"saved {save_plot}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=sorted(PROTO), default="tp06")
@@ -91,8 +155,23 @@ def main():
                          "g_x1 for br, g_K for lr1)")
     ap.add_argument("--doses", default="1.0,0.75,0.5,0.25",
                     help="conductance factors, 1.0 = drug-free")
+    ap.add_argument("--border", type=float, default=None, metavar="F",
+                    help="spatial mode (tp06): block the left half of a "
+                         "strip at factor F via a per-pixel g_kr dose "
+                         "plane and report the APD step across the "
+                         "border")
+    ap.add_argument("--width", type=int, default=64,
+                    help="strip length for --border")
     ap.add_argument("--save-plot", default=None)
     args = ap.parse_args()
+
+    if args.border is not None:
+        if args.model != "tp06":
+            raise SystemExit("--border needs --model tp06 (the g_kr "
+                             "dose plane lives there)")
+        run_border(args.border, width=args.width,
+                   save_plot=args.save_plot)
+        return
 
     if args.channel is None:
         args.channel = {"tp06": "g_Kr", "court": "g_Kr",

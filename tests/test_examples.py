@@ -136,6 +136,13 @@ class TestExamples:
         assert "g_x1 dose-response" in out
         assert os.path.exists(tmp_path / "drug.png")
 
+    def test_drug_block_border(self, tmp_path):
+        out = run_example(tmp_path, "drug_block.py",
+                          "--border", "0.25", "--width", "48",
+                          "--save-plot", "border.png")
+        assert "step +" in out
+        assert os.path.exists(tmp_path / "border.png")
+
     def test_alternans_map(self, tmp_path):
         # fenton exercises the plumbing quickly; its shallow restitution
         # paces concordantly (the discordant tp06 case is pinned in
