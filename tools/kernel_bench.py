@@ -64,6 +64,10 @@ def main():
     p.add_argument("--hole", action="store_true",
                    help="run with a center-disk phase field (times the "
                         "phase-correction arm of the kernels)")
+    p.add_argument("--gscale", default=None, metavar="CH=F[,CH=F...]",
+                   help="channel-block factors baked into the body "
+                        "(A/B the zero-runtime-cost claim; a distinct "
+                        "dose is a new kernel compile)")
     args = p.parse_args()
 
     from fib_tf_tpu.config import SimConfig
@@ -75,9 +79,12 @@ def main():
     # per-model recommended dt (0.1 for the reference models; the stiff
     # lr1 refuses dt > 0.05 and runs at its default 0.02)
     dt = MODEL_REGISTRY[args.model].default_dt
+    from fib_tf_tpu.cli import _parse_gscale
+
     cfg = SimConfig(width=args.size, height=args.size, dt=dt, duration=1,
                     diff=0.809, cheby=args.cheby, skip=args.skip,
-                    ultra_slow=(args.model == "court_ultra"))
+                    ultra_slow=(args.model == "court_ultra"),
+                    g_scale=_parse_gscale(args.gscale))
     model = MODEL_REGISTRY[args.model](cfg)
     phase = make_hole(args.size) if args.hole else None
     step = build_step(model, args.kernel, args.tile_rows, phase=phase)
